@@ -1,0 +1,243 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md F1).
+
+Pure function of (seed, params): the single-process oracle, the Ray
+engine, and the DuckDB oracle SQL all read byte-identical Parquet.
+
+Structure mirrors what the reference consumes — an ordered stream of
+records per outer unit (video → frames there, conversation → turns
+here; reference ``services/harvest_service.py:149-158``) — with the
+knobs FIXTURES.md F1 asks for: role motifs for CEP, session gaps,
+tool-call/response pairs with call-id tokens for the stateful join,
+orphan calls, hot conversations for salting tests, exact duplicate
+rows for dedup, and a bounded-disorder arrival order (file order is
+arrival order) so the default fixture has no beyond-watermark late
+rows; dedicated late-row fixtures are built in tests.
+
+Layout per fixture name (e.g. ``sf0.01``) under ``/tmp/graft_fixtures``:
+
+    <root>/<name>/transcripts.parquet            # one file, arrival order
+    <root>/<name>/epochs/epoch=E/part-P.parquet  # micro-batch epochs
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import (
+    DEFAULT_WATERMARK_DELAY_S,
+    DEFAULT_SESSION_GAP_S,
+    TOOLS,
+    TRANSCRIPT_SCHEMA,
+)
+
+FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_ROOT", "/tmp/graft_fixtures")
+
+BASE_TS_US = np.int64(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z in µs
+_HORIZON_S = 30 * 24 * 3600  # conv start times spread over 30 days
+
+_VOCAB = (
+    "stream window batch shuffle state actor arrow block epoch manifest "
+    "watermark session pattern match join dedup partition salt commit turn"
+).split()
+
+
+@dataclass(frozen=True)
+class GenParams:
+    n_convs: int
+    seed: int = 42
+    median_turns: int = 12
+    hot_frac: float = 0.005  # fraction of convs with hot_turns turns (skew)
+    hot_turns: int = 600
+    tool_unit_p: float = 0.4  # P(unit = user,assistant+call,tool-resp)
+    orphan_call_p: float = 0.05  # P(drop the response of a call)
+    ghost_resp_p: float = 0.01  # P(emit a response with no matching call)
+    dup_frac: float = 0.02  # fraction of rows duplicated exactly
+    session_break_p: float = 0.04  # P(inter-turn gap > session gap)
+    session_gap_s: int = DEFAULT_SESSION_GAP_S
+    watermark_delay_s: int = DEFAULT_WATERMARK_DELAY_S
+    n_epochs: int = 4
+
+
+def params_for_sf(name: str) -> GenParams:
+    """Scale knobs from an ``sf*`` directory basename (TESTDATA.md)."""
+    try:
+        sf = float(name[2:]) if name.startswith("sf") else 0.001
+    except ValueError:
+        sf = 0.001
+    return GenParams(n_convs=max(32, int(300_000 * sf)))
+
+
+def generate(params: GenParams) -> pa.Table:
+    """Build the transcript table in arrival (file) order."""
+    rng = np.random.default_rng(params.seed)
+    n = params.n_convs
+
+    turns_target = np.maximum(
+        2,
+        np.rint(
+            np.exp(rng.normal(np.log(params.median_turns), 0.5, size=n))
+        ).astype(np.int64),
+    )
+    n_hot = max(1, int(n * params.hot_frac)) if n else 0
+    hot_ids = rng.choice(n, size=n_hot, replace=False)
+    turns_target[hot_ids] = params.hot_turns
+
+    conv_start_s = rng.uniform(0, _HORIZON_S, size=n)
+
+    conv_ids: list[str] = []
+    turn_idx: list[np.ndarray] = []
+    roles: list[str] = []
+    texts: list[str] = []
+    tools: list[str] = []
+    ts_us: list[np.ndarray] = []
+    conv_rows: list[int] = []
+
+    vocab = _VOCAB
+    n_vocab = len(vocab)
+    tools_all = TOOLS
+
+    for ci in range(n):
+        cid = f"conv-{ci:08d}"
+        target = int(turns_target[ci])
+        # Pre-draw randomness for this conversation in bulk.
+        unit_is_tool = rng.random(target) < params.tool_unit_p
+        orphan = rng.random(target) < params.orphan_call_p
+        ghost = rng.random(target) < params.ghost_resp_p
+        tool_pick = rng.integers(0, len(tools_all), size=target)
+        gaps = rng.exponential(90.0, size=target + 4) + 1.0
+        breaks = rng.random(target + 4) < params.session_break_p
+        gaps = gaps + breaks * (
+            params.session_gap_s + rng.exponential(1200.0, size=target + 4)
+        )
+
+        c_roles: list[str] = []
+        c_texts: list[str] = []
+        c_tools: list[str] = []
+        call_k = 0
+        u = 0
+        while len(c_roles) < target:
+            w0 = vocab[(ci * 31 + len(c_roles)) % n_vocab]
+            w1 = vocab[(ci * 17 + u * 7) % n_vocab]
+            c_roles.append("user")
+            c_texts.append(f"{w0} {w1} question {u}")
+            c_tools.append("")
+            if unit_is_tool[u % target]:
+                tool = tools_all[tool_pick[u % target]]
+                call_id = f"call-{cid}-{call_k}"
+                call_k += 1
+                c_roles.append("assistant")
+                c_texts.append(f"invoking {tool} [{call_id}] {w1}")
+                c_tools.append(tool)
+                if not orphan[u % target]:
+                    c_roles.append("tool")
+                    c_texts.append(f"result for [{call_id}] {w0}")
+                    c_tools.append(tool)
+            else:
+                c_roles.append("assistant")
+                c_texts.append(f"answer {w1} {w0} reply {u}")
+                c_tools.append("")
+            if ghost[u % target]:
+                tool = tools_all[(tool_pick[u % target] + 1) % len(tools_all)]
+                c_roles.append("tool")
+                c_texts.append(f"result for [call-{cid}-ghost{u}] stray")
+                c_tools.append(tool)
+            u += 1
+
+        rows = len(c_roles)
+        conv_rows.append(rows)
+        conv_ids.append(cid)
+        turn_idx.append(np.arange(rows, dtype=np.int32))
+        roles.extend(c_roles)
+        texts.extend(c_texts)
+        tools.extend(c_tools)
+        t0 = BASE_TS_US + np.int64(conv_start_s[ci] * 1e6)
+        ts = t0 + np.cumsum((gaps[:rows] * 1e6).astype(np.int64))
+        ts_us.append(ts)
+
+    conv_col = np.repeat(np.array(conv_ids, dtype=object), conv_rows)
+    turn_col = np.concatenate(turn_idx) if turn_idx else np.array([], np.int32)
+    ts_col = np.concatenate(ts_us) if ts_us else np.array([], np.int64)
+    total = len(conv_col)
+
+    # Arrival order: event ts + bounded positive jitter (< 0.9 * delay), so
+    # watermark(max seen ts - delay) never overtakes an unseen row's ts —
+    # the default fixture contains no beyond-watermark late rows.
+    jitter = rng.uniform(0, 0.9 * params.watermark_delay_s * 1e6, size=total)
+    arrival = ts_col + jitter.astype(np.int64)
+
+    # Exact duplicate rows (FIXTURES.md: dedup keep-first tests).
+    n_dup = int(total * params.dup_frac)
+    dup_src = rng.choice(total, size=n_dup, replace=False) if n_dup else np.array([], np.int64)
+    dup_arrival = arrival[dup_src] + rng.uniform(1e6, 60e6, size=n_dup).astype(np.int64)
+
+    all_idx = np.concatenate([np.arange(total), dup_src]).astype(np.int64)
+    all_arrival = np.concatenate([arrival, dup_arrival])
+    order = np.argsort(all_arrival, kind="stable")
+    sel = all_idx[order]
+
+    table = pa.table(
+        {
+            "conv_id": pa.array(conv_col[sel], pa.string()),
+            "turn_idx": pa.array(turn_col[sel], pa.int32()),
+            "role": pa.array(np.array(roles, dtype=object)[sel], pa.string()),
+            "text": pa.array(np.array(texts, dtype=object)[sel], pa.string()),
+            "tool": pa.array(np.array(tools, dtype=object)[sel], pa.string()),
+            "ts": pa.array(ts_col[sel], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    return table
+
+
+def _write_fixture(table: pa.Table, out_dir: str, n_epochs: int) -> None:
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir), prefix=".gen-")
+    pq.write_table(table, os.path.join(tmp, "transcripts.parquet"))
+    total = table.num_rows
+    bounds = np.linspace(0, total, n_epochs + 1).astype(np.int64)
+    for e in range(n_epochs):
+        lo, hi = int(bounds[e]), int(bounds[e + 1])
+        epoch_rows = table.slice(lo, hi - lo)
+        edir = os.path.join(tmp, "epochs", f"epoch={e:03d}")
+        os.makedirs(edir, exist_ok=True)
+        n_parts = max(1, epoch_rows.num_rows // 100_000 + 1)
+        pbounds = np.linspace(0, epoch_rows.num_rows, n_parts + 1).astype(np.int64)
+        for p in range(n_parts):
+            plo, phi = int(pbounds[p]), int(pbounds[p + 1])
+            pq.write_table(
+                epoch_rows.slice(plo, phi - plo),
+                os.path.join(edir, f"part-{p:03d}.parquet"),
+            )
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        # Concurrent generation already published it; ours is identical.
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ensure_fixture(sf_dir_or_name: str, params: GenParams | None = None) -> str:
+    """Return the fixture dir for an sf dir/name, generating if missing."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    if os.path.exists(os.path.join(out_dir, "transcripts.parquet")):
+        return out_dir
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    p = params or params_for_sf(name)
+    table = generate(p)
+    _write_fixture(table, out_dir, p.n_epochs)
+    return out_dir
+
+
+def transcripts_path(sf_dir_or_name: str) -> str:
+    return os.path.join(ensure_fixture(sf_dir_or_name), "transcripts.parquet")
+
+
+def epochs_root(sf_dir_or_name: str) -> str:
+    return os.path.join(ensure_fixture(sf_dir_or_name), "epochs")
