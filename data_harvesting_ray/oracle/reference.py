@@ -168,19 +168,9 @@ def orphan_calls(df: pd.DataFrame) -> pd.DataFrame:
     """Tool calls with no response (anti-join; FIXTURES.md F3.6)."""
     d = normalize(_ordered(df))
     calls = d[d["is_tool_call"] & (d["call_id"] != "")]
-    resp_keys = set(
-        map(
-            tuple,
-            d.loc[(d["role"] == "tool") & (d["call_id"] != ""), ["conv_id", "call_id"]]
-            .drop_duplicates()
-            .itertuples(index=False),
-        )
-    )
-    mask = [
-        (c, k) not in resp_keys
-        for c, k in zip(calls["conv_id"], calls["call_id"])
-    ]
-    out = calls.loc[mask, ["conv_id", "call_id", "turn_idx"]].rename(
+    answered = tool_join(df)[["conv_id", "call_id"]]
+    m = calls.merge(answered, on=["conv_id", "call_id"], how="left", indicator=True)
+    out = m.loc[m["_merge"] == "left_only", ["conv_id", "call_id", "turn_idx"]].rename(
         columns={"turn_idx": "call_turn_idx"}
     )
     return out.sort_values(["conv_id", "call_turn_idx"], kind="stable").reset_index(

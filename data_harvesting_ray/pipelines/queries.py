@@ -1,0 +1,340 @@
+"""Driver-contract query registry.
+
+One entry per implemented operator from SURVEY.md §2, each paired
+(where SQL-expressible) with ANSI SQL that DuckDB runs on the same
+inputs. Column names are identical on both sides — the driver's
+compare hashes values after sorting columns by name.
+
+The transcript fixture is deterministic (fixtures/generator.py) and
+derived from the sf dir name; its oracle SQL reads the same parquet
+file via ``read_parquet``. Table-valued queries over the driver's
+pre-registered views (events / documents / lineitem) use the view
+names directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import ray.data as rd
+
+from ..fixtures.generator import transcripts_path
+
+SESSION_GAP_US = 1800 * 1_000_000
+TUMBLE_US = 600 * 1_000_000
+SLIDE_SIZE_US = 600 * 1_000_000
+SLIDE_STEP_US = 300 * 1_000_000
+EVENT_TUMBLE_US = 3600 * 1_000_000
+EVENT_GAP_US = 1800 * 1_000_000
+
+# The driver compares at sf0.01; oracle SQL must point at that fixture.
+_ORACLE_SF = "sf0.01"
+
+
+def _t(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(transcripts_path(sf_dir))
+
+
+def _norm(sf_dir: str) -> rd.Dataset:
+    from ..stages.normalize import normalize_turns
+
+    return normalize_turns(_t(sf_dir))
+
+
+def _norm_dedup(sf_dir: str) -> rd.Dataset:
+    from ..stages.dedup import dedup_exact
+
+    return dedup_exact(_norm(sf_dir))
+
+
+# --------------------------------------------------------------- callables
+def q_t_normalize(sf_dir: str) -> Any:
+    return _norm(sf_dir)
+
+
+def q_t_dedup(sf_dir: str) -> Any:
+    from ..stages.dedup import dedup_exact
+
+    return dedup_exact(_t(sf_dir))
+
+
+def q_t_session_windows(sf_dir: str) -> Any:
+    from ..stages.windows import session_windows
+
+    return session_windows(_t(sf_dir))
+
+
+def q_t_tumbling_windows(sf_dir: str) -> Any:
+    from ..stages.windows import tumbling_windows
+
+    return tumbling_windows(_norm_dedup(sf_dir))
+
+
+def q_t_sliding_windows(sf_dir: str) -> Any:
+    from ..stages.dedup import dedup_exact
+    from ..stages.windows import sliding_windows
+
+    return sliding_windows(dedup_exact(_t(sf_dir)))
+
+
+def q_t_tool_join(sf_dir: str) -> Any:
+    from ..stages.join import tool_join
+
+    return tool_join(_norm(sf_dir))
+
+
+def q_t_orphan_calls(sf_dir: str) -> Any:
+    from ..stages.join import orphan_calls
+
+    return orphan_calls(_norm(sf_dir))
+
+
+def q_t_cep_matches(sf_dir: str) -> Any:
+    from ..stages.cep import cep_matches
+
+    return cep_matches(_t(sf_dir))
+
+
+def q_t_cep_suppressed(sf_dir: str) -> Any:
+    from ..stages.cep import PatternSpec, cep_matches
+
+    return cep_matches(_t(sf_dir), PatternSpec(skip_past_last=True, suppress_turns=5))
+
+
+def q_t_stride_sample(sf_dir: str) -> Any:
+    from ..stages.aggregates import stride_sample
+    from ..stages.dedup import dedup_exact
+
+    return stride_sample(dedup_exact(_t(sf_dir)), k=4)
+
+
+def q_t_turn_stats(sf_dir: str) -> Any:
+    from ..stages.aggregates import turn_stats
+
+    return turn_stats(_norm_dedup(sf_dir))
+
+
+def q_t_role_mode(sf_dir: str) -> Any:
+    from ..stages.aggregates import role_mode
+    from ..stages.dedup import dedup_exact
+
+    return role_mode(dedup_exact(_t(sf_dir)))
+
+
+def q_t_topk_tools(sf_dir: str) -> Any:
+    from ..stages.aggregates import topk_tools
+
+    return topk_tools(_norm_dedup(sf_dir), k=3)
+
+
+def q_e_tumbling(sf_dir: str) -> Any:
+    from ..stages.events import tumbling_events
+
+    return tumbling_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_e_session(sf_dir: str) -> Any:
+    from ..stages.events import session_events
+
+    return session_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_e_cep(sf_dir: str) -> Any:
+    from ..stages.events import cep_events
+
+    return cep_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_lineitem_rollup(sf_dir: str) -> Any:
+    from ..stages.aggregates import lineitem_rollup
+
+    return lineitem_rollup(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"],
+        )
+    )
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "t_normalize": q_t_normalize,
+        "t_dedup": q_t_dedup,
+        "t_session_windows": q_t_session_windows,
+        "t_tumbling_windows": q_t_tumbling_windows,
+        "t_sliding_windows": q_t_sliding_windows,
+        "t_tool_join": q_t_tool_join,
+        "t_orphan_calls": q_t_orphan_calls,
+        "t_cep_matches": q_t_cep_matches,
+        "t_cep_suppressed": q_t_cep_suppressed,
+        "t_stride_sample": q_t_stride_sample,
+        "t_turn_stats": q_t_turn_stats,
+        "t_role_mode": q_t_role_mode,
+        "t_topk_tools": q_t_topk_tools,
+        "e_tumbling": q_e_tumbling,
+        "e_session": q_e_session,
+        "e_cep": q_e_cep,
+        "lineitem_rollup": q_lineitem_rollup,
+    }
+
+
+# -------------------------------------------------------------- oracle SQL
+def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
+    p = transcripts_path(sf_name)  # ensures the fixture exists
+    RAW = f"read_parquet('{p}')"
+    T = f"(SELECT DISTINCT * FROM {RAW})"
+    NORM = (
+        f"(SELECT *, (tool <> '' AND role = 'assistant') AS is_tool_call, "
+        f"coalesce(regexp_extract(text, '\\[(call-[^\\]]+)\\]', 1), '') AS call_id "
+        f"FROM {T})"
+    )
+    CALLS = (
+        f"(SELECT conv_id, call_id, tool, turn_idx AS call_turn_idx, ts AS call_ts "
+        f"FROM {NORM} WHERE is_tool_call AND call_id <> '')"
+    )
+    RESPS = (
+        f"(SELECT conv_id, call_id, turn_idx AS resp_turn_idx, ts AS resp_ts "
+        f"FROM {NORM} WHERE role = 'tool' AND call_id <> '')"
+    )
+    return {
+        "t_normalize": (
+            f"SELECT conv_id, turn_idx, role, text, tool, ts, "
+            f"(tool <> '' AND role = 'assistant') AS is_tool_call, "
+            f"coalesce(regexp_extract(text, '\\[(call-[^\\]]+)\\]', 1), '') AS call_id "
+            f"FROM {RAW}"
+        ),
+        "t_dedup": f"SELECT DISTINCT * FROM {RAW}",
+        "t_session_windows": f"""
+            WITH o AS (
+              SELECT conv_id, turn_idx, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS news
+              FROM {T}
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), s AS (
+              SELECT *, CAST(sum(news) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+              FROM o
+            )
+            SELECT conv_id, session_id, min(ts) AS window_start, max(ts) AS window_end,
+                   count(*) AS turn_count, min(turn_idx) AS first_turn_idx,
+                   max(turn_idx) AS last_turn_idx
+            FROM s GROUP BY conv_id, session_id
+        """,
+        "t_tumbling_windows": f"""
+            SELECT conv_id,
+                   make_timestamp((epoch_us(ts) // {TUMBLE_US}) * {TUMBLE_US}) AS window_start,
+                   count(*) AS turn_count,
+                   CAST(sum(CASE WHEN tool <> '' AND role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS tool_call_count
+            FROM {T} GROUP BY 1, 2
+        """,
+        "t_sliding_windows": f"""
+            WITH e AS (SELECT conv_id, epoch_us(ts) AS us FROM {T}),
+            w AS (
+              SELECT conv_id,
+                     unnest(range((us - {SLIDE_SIZE_US}) // {SLIDE_STEP_US} + 1,
+                                  us // {SLIDE_STEP_US} + 1)) AS k
+              FROM e
+            )
+            SELECT conv_id, make_timestamp(k * {SLIDE_STEP_US}) AS window_start,
+                   count(*) AS turn_count
+            FROM w GROUP BY 1, 2
+        """,
+        "t_tool_join": f"""
+            SELECT conv_id, call_id, tool, call_turn_idx, resp_turn_idx, call_ts, resp_ts
+            FROM (
+              SELECT c.conv_id, c.call_id, c.tool, c.call_turn_idx, c.call_ts,
+                     r.resp_turn_idx, r.resp_ts,
+                     row_number() OVER (PARTITION BY c.conv_id, c.call_id
+                                        ORDER BY r.resp_turn_idx) AS rn
+              FROM {CALLS} c JOIN {RESPS} r
+                ON c.conv_id = r.conv_id AND c.call_id = r.call_id
+               AND r.resp_turn_idx > c.call_turn_idx
+            ) WHERE rn = 1
+        """,
+        "t_orphan_calls": f"""
+            SELECT c.conv_id, c.call_id, c.call_turn_idx
+            FROM {CALLS} c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM {RESPS} r
+              WHERE r.conv_id = c.conv_id AND r.call_id = c.call_id
+                AND r.resp_turn_idx > c.call_turn_idx)
+        """,
+        "t_cep_matches": f"""
+            WITH s AS (
+              SELECT conv_id, turn_idx, role,
+                     lead(role, 1) OVER w AS r1, lead(role, 2) OVER w AS r2,
+                     lead(turn_idx, 2) OVER w AS t2
+              FROM {T}
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, 'user>assistant>tool' AS pattern,
+                   turn_idx AS start_turn_idx, t2 AS end_turn_idx
+            FROM s
+            WHERE role = 'user' AND r1 = 'assistant' AND r2 = 'tool'
+              AND t2 = turn_idx + 2
+        """,
+        "t_stride_sample": f"SELECT * FROM {T} WHERE turn_idx % 4 = 0",
+        "t_turn_stats": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   CAST(sum(CASE WHEN tool <> '' AND role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM {T} GROUP BY 1
+        """,
+        "t_role_mode": f"""
+            SELECT conv_id, role AS top_role, role_count FROM (
+              SELECT conv_id, role, count(*) AS role_count,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY count(*) DESC, role) AS rn
+              FROM {T} GROUP BY conv_id, role
+            ) WHERE rn = 1
+        """,
+        "t_topk_tools": f"""
+            SELECT tool, count(*) AS n_calls FROM {T}
+            WHERE tool <> '' AND role = 'assistant'
+            GROUP BY 1 ORDER BY n_calls DESC, tool LIMIT 3
+        """,
+        "e_tumbling": f"""
+            SELECT user_id,
+                   make_timestamp((epoch_us(ts) // {EVENT_TUMBLE_US}) * {EVENT_TUMBLE_US}) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "e_session": f"""
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {EVENT_GAP_US}
+                     THEN 1 ELSE 0 END AS news
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, CAST(sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+              FROM o
+            )
+            SELECT user_id, session_id, min(ts) AS window_start, max(ts) AS window_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+        "e_cep": """
+            WITH s AS (
+              SELECT user_id, event_id, event_type,
+                     lead(event_type, 1) OVER w AS e1, lead(event_type, 2) OVER w AS e2,
+                     lead(event_id, 2) OVER w AS id2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id AS start_event_id, id2 AS end_event_id
+            FROM s WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+    }

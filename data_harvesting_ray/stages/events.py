@@ -1,0 +1,142 @@
+"""Generic event-stream variants of the windowing/CEP operators.
+
+The transcript operators (windows.py, cep.py) are specialized to the
+transcript schema; these run the same semantics over any keyed event
+stream (here the testdata ``events`` table: ``user_id``/``ts``/
+``event_type``), demonstrating that the engine's windowing layer is
+schema-generic. Ordering within a key is (ts, event_id) — unlike
+transcripts there is no turn index, so CEP contiguity means
+"consecutive events of that key".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from .partition import apply_per_bucket
+
+US = 1_000_000
+
+
+def tumbling_events(ds: ray.data.Dataset, size_s: int = 3600) -> ray.data.Dataset:
+    """Per-user fixed windows with decomposable aggregates, computed as
+    per-batch partials + a small groupby (no full-row shuffle). Money
+    sums use integer cents so results are order-independent."""
+    size_us = size_s * US
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["user_id", "ts", "value"]).to_pandas()
+        ws = (df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // size_us) * size_us
+        part = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "window_start": ws,
+                    "n_events": np.int64(1),
+                    "sum_cents": np.rint(df["value"].to_numpy() * 100).astype(np.int64),
+                }
+            )
+            .groupby(["user_id", "window_start"], sort=False, as_index=False)
+            .sum()
+        )
+        part["window_start"] = part["window_start"].astype("datetime64[us]")
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["user_id", "window_start"]
+    ).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+    )
+
+
+def session_events_kernel(g: pd.DataFrame, gap_s: int = 1800) -> pd.DataFrame:
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    n = len(g)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "user_id": np.array([], np.int64),
+                "session_id": np.array([], np.int64),
+                "window_start": np.array([], "datetime64[us]"),
+                "window_end": np.array([], "datetime64[us]"),
+                "n_events": np.array([], np.int64),
+            }
+        )
+    is_new = np.empty(n, dtype=bool)
+    is_new[0] = True
+    is_new[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_s * US)
+    starts = np.flatnonzero(is_new)
+    ends = np.append(starts[1:], n) - 1
+    key_new = np.empty(n, dtype=bool)
+    key_new[0] = True
+    key_new[1:] = uid[1:] != uid[:-1]
+    island_idx = np.cumsum(is_new) - 1
+    first_island = island_idx[np.flatnonzero(key_new)]
+    session_id = np.arange(len(starts)) - np.repeat(
+        first_island, np.diff(np.append(first_island, len(starts)))
+    )
+    return pd.DataFrame(
+        {
+            "user_id": uid[starts],
+            "session_id": session_id.astype(np.int64),
+            "window_start": ts[starts].astype("datetime64[us]"),
+            "window_end": ts[ends].astype("datetime64[us]"),
+            "n_events": (ends - starts + 1).astype(np.int64),
+        }
+    )
+
+
+def session_events(
+    ds: ray.data.Dataset, gap_s: int = 1800, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    return apply_per_bucket(
+        ds, lambda g: session_events_kernel(g, gap_s), key="user_id", num_buckets=num_buckets
+    )
+
+
+def cep_events_kernel(
+    g: pd.DataFrame, pattern: tuple[str, ...]
+) -> pd.DataFrame:
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    uid = g["user_id"].to_numpy()
+    etype = g["event_type"].to_numpy()
+    eid = g["event_id"].to_numpy()
+    n, plen = len(g), len(pattern)
+    if n < plen:
+        return pd.DataFrame(
+            {
+                "user_id": np.array([], np.int64),
+                "start_event_id": np.array([], np.int64),
+                "end_event_id": np.array([], np.int64),
+            }
+        )
+    m = n - plen + 1
+    ok = uid[:m] == uid[plen - 1 :]
+    for j, r in enumerate(pattern):
+        ok &= etype[j : m + j] == r
+    cand = np.flatnonzero(ok)
+    return pd.DataFrame(
+        {
+            "user_id": uid[cand],
+            "start_event_id": eid[cand],
+            "end_event_id": eid[cand + plen - 1],
+        }
+    )
+
+
+def cep_events(
+    ds: ray.data.Dataset,
+    pattern: tuple[str, ...] = ("view", "click", "purchase"),
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    return apply_per_bucket(
+        ds, lambda g: cep_events_kernel(g, pattern), key="user_id", num_buckets=num_buckets
+    )

@@ -1,0 +1,80 @@
+"""Tool-call ↔ response correlation (J3 generalization).
+
+The reference correlates detections across model sources within the
+same frame (``projects/helmet/helmet_project.py:25-55``); the
+transcript analogue pairs an assistant tool-call turn with the first
+later ``tool`` response turn sharing (conv_id, call_id). Co-partitioned
+by hash(conv_id) — the join never moves more than the one shuffle every
+stateful stage already pays; within a bucket it is a vectorized pandas
+hash join. Orphan calls (no response) are the anti-join complement
+(FIXTURES.md F3.6).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+from .dedup import dedup_kernel
+from .partition import apply_per_bucket
+
+
+def _split_calls_resps(g: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+    g = dedup_kernel(g)
+    has_id = g["call_id"] != ""
+    calls = g[g["is_tool_call"] & has_id]
+    resps = g[(g["role"] == "tool") & has_id]
+    return calls, resps
+
+
+def join_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    calls, resps = _split_calls_resps(g)
+    m = calls.merge(
+        resps[["conv_id", "call_id", "turn_idx", "ts"]].rename(
+            columns={"turn_idx": "resp_turn_idx", "ts": "resp_ts"}
+        ),
+        on=["conv_id", "call_id"],
+        how="inner",
+    )
+    m = m[m["resp_turn_idx"] > m["turn_idx"]]
+    m = m.sort_values(["conv_id", "call_id", "resp_turn_idx"], kind="stable")
+    m = m.groupby(["conv_id", "call_id"], sort=False, as_index=False).first()
+    out = m.rename(columns={"turn_idx": "call_turn_idx", "ts": "call_ts"})
+    return out[
+        [
+            "conv_id",
+            "call_id",
+            "tool",
+            "call_turn_idx",
+            "resp_turn_idx",
+            "call_ts",
+            "resp_ts",
+        ]
+    ]
+
+
+def orphan_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    calls, resps = _split_calls_resps(g)
+    resp_turn = resps.rename(columns={"turn_idx": "resp_turn_idx"})
+    m = calls.merge(
+        resp_turn[["conv_id", "call_id", "resp_turn_idx"]],
+        on=["conv_id", "call_id"],
+        how="left",
+    )
+    answered = m[m["resp_turn_idx"] > m["turn_idx"]][["conv_id", "call_id"]]
+    orphans = calls.merge(
+        answered.drop_duplicates(), on=["conv_id", "call_id"], how="left", indicator=True
+    )
+    orphans = orphans[orphans["_merge"] == "left_only"]
+    return orphans.rename(columns={"turn_idx": "call_turn_idx"})[
+        ["conv_id", "call_id", "call_turn_idx"]
+    ]
+
+
+def tool_join(normalized: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
+    return apply_per_bucket(normalized, join_kernel, num_buckets=num_buckets)
+
+
+def orphan_calls(normalized: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
+    return apply_per_bucket(normalized, orphan_kernel, num_buckets=num_buckets)

@@ -1,0 +1,74 @@
+"""Hash partitioning by conv_id — the central physical design decision.
+
+Every stateful transcript operator (dedup, session windows, join, CEP)
+needs all rows of a conversation co-located (SURVEY.md §7.4). We add a
+``bucket = H(conv_id) % B`` column in a vectorized ``map_batches`` and
+run per-bucket vectorized kernels via ``groupby("bucket").map_groups``:
+ONE shuffle keyed the same way for every stateful stage, and each
+kernel call gets a whole bucket (many conversations) so the work is
+numpy/pandas-vectorized across conversations, never per-row Python.
+
+Scale note (100 TB): ``num_buckets`` must scale with the cluster so a
+bucket fits a worker's heap (rows_total / B × row_width ≤ ~1 GiB).
+Skewed mega-conversations stay within one bucket here; the streaming
+engine (state/ + pipelines/streaming.py) additionally salts hot
+conv_ids and merges partial window state at close (SURVEY.md §7 hard
+part (c)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _stable_hash(strings: np.ndarray) -> np.ndarray:
+    """Deterministic (cross-process, cross-run) vectorized string hash."""
+    return pd.util.hash_array(strings.astype(object), categorize=False)
+
+
+def default_num_buckets(parallelism_hint: int | None = None) -> int:
+    if parallelism_hint is None:
+        try:
+            parallelism_hint = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            parallelism_hint = 8
+    # 2× CPUs gives stragglers room without making buckets tiny.
+    return max(8, 2 * parallelism_hint)
+
+
+def add_bucket(
+    ds: ray.data.Dataset, key: str = "conv_id", num_buckets: int | None = None
+) -> ray.data.Dataset:
+    b = num_buckets or default_num_buckets()
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = _stable_hash(t[key].to_numpy(zero_copy_only=False))
+        return t.append_column("bucket", pa.array((h % b).astype(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def apply_per_bucket(
+    ds: ray.data.Dataset,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    key: str = "conv_id",
+    num_buckets: int | None = None,
+    drop_bucket: bool = True,
+) -> ray.data.Dataset:
+    """Shuffle by hash(key) into B buckets and apply a vectorized kernel
+    to each bucket partition (a pandas DataFrame holding every row of
+    every conversation hashed there)."""
+
+    def wrapper(g: pd.DataFrame) -> pd.DataFrame:
+        out = fn(g.drop(columns=["bucket"]) if drop_bucket else g)
+        return out
+
+    return add_bucket(ds, key=key, num_buckets=num_buckets).groupby("bucket").map_groups(
+        wrapper, batch_format="pandas"
+    )

@@ -1,0 +1,112 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry via Ray and its ``oracle_sql()`` via DuckDB on the
+same sf dir, compare row count + order-insensitive values.
+
+Usage: python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon(df):
+    import pandas as pd
+
+    out = df.copy()
+    for c in out.columns:
+        dt = str(out[c].dtype)
+        if dt.startswith("datetime64"):
+            out[c] = out[c].astype("datetime64[us]")
+        elif dt.startswith(("int", "uint", "Int")):
+            out[c] = out[c].astype("int64")
+        elif dt.startswith("float"):
+            out[c] = out[c].round(9)
+        elif out[c].dtype == object or dt == "bool":
+            pass
+    out = out[sorted(out.columns)]
+    return out.sort_values(list(out.columns), kind="stable").reset_index(drop=True)
+
+
+def main() -> int:
+    import duckdb
+    import ray
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from data_harvesting_ray.pipelines.queries import oracle_sql, queries
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        f = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(f):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')")
+
+    qs, sqls = queries(), oracle_sql(sf_name)
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            got = res.to_pandas()
+        else:
+            got = res
+        ray_s = time.time() - t0
+        sql = sqls.get(name)
+        if sql is None:
+            print(f"{name:24s} rows-only: {len(got):8d} rows   ({ray_s:5.1f}s)")
+            continue
+        t0 = time.time()
+        want = con.sql(sql).df()
+        duck_s = time.time() - t0
+        g, w = canon(got), canon(want)
+        ok = list(g.columns) == list(w.columns) and len(g) == len(w)
+        if ok:
+            try:
+                import pandas as pd
+
+                pd.testing.assert_frame_equal(g, w, check_dtype=False)
+            except AssertionError as e:
+                ok = False
+                detail = str(e).splitlines()[0]
+        if not ok:
+            failures += 1
+            print(f"{name:24s} FAIL  ray={g.shape} duck={w.shape}")
+            if list(g.columns) != list(w.columns):
+                print("   cols ray :", list(g.columns))
+                print("   cols duck:", list(w.columns))
+            else:
+                for c in g.columns:
+                    if len(g) == len(w) and not g[c].equals(w[c]):
+                        print(f"   col {c}: ray={g[c].head(3).tolist()} duck={w[c].head(3).tolist()}")
+        else:
+            print(f"{name:24s} OK    {len(g):8d} rows   (ray {ray_s:5.1f}s, duck {duck_s:5.1f}s)")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
