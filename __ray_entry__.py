@@ -19,9 +19,12 @@ from typing import Any
 
 
 def entry() -> Any:
-    from data_harvesting_ray.pipelines.queries import q_t_session_windows
+    """Flagship: the full streaming engine (epoch micro-batches,
+    watermarks, stateful shards, exactly-once sink) over the sf0.001
+    transcript fixture; returns the committed session windows."""
+    from data_harvesting_ray.pipelines.queries import q_t_streaming_sessions
 
-    return q_t_session_windows("/root/testdata/sf0.001")
+    return q_t_streaming_sessions("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -244,3 +244,25 @@ def watermark_split(
     wm[0] = np.iinfo(np.int64).min  # nothing seen yet → nothing is late
     late = ts < wm
     return df[~late].reset_index(drop=True), df[late].reset_index(drop=True)
+
+
+def watermark_split_epochs(
+    epochs: list[pd.DataFrame], delay_s: int = DEFAULT_WATERMARK_DELAY_S
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Epoch-granularity watermark (matches the micro-batch engine):
+    rows of epoch k are late iff ts < (max ts seen through epoch k-1)
+    - delay; the watermark advances once per epoch."""
+    wm = np.iinfo(np.int64).min
+    max_seen = np.iinfo(np.int64).min
+    on_parts, late_parts = [], []
+    for df in epochs:
+        ts = df["ts"].astype("int64").to_numpy()
+        late = ts < wm
+        on_parts.append(df[~late])
+        late_parts.append(df[late])
+        if len(ts):
+            max_seen = max(max_seen, int(ts.max()))
+            wm = max_seen - delay_s * 1_000_000
+    on = pd.concat(on_parts, ignore_index=True) if on_parts else pd.DataFrame()
+    late_df = pd.concat(late_parts, ignore_index=True) if late_parts else pd.DataFrame()
+    return on, late_df

@@ -128,6 +128,27 @@ def q_t_topk_tools(sf_dir: str) -> Any:
     return topk_tools(_norm_dedup(sf_dir), k=3)
 
 
+def _run_streaming(sf_dir: str):
+    import tempfile
+
+    from ..fixtures.generator import epochs_root
+    from .streaming import StreamingEngine
+
+    eng = StreamingEngine(tempfile.mkdtemp(prefix="graft-stream-"))
+    eng.run(epochs_root=epochs_root(sf_dir))
+    return eng
+
+
+def q_t_streaming_sessions(sf_dir: str) -> Any:
+    """Full streaming engine (epochs + watermarks + exactly-once sink);
+    committed session output must equal the bounded SQL oracle."""
+    return _run_streaming(sf_dir).results("sessions")
+
+
+def q_t_streaming_pairs(sf_dir: str) -> Any:
+    return _run_streaming(sf_dir).results("pairs")
+
+
 def q_e_tumbling(sf_dir: str) -> Any:
     from ..stages.events import tumbling_events
 
@@ -172,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_turn_stats": q_t_turn_stats,
         "t_role_mode": q_t_role_mode,
         "t_topk_tools": q_t_topk_tools,
+        "t_streaming_sessions": q_t_streaming_sessions,
+        "t_streaming_pairs": q_t_streaming_pairs,
         "e_tumbling": q_e_tumbling,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
@@ -197,7 +220,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         f"(SELECT conv_id, call_id, turn_idx AS resp_turn_idx, ts AS resp_ts "
         f"FROM {NORM} WHERE role = 'tool' AND call_id <> '')"
     )
-    return {
+    sqls = {
         "t_normalize": (
             f"SELECT conv_id, turn_idx, role, text, tool, ts, "
             f"(tool <> '' AND role = 'assistant') AS is_tool_call, "
@@ -338,3 +361,8 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             FROM lineitem GROUP BY 1, 2
         """,
     }
+    # The streaming engine's committed channels must equal the bounded
+    # results — same SQL oracle (exactly-once + watermark conformance).
+    sqls["t_streaming_sessions"] = sqls["t_session_windows"]
+    sqls["t_streaming_pairs"] = sqls["t_tool_join"]
+    return sqls

@@ -1,0 +1,356 @@
+"""The streaming engine: micro-batched epochs over an append-only
+Parquet log, stateful shard actors, watermarks, exactly-once sink,
+checkpoint/resume.
+
+Replaces the reference's production loop (``queue_harvesting.py:30-57``:
+consume → evaluate → upload → delete, at-most-once, single process)
+with (SURVEY.md §3.4):
+
+    for epoch in discover_epochs(...):          # S1 source
+        read_parquet(epoch) → normalize          # stateless Ray Data
+        route by hash(conv_id) % num_shards      # the one shuffle
+        StateShardActor.ingest (buffer + dedup + late eviction)
+        wm = max event ts seen - delay           # watermark (W3)
+        StateShardActor.close(wm) → stage parquet channels
+        snapshot shard state → checkpoint        # resume point (W6)
+        EpochSink.commit(epoch)                  # exactly-once (W8)
+
+Ray Data handles the read + normalize + bucket shuffle; the per-key
+mutable cross-epoch state lives in raw Ray actors — the one place the
+Dataset API genuinely can't express the semantics (a Dataset is
+immutable per run; window state must survive across epoch datasets).
+
+Scale: shard count scales with the cluster; each epoch's data flows
+worker→actor through the object store (one serialized sub-table per
+(block, shard)); emissions are written by the actors themselves so the
+driver never touches row data. Hot conversations: rows of one conv all
+route to one shard, but shard state is O(open windows), not O(history);
+the ingest shuffle itself is per-block parallel so a mega-conv's rows
+arrive spread over many parallel route tasks (salting of the *shuffle*;
+state-merge salting is documented as future work in SURVEY §7 (c)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..schema import DEFAULT_SESSION_GAP_S, DEFAULT_WATERMARK_DELAY_S
+from ..sinks.exactly_once import EpochSink
+from ..sources.epochs import discover_epochs
+from ..stages.cep import PatternSpec
+from ..stages.normalize import normalize_batch
+from ..stages.partition import _stable_hash
+from ..state.store import NEG_INF, ShardState
+
+US = 1_000_000
+
+
+@ray.remote(num_cpus=0.25)
+class StateShardActor:
+    # num_cpus=0.25: shards spend most wall time buffering (ingest) and
+    # bursty closing; reserving a full CPU each would starve the read /
+    # route tasks that share the node (the pool + tasks must co-fit —
+    # with B ≈ CPUs shards, 0.25 leaves ~3/4 of the node for tasks).
+    """One shard of the keyspace: owns a ShardState across epochs and
+    stages its own emission parquet files (driver never sees rows)."""
+
+    def __init__(self, shard_id: int, gap_s: int, pattern: PatternSpec | None):
+        self.shard_id = shard_id
+        self.state = ShardState(gap_s=gap_s, pattern=pattern)
+        self.epoch_late: list[pd.DataFrame] = []
+
+    def ingest(self, table: pa.Table) -> tuple[int, int]:
+        late = self.state.ingest(table.to_pandas())
+        if len(late):
+            self.epoch_late.append(late)
+        return len(table), self.state.max_ts
+
+    def max_ts(self) -> int:
+        return self.state.max_ts
+
+    def close_and_stage(
+        self, wm: int, staging_dir: str, flush: bool
+    ) -> dict:
+        import pyarrow.parquet as pq
+
+        t0 = time.time()
+        out = self.state.close(wm, flush=flush)
+        out["late"] = (
+            pd.concat(self.epoch_late, ignore_index=True)
+            if self.epoch_late
+            else None
+        )
+        self.epoch_late = []
+        written = {}
+        for channel, df in out.items():
+            if df is None or not len(df):
+                continue
+            path = EpochSink.staged_file(staging_dir, channel, self.shard_id)
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+            written[channel] = len(df)
+        m = dict(self.state.metrics)
+        m["close_s"] = round(time.time() - t0, 4)
+        m["written"] = written
+        return m
+
+    def snapshot(self, path: str) -> None:
+        blob = self.state.snapshot()
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    def restore(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self.state = ShardState.restore(f.read())
+
+    def load_blob(self, blob: bytes) -> None:
+        self.state = ShardState.restore(blob)
+
+
+class _Router:
+    """map_batches callable: normalize the batch, split by shard, and
+    push sub-tables into the shard actors. Emits one ack row per
+    (batch, shard) so the Dataset consume drives execution."""
+
+    def __init__(self, actors: list, num_shards: int):
+        self.actors = actors
+        self.num_shards = num_shards
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = normalize_batch(t)
+        shards = (
+            _stable_hash(t["conv_id"].to_numpy(zero_copy_only=False)) % self.num_shards
+        ).astype(np.int64)
+        order = np.argsort(shards, kind="stable")
+        sorted_t = t.take(pa.array(order))
+        sorted_shards = shards[order]
+        bounds = np.flatnonzero(np.diff(sorted_shards)) + 1
+        starts = np.concatenate([[0], bounds])
+        stops = np.concatenate([bounds, [len(sorted_shards)]])
+        refs, ids = [], []
+        for lo, hi in zip(starts, stops):
+            sid = int(sorted_shards[lo])
+            refs.append(self.actors[sid].ingest.remote(sorted_t.slice(lo, hi - lo)))
+            ids.append(sid)
+        acks = ray.get(refs)  # backpressure: ingest before next batch
+        return pa.table(
+            {
+                "shard": pa.array(ids, pa.int64()),
+                "rows": pa.array([a[0] for a in acks], pa.int64()),
+                "max_ts": pa.array([a[1] for a in acks], pa.int64()),
+            }
+        )
+
+
+class StreamingEngine:
+    def __init__(
+        self,
+        output_dir: str,
+        num_shards: int | None = None,
+        gap_s: int = DEFAULT_SESSION_GAP_S,
+        pattern: PatternSpec | None = None,
+        watermark_delay_s: int = DEFAULT_WATERMARK_DELAY_S,
+        checkpoint: bool = True,
+    ):
+        self.sink = EpochSink(output_dir)
+        self.ckpt_dir = os.path.join(output_dir, "checkpoints")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        if num_shards is None:
+            num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        self.num_shards = num_shards
+        self.gap_s = gap_s
+        self.pattern = pattern
+        self.delay_us = watermark_delay_s * US
+        self.checkpoint = checkpoint
+        self.actors: list = []
+
+    # ------------------------------------------------------------ helpers
+    def _spawn(self):
+        self.actors = [
+            StateShardActor.remote(i, self.gap_s, self.pattern)
+            for i in range(self.num_shards)
+        ]
+
+    def _ckpt_path(self, epoch: int, shard: int) -> str:
+        d = os.path.join(self.ckpt_dir, f"epoch={epoch:06d}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"shard-{shard:04d}.bin")
+
+    def _restore_from(self, epoch: int) -> bool:
+        import glob as _glob
+        import pickle
+
+        d = os.path.join(self.ckpt_dir, f"epoch={epoch:06d}")
+        if not os.path.isdir(d):
+            return False
+        files = sorted(_glob.glob(os.path.join(d, "shard-*.bin")))
+        if len(files) == self.num_shards:
+            ray.get(
+                [
+                    a.restore.remote(os.path.join(d, f"shard-{i:04d}.bin"))
+                    for i, a in enumerate(self.actors)
+                ]
+            )
+            return True
+        # Reshard on restore: the checkpoint was written with a different
+        # shard count (e.g. resuming on a 4N-node cluster). Redistribute
+        # per-conv state by the same stable hash the router uses.
+        dicts = []
+        for f in files:
+            with open(f, "rb") as fh:
+                dicts.append(pickle.loads(fh.read()))
+        new_convs: list[dict] = [dict() for _ in range(self.num_shards)]
+        for dct in dicts:
+            convs = dct["convs"]
+            if not convs:
+                continue
+            ids = np.array(list(convs.keys()), dtype=object)
+            shards = (_stable_hash(ids) % self.num_shards).astype(np.int64)
+            for cid, sid in zip(ids, shards):
+                new_convs[int(sid)][cid] = convs[cid]
+        base = dicts[0] if dicts else None
+        metrics_sum: dict = {}
+        for dct in dicts:
+            for k, v in dct["metrics"].items():
+                metrics_sum[k] = metrics_sum.get(k, 0) + v
+        blobs = []
+        for i in range(self.num_shards):
+            blobs.append(
+                pickle.dumps(
+                    {
+                        "gap_us": base["gap_us"] if base else self.gap_s * US,
+                        "pattern": base["pattern"] if base else self.pattern,
+                        "convs": new_convs[i],
+                        "max_ts": max((d_["max_ts"] for d_ in dicts), default=NEG_INF),
+                        "frontier_wm": max((d_["frontier_wm"] for d_ in dicts), default=NEG_INF),
+                        # cumulative metrics live on shard 0 after reshard
+                        "metrics": metrics_sum if i == 0 else {k: 0 for k in metrics_sum},
+                    }
+                )
+            )
+        ray.get([a.load_blob.remote(b) for a, b in zip(self.actors, blobs)])
+        return True
+
+    # ---------------------------------------------------------------- run
+    def run(
+        self,
+        epochs: list[tuple[int, list[str]]] | None = None,
+        epochs_root: str | None = None,
+        flush_at_end: bool = True,
+    ) -> dict:
+        """Process all uncommitted epochs; resumable: committed epochs
+        are skipped and shard state restored from the last committed
+        epoch's checkpoint. ``flush_at_end=True`` marks the last epoch
+        as end-of-stream (open windows + orphan calls are emitted);
+        pass False when more epochs will arrive in a later run."""
+        if epochs is None:
+            epochs = discover_epochs(epochs_root)
+        self._spawn()
+        committed = set(self.sink.committed_epochs())
+        resume_from = max(committed) if committed else None
+        if resume_from is not None:
+            if not self._restore_from(resume_from):
+                raise RuntimeError(
+                    f"epoch {resume_from} committed but checkpoint missing; "
+                    "cannot resume exactly-once"
+                )
+        summary = {"epochs": 0, "skipped": 0, "rows": 0, "wall_s": 0.0}
+        last_epoch = epochs[-1][0] if epochs else None
+        for epoch, files in epochs:
+            if epoch in committed:
+                summary["skipped"] += 1
+                continue
+            t0 = time.time()
+            staging = self.sink.staging_dir(epoch)
+            # partitioning=None: the epoch=E path component is lineage,
+            # not a data column (hive inference would inject it)
+            ds = rd.read_parquet(files, partitioning=None)
+            router = _Router(self.actors, self.num_shards)
+            acks = ds.map_batches(
+                router, batch_format="pyarrow", zero_copy_batch=True, concurrency=None
+            )
+            rows = 0
+            max_ts = NEG_INF
+            for b in acks.iter_batches(batch_format="pyarrow"):
+                rows += int(pc.sum(b["rows"]).as_py() or 0)
+                mt = pc.max(b["max_ts"]).as_py()
+                if mt is not None:
+                    max_ts = max(max_ts, mt)
+            shard_maxes = ray.get([a.max_ts.remote() for a in self.actors])
+            global_max = max([m for m in shard_maxes if m > NEG_INF], default=NEG_INF)
+            flush = flush_at_end and epoch == last_epoch
+            wm = global_max - self.delay_us if global_max > NEG_INF else NEG_INF
+            metrics = ray.get(
+                [
+                    a.close_and_stage.remote(wm, staging, flush)
+                    for a in self.actors
+                ]
+            )
+            if self.checkpoint:
+                ray.get(
+                    [
+                        a.snapshot.remote(self._ckpt_path(epoch, i))
+                        for i, a in enumerate(self.actors)
+                    ]
+                )
+            epoch_metrics = {
+                "epoch": epoch,
+                "rows": rows,
+                "watermark_us": wm,
+                "flush": flush,
+                "wall_s": round(time.time() - t0, 3),
+                "shards": metrics,
+            }
+            self.sink.commit(epoch, files, epoch_metrics)
+            with open(os.path.join(self.sink.root, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps({k: v for k, v in epoch_metrics.items() if k != "shards"}) + "\n")
+            summary["epochs"] += 1
+            summary["rows"] += rows
+            summary["wall_s"] += epoch_metrics["wall_s"]
+        self._teardown()
+        return summary
+
+    def _teardown(self):
+        # Release the actor pool's CPU reservations: state is durable in
+        # the checkpoint dir, and every run() re-spawns + restores.
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    # ------------------------------------------------------------ results
+    def results(self, channel: str) -> rd.Dataset | None:
+        files = self.sink.committed_files(channel)
+        return rd.read_parquet(files, partitioning=None) if files else None
+
+    def results_pandas(self, channel: str) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        files = self.sink.committed_files(channel)
+        if not files:
+            from ..state.store import empty_frame
+
+            return empty_frame(channel)
+        return pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+
+
+def run_streaming(
+    epochs_root: str,
+    output_dir: str,
+    **kwargs,
+) -> StreamingEngine:
+    eng = StreamingEngine(output_dir, **kwargs)
+    eng.run(epochs_root=epochs_root)
+    return eng

@@ -1,0 +1,216 @@
+"""Streaming engine conformance + exactly-once + resume + late data
+(SURVEY §5.2-5.4; BASELINE.json: identical rows for same input stream
+and watermark, resumable from checkpoint, no dupes on re-run)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from .conftest import assert_frames_equal
+
+GAP = 1800
+
+
+@pytest.fixture(scope="module")
+def engine_run(ray_session, tmp_path_factory):
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    out = str(tmp_path_factory.mktemp("stream"))
+    eng = StreamingEngine(out, num_shards=4)
+    epochs = discover_epochs(epochs_root("sf0.001"))
+    summary = eng.run(epochs)
+    return eng, epochs, summary
+
+
+def test_streaming_sessions_match_oracle(engine_run, df_small):
+    from data_harvesting_ray.oracle import reference as R
+
+    eng, _, _ = engine_run
+    assert_frames_equal(
+        eng.results_pandas("sessions"), R.session_windows(df_small), ["conv_id", "session_id"]
+    )
+
+
+def test_streaming_cep_and_join_match_oracle(engine_run, df_small):
+    from data_harvesting_ray.oracle import reference as R
+
+    eng, _, _ = engine_run
+    assert_frames_equal(
+        eng.results_pandas("matches").drop(columns=["pattern"]),
+        R.cep_matches(df_small, skip_past_last=True),
+        ["conv_id", "start_turn_idx"],
+    )
+    assert_frames_equal(
+        eng.results_pandas("pairs"), R.tool_join(df_small), ["conv_id", "call_turn_idx"]
+    )
+    assert_frames_equal(
+        eng.results_pandas("orphans"), R.orphan_calls(df_small), ["conv_id", "call_turn_idx"]
+    )
+    assert len(eng.results_pandas("late")) == 0
+
+
+def test_rerun_is_noop_no_duplicates(engine_run):
+    """Exactly-once: re-running all epochs on the same sink commits
+    nothing new and leaves outputs byte-identical."""
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+
+    eng, epochs, _ = engine_run
+    before = eng.results_pandas("sessions")
+    eng2 = StreamingEngine(eng.sink.root, num_shards=4)
+    summary = eng2.run(epochs)
+    assert summary["epochs"] == 0 and summary["skipped"] == len(epochs)
+    after = eng2.results_pandas("sessions")
+    assert_frames_equal(after, before, ["conv_id", "session_id"])
+
+
+def test_resume_from_checkpoint(ray_session, tmp_path, df_small):
+    """Kill after 2 of 4 epochs; a fresh engine resumes from the
+    checkpoint and the final output equals the uninterrupted run."""
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    epochs = discover_epochs(epochs_root("sf0.001"))
+    out = str(tmp_path / "resume")
+    eng1 = StreamingEngine(out, num_shards=4)
+    s1 = eng1.run(epochs[:2], flush_at_end=False)  # "crash" after epoch 1 commit
+    assert s1["epochs"] == 2
+    eng2 = StreamingEngine(out, num_shards=4)  # fresh driver + actors
+    s2 = eng2.run(epochs)
+    assert s2["skipped"] == 2 and s2["epochs"] == 2
+    assert_frames_equal(
+        eng2.results_pandas("sessions"), R.session_windows(df_small), ["conv_id", "session_id"]
+    )
+    assert_frames_equal(
+        eng2.results_pandas("pairs"), R.tool_join(df_small), ["conv_id", "call_turn_idx"]
+    )
+
+
+def test_resume_with_different_shard_count(ray_session, tmp_path, df_small):
+    """Resume on a '4N-node cluster': checkpoint written with 4 shards,
+    restored into 8 — state is redistributed by the same stable hash
+    and the final output is unchanged."""
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    epochs = discover_epochs(epochs_root("sf0.001"))
+    out = str(tmp_path / "reshard")
+    StreamingEngine(out, num_shards=4).run(epochs[:2], flush_at_end=False)
+    eng = StreamingEngine(out, num_shards=8)
+    s = eng.run(epochs)
+    assert s["skipped"] == 2 and s["epochs"] == 2
+    assert_frames_equal(
+        eng.results_pandas("sessions"), R.session_windows(df_small), ["conv_id", "session_id"]
+    )
+
+
+def test_crash_before_commit_is_idempotent(ray_session, tmp_path, df_small):
+    """Simulate a crash between staging and manifest commit of the last
+    epoch: drop its manifest + published data, re-run → same rows."""
+    import shutil
+
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    epochs = discover_epochs(epochs_root("sf0.001"))
+    out = str(tmp_path / "crash")
+    eng1 = StreamingEngine(out, num_shards=4)
+    eng1.run(epochs)
+    last = epochs[-1][0]
+    os.remove(eng1.sink.manifest_path(last))
+    shutil.rmtree(os.path.join(eng1.sink.data, f"epoch={last:06d}"))
+    eng2 = StreamingEngine(out, num_shards=4)
+    s = eng2.run(epochs)
+    assert s["epochs"] == 1 and s["skipped"] == len(epochs) - 1
+    assert_frames_equal(
+        eng2.results_pandas("sessions"), R.session_windows(df_small), ["conv_id", "session_id"]
+    )
+
+
+def test_manifest_gates_visibility(tmp_path):
+    """Staged-but-uncommitted epochs are invisible to readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_harvesting_ray.sinks.exactly_once import EpochSink
+
+    sink = EpochSink(str(tmp_path / "sink"))
+    d = sink.staging_dir(0)
+    pq.write_table(pa.table({"x": [1]}), EpochSink.staged_file(d, "sessions", 0))
+    assert sink.committed_files("sessions") == []
+    sink.commit(0, ["in.parquet"], {})
+    assert len(sink.committed_files("sessions")) == 1
+    # double commit is a no-op
+    entry = sink.commit(0, ["other.parquet"], {})
+    assert entry["inputs"] == ["in.parquet"]
+
+
+def _late_fixture(tmp_path) -> tuple[str, list[pd.DataFrame]]:
+    """Two epochs where epoch 1 contains a beyond-watermark late turn."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_harvesting_ray.schema import TRANSCRIPT_SCHEMA
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def rows(items):
+        df = pd.DataFrame(
+            items, columns=["conv_id", "turn_idx", "role", "text", "tool", "off_s"]
+        )
+        df["turn_idx"] = df["turn_idx"].astype(np.int32)
+        df["ts"] = (base + (df.pop("off_s") * 1_000_000).astype("timedelta64[us]")).astype(
+            "datetime64[us]"
+        )
+        return df
+
+    e0 = rows(
+        [
+            ("c1", 0, "user", "a", "", 0),
+            ("c1", 1, "assistant", "b", "", 10),
+            ("c1", 2, "user", "c", "", 20),
+            ("c2", 0, "user", "fresh", "", 100000),  # advances the watermark
+        ]
+    )
+    e1 = rows(
+        [
+            ("c1", 3, "assistant", "late-turn", "", 30),  # 30 << 100000-900 → late
+            ("c2", 1, "assistant", "ok", "", 100010),
+        ]
+    )
+    root = str(tmp_path / "epochs")
+    for i, df in enumerate([e0, e1]):
+        d = os.path.join(root, f"epoch={i:03d}")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(df, schema=TRANSCRIPT_SCHEMA), os.path.join(d, "part-000.parquet"))
+    return root, [e0, e1]
+
+
+def test_late_rows_evicted_to_late_channel(ray_session, tmp_path):
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    root, frames = _late_fixture(tmp_path)
+    on, late = R.watermark_split_epochs(frames)
+    assert list(late["text"]) == ["late-turn"]
+
+    eng = StreamingEngine(str(tmp_path / "out"), num_shards=2)
+    eng.run(discover_epochs(root))
+    got_late = eng.results_pandas("late")
+    assert_frames_equal(got_late, late, ["conv_id", "turn_idx"])
+    # sessions must be built from on-time rows only
+    assert_frames_equal(
+        eng.results_pandas("sessions"), R.session_windows(on), ["conv_id", "session_id"]
+    )
