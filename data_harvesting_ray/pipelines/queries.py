@@ -167,6 +167,104 @@ def q_e_cep(sf_dir: str) -> Any:
     return cep_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def q_d_fingerprint(sf_dir: str) -> Any:
+    from ..stages.text import fingerprint_docs
+
+    return fingerprint_docs(_docs(sf_dir))
+
+
+def q_d_dedup_exact(sf_dir: str) -> Any:
+    from ..stages.text import doc_dedup_exact
+
+    return doc_dedup_exact(_docs(sf_dir))
+
+
+def q_d_token_stats(sf_dir: str) -> Any:
+    from ..stages.text import token_stats
+
+    return token_stats(_docs(sf_dir))
+
+
+def q_d_quality(sf_dir: str) -> Any:
+    from ..stages.text import quality_score
+
+    return quality_score(_docs(sf_dir))
+
+
+def q_d_lang_id(sf_dir: str) -> Any:
+    from ..stages.text import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+def q_d_minhash_near_dups(sf_dir: str) -> Any:
+    from ..stages.dedup_approx import minhash_near_dups
+
+    return minhash_near_dups(_docs(sf_dir), threshold_milli=700)
+
+
+def q_d_simhash_near_dups(sf_dir: str) -> Any:
+    from ..stages.dedup_approx import simhash_near_dups
+
+    return simhash_near_dups(_docs(sf_dir), max_hamming=3)
+
+
+def _query_vectors(sf_dir: str, n: int = 10):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df = df[df["vec_id"] < n].sort_values("vec_id")
+    import numpy as np
+
+    return df["vec_id"].to_numpy(), np.stack(df["embedding"].map(lambda v: np.asarray(v, np.float64)))
+
+
+def q_v_knn(sf_dir: str) -> Any:
+    from ..stages.similarity import knn_bruteforce
+
+    qids, qvecs = _query_vectors(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_bruteforce(emb, qids, qvecs, k=5)
+
+
+def q_v_knn_ivf(sf_dir: str) -> Any:
+    from ..stages.similarity import knn_ivf
+
+    qids, qvecs = _query_vectors(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_ivf(emb, qids, qvecs, k=5)
+
+
+def q_v_near_dups(sf_dir: str) -> Any:
+    from ..stages.similarity import embedding_near_dups
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dups(emb, threshold=0.8)
+
+
+def q_m_binary_meta(sf_dir: str) -> Any:
+    from ..stages.multimodal import binary_meta
+
+    return binary_meta(_docs(sf_dir))
+
+
+def q_m_features(sf_dir: str) -> Any:
+    from ..stages.multimodal import extract_features
+
+    feats = extract_features(_docs(sf_dir)).to_pandas()
+    import numpy as np
+
+    feats["feat_sum_milli"] = feats.pop("features").map(
+        lambda v: int(np.asarray(v, np.float64).sum() * 1000)
+    ).astype(np.int64)
+    return feats
+
+
 def q_lineitem_rollup(sf_dir: str) -> Any:
     from ..stages.aggregates import lineitem_rollup
 
@@ -198,6 +296,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_tumbling": q_e_tumbling,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
+        "d_fingerprint": q_d_fingerprint,
+        "d_dedup_exact": q_d_dedup_exact,
+        "d_token_stats": q_d_token_stats,
+        "d_quality": q_d_quality,
+        "d_lang_id": q_d_lang_id,
+        "d_minhash_near_dups": q_d_minhash_near_dups,
+        "d_simhash_near_dups": q_d_simhash_near_dups,
+        "v_knn": q_v_knn,
+        "v_knn_ivf": q_v_knn_ivf,
+        "v_near_dups": q_v_near_dups,
+        "m_binary_meta": q_m_binary_meta,
+        "m_features": q_m_features,
         "lineitem_rollup": q_lineitem_rollup,
     }
 
@@ -360,6 +470,48 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem GROUP BY 1, 2
         """,
+        "d_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "d_dedup_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "d_token_stats": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(list_distinct(list_transform(toks, x -> lower(x)))) AS BIGINT) AS n_unique_tokens,
+                   CAST((list_sum(list_transform(toks, x -> length(x))) * 1000)
+                        // greatest(length(toks), 1) AS BIGINT) AS mean_token_len_milli
+            FROM t
+        """,
+        "d_quality": r"""
+            WITH t AS (
+              SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(toks) AS BIGINT) AS n_tokens,
+                   CAST((list_sum(list_transform(toks,
+                          x -> CASE WHEN list_contains(
+                                 ['the','a','of','to','and','in','is','for','on','with'],
+                                 lower(x)) THEN 1 ELSE 0 END)) * 1000)
+                        // greatest(length(toks), 1) AS BIGINT) AS stop_ratio_milli
+            FROM t
+        """,
+        "v_knn": """
+            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+              SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                                n.vec_id) AS rn
+              FROM embeddings q, embeddings n
+              WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+            ) WHERE rn <= 5
+        """,
+        "m_binary_meta": "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
     }
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).

@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference's media path is: fetch blob → decode frames → model
+features (``services/harvest_service.py:104-158``, S2/S3/M3). The
+engine treats image/audio/video as opaque ``binary`` columns with
+typed metadata and runs decode / feature-extract as actor-pool
+``map_batches`` stages. The image/audio codecs are NOT in this
+container, so the decode kernel is STUBBED (deterministic fake
+features behind ``decode_stub``; ``decode_real`` raises
+NotImplementedError) — the Ray-side plumbing (schema, small batch
+size for wide rows, actor signature, output layout) is real and
+tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+BINARY_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("payload", pa.binary()),
+        pa.field("media_type", pa.string()),
+        pa.field("n_bytes", pa.int64()),
+    ]
+)
+
+
+def to_binary_batch(t: pa.Table) -> pa.Table:
+    """Pack documents into the binary-payload shape (stand-in for real
+    media bytes; deterministic)."""
+    texts = t["text"].to_pylist()
+    payloads = [s.encode("utf-8") for s in texts]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["text/plain"] * len(payloads), pa.string()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        },
+        schema=BINARY_SCHEMA,
+    )
+
+
+def binary_meta(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Typed metadata over the binary column (doc_id, n_bytes)."""
+    return docs.map_batches(to_binary_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_bytes"]
+    )
+
+
+class FeatureExtractor:
+    """Actor-pool decode/feature stage. ``__init__`` is where a real
+    deployment loads the codec/model ONCE per actor (ST1 pattern,
+    projects/base_project.py:84-106); here it prepares the
+    deterministic stub."""
+
+    FEATURE_DIM = 8
+
+    def __init__(self, use_real_decoder: bool = False):
+        self.use_real_decoder = use_real_decoder
+        # real decoder would be loaded here, e.g.:
+        # import cv2  # not available in this container
+        self.ready = True
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "plug a real decoder here (cv2 / PIL / torchaudio)"
+        )
+
+    def _decode_stub(self, payload: bytes) -> np.ndarray:
+        # Deterministic fake features: bytes of blake2b digest → float
+        d = hashlib.blake2b(payload, digest_size=self.FEATURE_DIM).digest()
+        return np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        decode = self._decode_real if self.use_real_decoder else self._decode_stub
+        feats = [decode(p) for p in df["payload"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "features": pd.Series(feats, dtype=object),
+            }
+        )
+
+
+def extract_features(
+    docs: ray.data.Dataset, batch_size: int = 256, concurrency: int = 2
+) -> ray.data.Dataset:
+    """Binary payloads → feature vectors. Small batch_size: wide binary
+    rows must not blow a worker's heap (batch × concurrency sizing)."""
+    binary = docs.map_batches(to_binary_batch, batch_format="pyarrow")
+    return binary.map_batches(
+        FeatureExtractor,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast
+once with ``ray.put`` and every batch does one numpy matmul against
+it; per-batch partial top-k rows are reduced by a tiny groupby (the
+partial-aggregation pattern — the shuffle moves k rows per (query,
+batch), never embeddings).
+
+Scale path: IVF — centroids trained on a driver-side sample (small),
+vectors assigned to their nearest centroid in one map_batches pass,
+queries probe only the ``nprobe`` nearest partitions. Also hyperplane
+LSH near-dup pairs for embedding-cosine dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+) -> pd.DataFrame:
+    """Exact cosine top-k per query. Ties break by neighbor_id asc; a
+    query's own vec_id is excluded. Output (query_id, neighbor_id, rank)."""
+    qn = _normalize_rows(query_vecs)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qids, q = ray.get(ref)
+        m = _normalize_rows(_stack(df["embedding"]))
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        sims = q @ m.T  # (n_queries, batch)
+        out = []
+        top = min(k, sims.shape[1])
+        for qi in range(len(qids)):
+            s = sims[qi].copy()
+            s[ids == qids[qi]] = -np.inf  # exclude self
+            # partial top-k with deterministic (sim desc, id asc) order
+            idx = np.lexsort((ids, -s))[:top]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "neighbor_id": ids[idx],
+                        "sim": s[idx],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = partials[np.isfinite(partials["sim"])]
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True], kind="stable"
+    )
+    topk = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    topk["rank"] = (topk.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return topk[["query_id", "neighbor_id", "rank"]]
+
+
+def train_centroids(
+    ds: ray.data.Dataset, n_centroids: int = 16, sample_frac: float = 0.5, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """k-means on a driver-side sample (Lloyd, deterministic seed) —
+    the small-model-training step of an IVF index."""
+    sample = _stack(
+        ds.random_sample(sample_frac, seed=seed).select_columns(["embedding"]).to_pandas()["embedding"]
+    )
+    sample = _normalize_rows(sample)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize_rows(cents)
+    return cents
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Approximate top-k: search only the nprobe nearest IVF partitions
+    per query. Same output schema as knn_bruteforce."""
+    cents = train_centroids(ds, n_centroids=n_centroids)
+    qn = _normalize_rows(np.asarray(query_vecs, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn, cents, probe))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qids, q, c, pr = ray.get(ref)
+        m = _normalize_rows(_stack(df["embedding"]))
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        cell = np.argmax(m @ c.T, axis=1)
+        out = []
+        for qi in range(len(qids)):
+            mask = np.isin(cell, pr[qi]) & (ids != qids[qi])
+            if not mask.any():
+                continue
+            s = (q[qi] @ m[mask].T).ravel()
+            sub_ids = ids[mask]
+            idx = np.lexsort((sub_ids, -s))[: min(k, len(s))]
+            out.append(
+                pd.DataFrame({"query_id": qids[qi], "neighbor_id": sub_ids[idx], "sim": s[idx]})
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_id": np.array([], np.int64),
+                    "neighbor_id": np.array([], np.int64),
+                    "sim": np.array([], np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True], kind="stable"
+    )
+    topk = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    topk["rank"] = (topk.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return topk[["query_id", "neighbor_id", "rank"]]
+
+
+def embedding_near_dups(
+    ds: ray.data.Dataset, threshold: float = 0.9, n_planes: int = 16, seed: int = 23
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH: sign-bit
+    sketches bucket candidates, exact cosine verifies. Output
+    (vec_a, vec_b, sim_milli)."""
+    rng = np.random.default_rng(seed)
+    first = ds.take(1)
+    dim = len(first[0]["embedding"]) if first else 0
+    planes = rng.normal(size=(dim, n_planes)) if dim else np.zeros((0, n_planes))
+    ref = ray.put(planes)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(ref)
+        m = _normalize_rows(_stack(df["embedding"]))
+        bits = (m @ p) > 0
+        code = np.zeros(len(m), dtype=np.int64)
+        for j in range(bits.shape[1]):
+            code |= bits[:, j].astype(np.int64) << j
+        return pd.DataFrame({"doc_id": df["vec_id"].astype(np.int64), "band": np.int64(0), "band_hash": code})
+
+    from .dedup_approx import _bucket_pairs
+
+    pairs = (
+        ds.map_batches(sketch, batch_format="pandas")
+        .groupby(["band", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64), "sim_milli": np.array([], np.int64)}
+        )
+    involved = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    vecs = {}
+    for b in ds.select_columns(["vec_id", "embedding"]).iter_batches(batch_format="pandas"):
+        m = b[b["vec_id"].isin(involved)]
+        vecs.update(zip(m["vec_id"], (np.asarray(v, np.float64) for v in m["embedding"])))
+    sims = []
+    for a, bb in zip(pairs["doc_a"], pairs["doc_b"]):
+        va, vb = vecs[a], vecs[bb]
+        s = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12))
+        sims.append(int(s * 1000))
+    out = pd.DataFrame(
+        {"vec_a": pairs["doc_a"].to_numpy(), "vec_b": pairs["doc_b"].to_numpy(), "sim_milli": np.array(sims, np.int64)}
+    )
+    out = out[out["sim_milli"] >= int(threshold * 1000)]
+    return out.sort_values(["vec_a", "vec_b"], kind="stable").reset_index(drop=True)

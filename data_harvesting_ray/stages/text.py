@@ -1,0 +1,127 @@
+"""Text analysis operators over the documents table.
+
+The reference's scalar/enrichment stages (M8 label translation, M9-M11
+color scalar functions — ``utils/TranslateObject.py``,
+``utils/ColorDetector.py``) map here to per-document text metrics:
+fingerprinting, token statistics, quality scoring, and a heuristic
+language id. All are stateless vectorized ``map_batches`` stages; the
+ratio metrics use pure integer arithmetic (milli-units) so Ray and
+DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+
+# Tiny per-language stopword profiles for the heuristic lang-id (the
+# shape of a real n-gram language model stage; deterministic).
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "a", "is", "to"},
+    "de": {"der", "die", "das", "und", "ist", "ein"},
+    "fr": {"le", "la", "et", "les", "des", "est"},
+    "es": {"el", "la", "los", "las", "es", "una"},
+}
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]
+    return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps, pa.string())})
+
+
+def fingerprint_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact document fingerprint (md5 of text)."""
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    toks = df["text"].str.strip().str.split()
+    n_tokens = toks.map(len).to_numpy(dtype=np.int64)
+    n_unique = toks.map(lambda ws: len(set(w.lower() for w in ws))).to_numpy(dtype=np.int64)
+    sum_chars = toks.map(lambda ws: sum(len(w) for w in ws)).to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": n_tokens,
+            "n_unique_tokens": n_unique,
+            "mean_token_len_milli": np.where(
+                n_tokens > 0, (sum_chars * 1000) // np.maximum(n_tokens, 1), 0
+            ).astype(np.int64),
+        }
+    )
+
+
+def token_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(token_stats_batch, batch_format="pandas")
+
+
+def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
+    toks = df["text"].str.strip().str.split()
+    n_tokens = toks.map(len).to_numpy(dtype=np.int64)
+    stop = frozenset(STOPWORDS)
+    n_stop = toks.map(lambda ws: sum(1 for w in ws if w.lower() in stop)).to_numpy(
+        dtype=np.int64
+    )
+    n_chars = df["text"].str.len().to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "stop_ratio_milli": np.where(
+                n_tokens > 0, (n_stop * 1000) // np.maximum(n_tokens, 1), 0
+            ).astype(np.int64),
+        }
+    )
+
+
+def quality_score(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Quality metrics (length / stopword ratio) — the text analogue of
+    the reference's confidence/size gates (M4/A3)."""
+    return ds.map_batches(quality_batch, batch_format="pandas")
+
+
+class LangId:
+    """Heuristic stopword-profile language id — a stateful enrichment
+    stage shaped like the reference's model scorer (ST1: load once per
+    actor in __init__, score per batch)."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split()
+
+        def guess(ws: list[str]) -> str:
+            best, best_n = "unknown", 0
+            for lang, prof in self.profiles.items():
+                n = sum(1 for w in ws if w in prof)
+                if n > best_n:
+                    best, best_n = lang, n
+            return best
+
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": toks.map(guess)})
+
+
+def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+def doc_dedup_exact(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact text dedup: one surviving doc (min doc_id) per distinct
+    text, via content-hash groupby — the scalable exact-dedup pattern
+    (hash first in map_batches, shuffle only the hash + id)."""
+    from ray.data.aggregate import Count, Min
+
+    fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return fp.groupby("fp").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups")
+    )

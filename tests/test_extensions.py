@@ -1,0 +1,189 @@
+"""Training-data extension ops: near-dup dedup (brute-force validated),
+similarity search (IVF recall vs exact), text analysis, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(DOCS, columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(DOCS, columns=["doc_id", "text"]).to_pandas()
+
+
+def test_minhash_matches_bruteforce(docs_ds, docs_df):
+    """Every pair with exact n-gram Jaccard >= 0.7 must be found by the
+    LSH path with the same (exact-verified) score."""
+    from data_harvesting_ray.stages.dedup_approx import (
+        char_shingles,
+        jaccard,
+        minhash_near_dups,
+    )
+
+    got = minhash_near_dups(docs_ds, threshold_milli=700)
+    sh = {r.doc_id: char_shingles(r.text) for r in docs_df.itertuples()}
+    ids = sorted(sh)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = jaccard(sh[a], sh[b])
+            if j >= 0.7:
+                want.append((a, b, int(j * 1000)))
+    want_df = pd.DataFrame(want, columns=["doc_a", "doc_b", "jaccard_milli"])
+    got_s = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    want_s = want_df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_minhash_finds_constructed_near_dups(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.dedup_approx import minhash_near_dups
+
+    base = " ".join(f"token{i} alpha{i % 7}" for i in range(120))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                base,
+                base + " with a tiny suffix",  # near-dup of 0
+                "completely different content about ray data streaming " * 8,
+                base.replace("token3 ", "word3 "),  # near-dup of 0
+            ],
+        }
+    )
+    got = minhash_near_dups(rd.from_pandas(docs), threshold_milli=700)
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs and (0, 3) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_near_dups(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.dedup_approx import simhash_near_dups
+
+    base = "stream window batch shuffle state actor arrow block epoch " * 6
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [base, base + "manifest", "orthogonal words entirely unrelated " * 6],
+        }
+    )
+    got = simhash_near_dups(rd.from_pandas(docs), max_hamming=3)
+    assert (0, 1) in set(zip(got["doc_a"], got["doc_b"]))
+
+
+def test_knn_bruteforce_self_exclusion_and_rank(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import knn_bruteforce
+
+    emb = rd.read_parquet(EMB, columns=["vec_id", "embedding"])
+    df = emb.to_pandas()
+    q = df[df["vec_id"] < 3]
+    got = knn_bruteforce(
+        emb,
+        q["vec_id"].to_numpy(),
+        np.stack(q["embedding"].map(lambda v: np.asarray(v, np.float64))),
+        k=5,
+    )
+    assert len(got) == 15
+    for _, grp in got.groupby("query_id"):
+        assert list(grp["rank"]) == [1, 2, 3, 4, 5]
+    assert not any(got["query_id"] == got["neighbor_id"])
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    emb = rd.read_parquet(EMB, columns=["vec_id", "embedding"])
+    df = emb.to_pandas()
+    q = df[df["vec_id"] < 10]
+    qids = q["vec_id"].to_numpy()
+    qvecs = np.stack(q["embedding"].map(lambda v: np.asarray(v, np.float64)))
+    exact = knn_bruteforce(emb, qids, qvecs, k=5)
+    approx = knn_ivf(emb, qids, qvecs, k=5, n_centroids=16, nprobe=4)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # nprobe=4/16 partitions of random data
+
+
+def test_embedding_near_dups_finds_planted_dup(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import embedding_near_dups
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    dup = base[0] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    vecs = np.vstack([base, dup[None, :]])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(21, dtype=np.int64), "embedding": list(map(list, vecs))}
+    )
+    got = embedding_near_dups(rd.from_pandas(df), threshold=0.95)
+    assert (0, 20) in set(zip(got["vec_a"], got["vec_b"]))
+
+
+def test_lang_id_heuristic(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import lang_id
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                "the cat and the dog of a house is here",
+                "der Hund und die Katze das ist ein Haus",
+                "el perro y la casa es una maravilla los dos",
+            ],
+        }
+    )
+    got = lang_id(rd.from_pandas(docs)).to_pandas().sort_values("doc_id")
+    assert list(got["lang_pred"]) == ["en", "de", "es"]
+
+
+def test_feature_extractor_stub_and_real_gate(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.multimodal import FeatureExtractor, extract_features
+
+    docs = pd.DataFrame({"doc_id": np.array([1, 2], np.int64), "text": ["aa", "bb"]})
+    out = extract_features(rd.from_pandas(docs)).to_pandas().sort_values("doc_id")
+    assert len(out) == 2
+    f1 = np.asarray(out.iloc[0]["features"])
+    assert f1.shape == (8,) and f1.dtype == np.float32
+    # determinism
+    out2 = extract_features(rd.from_pandas(docs)).to_pandas().sort_values("doc_id")
+    assert np.array_equal(f1, np.asarray(out2.iloc[0]["features"]))
+    # real decoder is gated, not silently fake
+    fe = FeatureExtractor(use_real_decoder=True)
+    with pytest.raises(NotImplementedError):
+        fe(pd.DataFrame({"doc_id": [1], "payload": [b"x"]}))
+
+
+def test_doc_dedup_exact_counts(docs_ds):
+    from data_harvesting_ray.stages.text import doc_dedup_exact
+
+    out = doc_dedup_exact(docs_ds).to_pandas()
+    # sf0.001 documents are unique → one group per doc
+    assert len(out) == 500 and (out["n_dups"] == 1).all()
