@@ -1,0 +1,186 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns_per_sec": ...}
+
+``--scaling`` runs the same bench in two fresh processes
+(RAY_GRAFT_CPUS=8 and 32) on the same input and reports both
+throughputs plus scaling efficiency (the sandbox stand-in for N vs 4N
+Ray nodes — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from data_harvesting_ray.fixtures.generator import (
+        epochs_root,
+        transcripts_path,
+    )
+    from data_harvesting_ray.pipelines import queries as Q
+
+    # Warm the OS page cache (untimed) so we measure compute + shuffle.
+    tpath = transcripts_path(SF_DIR)
+    n_turns = rd.read_parquet(tpath).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        res = fn()
+        # force full execution for lazy Datasets
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+        return res
+
+    # Flagship: full streaming engine (epochs, watermarks, exactly-once sink)
+    def streaming():
+        from data_harvesting_ray.pipelines.streaming import StreamingEngine
+
+        eng = StreamingEngine(
+            tempfile.mkdtemp(prefix="bench-stream-"), checkpoint=True
+        )
+        eng.run(epochs_root=epochs_root(SF_DIR))
+        return eng.results("sessions")
+
+    timed("streaming_flagship", streaming)
+    timed("session_windows", lambda: Q.q_t_session_windows(SF_DIR))
+    timed("dedup", lambda: Q.q_t_dedup(SF_DIR))
+    timed("tumbling_windows", lambda: Q.q_t_tumbling_windows(SF_DIR))
+    timed("tool_join", lambda: Q.q_t_tool_join(SF_DIR))
+    timed("cep_matches", lambda: Q.q_t_cep_matches(SF_DIR))
+    timed("turn_stats", lambda: Q.q_t_turn_stats(SF_DIR))
+    timed("minhash_near_dups", lambda: Q.q_d_minhash_near_dups(SF_DIR))
+    timed("knn", lambda: Q.q_v_knn(SF_DIR))
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(os.path.normpath(SF_DIR))
+    out = {
+        "metric": "headline_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["streaming_flagship"], 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scale_one() -> dict:
+    """One fresh-process scaling sample: the bounded flagship (the
+    throughput mode of the engine — one shuffle computing sessions +
+    CEP + join with the two-phase sink) over the large fixture."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import tempfile
+
+    import ray.data as rd
+
+    from data_harvesting_ray.fixtures.generator import GenParams, ensure_fixture
+    from data_harvesting_ray.pipelines.flagship import commit_flagship, flagship_bounded
+
+    scale_fixture = os.environ.get("GRAFT_SCALE_FIXTURE", "sfxl")
+    d = ensure_fixture(scale_fixture, GenParams(n_convs=120_000))
+    path = os.path.join(d, "transcripts.parquet")
+    n = rd.read_parquet(path).count()  # warm page cache
+    out = tempfile.mkdtemp(prefix="scale-flag-")
+    t0 = time.time()
+    blocks = max(8, NUM_CPUS)
+    sessions = flagship_bounded(
+        rd.read_parquet(path, override_num_blocks=blocks), out, num_buckets=2 * NUM_CPUS
+    )
+    n_sessions = sessions.count()
+    commit_flagship(out, [path], {})
+    dt = time.time() - t0
+    ray.shutdown()
+    return {
+        "value": round(dt, 3),
+        "n_turns": n,
+        "n_sessions": n_sessions,
+        "turns_per_sec": round(n / dt, 1),
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        best = None
+        for _ in range(int(os.environ.get("GRAFT_SCALE_REPS", "2"))):
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-one"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            r = json.loads(res.stdout.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r  # best-of-N: the sandbox VM has heavy CPU steal
+        return best
+
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "pipeline": "flagship_bounded (sessions+CEP+join, one shuffle)",
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "turns_per_sec_8cpu": lo["turns_per_sec"],
+        "turns_per_sec_32cpu": hi["turns_per_sec"],
+        "n_turns": lo["n_turns"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--scale-one" in sys.argv:
+        print(json.dumps(run_scale_one()))
+    else:
+        print(json.dumps(run_bench()))

@@ -197,7 +197,10 @@ def generate(params: GenParams) -> pa.Table:
 
 def _write_fixture(table: pa.Table, out_dir: str, n_epochs: int) -> None:
     tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir), prefix=".gen-")
-    pq.write_table(table, os.path.join(tmp, "transcripts.parquet"))
+    # small row groups so parallel readers can split the single file
+    pq.write_table(
+        table, os.path.join(tmp, "transcripts.parquet"), row_group_size=131_072
+    )
     total = table.num_rows
     bounds = np.linspace(0, total, n_epochs + 1).astype(np.int64)
     for e in range(n_epochs):

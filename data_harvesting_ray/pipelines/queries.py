@@ -32,8 +32,21 @@ EVENT_GAP_US = 1800 * 1_000_000
 _ORACLE_SF = "sf0.01"
 
 
+def _read_blocks() -> int:
+    # Ray's parallelism heuristic fragments small single-file inputs
+    # into ~2k-row blocks; pin block count near the CPU count so batch
+    # fns see meaningful batches (at 100 TB the 128 MiB target block
+    # size governs instead and this override is a no-op upper bound).
+    import ray
+
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
 def _t(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(transcripts_path(sf_dir))
+    return rd.read_parquet(transcripts_path(sf_dir), override_num_blocks=_read_blocks())
 
 
 def _norm(sf_dir: str) -> rd.Dataset:

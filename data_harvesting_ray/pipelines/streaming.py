@@ -75,6 +75,16 @@ class StateShardActor:
             self.epoch_late.append(late)
         return len(table), self.state.max_ts
 
+    def ingest_late(self, table: pa.Table) -> tuple[int, int]:
+        """Rows the router evicted as late (payload intact)."""
+        df = table.to_pandas()
+        self.state.metrics["rows_in"] += len(df)
+        self.state.metrics["late_rows"] += len(df)
+        self.epoch_late.append(
+            df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].reset_index(drop=True)
+        )
+        return len(df), self.state.max_ts
+
     def max_ts(self) -> int:
         return self.state.max_ts
 
@@ -121,35 +131,54 @@ class StateShardActor:
 
 
 class _Router:
-    """map_batches callable: normalize the batch, split by shard, and
-    push sub-tables into the shard actors. Emits one ack row per
-    (batch, shard) so the Dataset consume drives execution."""
+    """map_batches callable: normalize the batch, evict late rows at
+    the source (they keep their payload for the late channel), project
+    the payload (`text`) away from on-time rows — window/join/CEP state
+    never needs it — and push per-shard sub-tables into the actors.
+    At 100 TB this is the difference between shuffling transcripts and
+    shuffling turn metadata. Emits one ack row per (batch, shard)."""
 
-    def __init__(self, actors: list, num_shards: int):
+    def __init__(self, actors: list, num_shards: int, wm: int):
         self.actors = actors
         self.num_shards = num_shards
+        self.wm = wm
 
     def __call__(self, t: pa.Table) -> pa.Table:
         t = normalize_batch(t)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         shards = (
             _stable_hash(t["conv_id"].to_numpy(zero_copy_only=False)) % self.num_shards
         ).astype(np.int64)
-        order = np.argsort(shards, kind="stable")
-        sorted_t = t.take(pa.array(order))
-        sorted_shards = shards[order]
-        bounds = np.flatnonzero(np.diff(sorted_shards)) + 1
-        starts = np.concatenate([[0], bounds])
-        stops = np.concatenate([bounds, [len(sorted_shards)]])
-        refs, ids = [], []
-        for lo, hi in zip(starts, stops):
-            sid = int(sorted_shards[lo])
-            refs.append(self.actors[sid].ingest.remote(sorted_t.slice(lo, hi - lo)))
-            ids.append(sid)
+        late_mask = ts < self.wm
+        refs, ids, counts = [], [], []
+        if late_mask.any():
+            late_t = t.filter(pa.array(late_mask))
+            late_shards = shards[late_mask]
+            for sid in np.unique(late_shards):
+                sub = late_t.filter(pa.array(late_shards == sid))
+                refs.append(self.actors[int(sid)].ingest_late.remote(sub))
+                ids.append(int(sid))
+                counts.append(len(sub))
+            t = t.filter(pa.array(~late_mask))
+            shards = shards[~late_mask]
+        t = t.drop_columns(["text"])
+        if len(t):
+            order = np.argsort(shards, kind="stable")
+            sorted_t = t.take(pa.array(order))
+            sorted_shards = shards[order]
+            bounds = np.flatnonzero(np.diff(sorted_shards)) + 1
+            starts = np.concatenate([[0], bounds])
+            stops = np.concatenate([bounds, [len(sorted_shards)]])
+            for lo, hi in zip(starts, stops):
+                sid = int(sorted_shards[lo])
+                refs.append(self.actors[sid].ingest.remote(sorted_t.slice(lo, hi - lo)))
+                ids.append(sid)
+                counts.append(hi - lo)
         acks = ray.get(refs)  # backpressure: ingest before next batch
         return pa.table(
             {
                 "shard": pa.array(ids, pa.int64()),
-                "rows": pa.array([a[0] for a in acks], pa.int64()),
+                "rows": pa.array(counts, pa.int64()),
                 "max_ts": pa.array([a[1] for a in acks], pa.int64()),
             }
         )
@@ -207,40 +236,14 @@ class StreamingEngine:
             return True
         # Reshard on restore: the checkpoint was written with a different
         # shard count (e.g. resuming on a 4N-node cluster). Redistribute
-        # per-conv state by the same stable hash the router uses.
-        dicts = []
+        # conv-keyed state by the same stable hash the router uses.
+        from ..state.store import reshard_states
+
+        blobs_in = []
         for f in files:
             with open(f, "rb") as fh:
-                dicts.append(pickle.loads(fh.read()))
-        new_convs: list[dict] = [dict() for _ in range(self.num_shards)]
-        for dct in dicts:
-            convs = dct["convs"]
-            if not convs:
-                continue
-            ids = np.array(list(convs.keys()), dtype=object)
-            shards = (_stable_hash(ids) % self.num_shards).astype(np.int64)
-            for cid, sid in zip(ids, shards):
-                new_convs[int(sid)][cid] = convs[cid]
-        base = dicts[0] if dicts else None
-        metrics_sum: dict = {}
-        for dct in dicts:
-            for k, v in dct["metrics"].items():
-                metrics_sum[k] = metrics_sum.get(k, 0) + v
-        blobs = []
-        for i in range(self.num_shards):
-            blobs.append(
-                pickle.dumps(
-                    {
-                        "gap_us": base["gap_us"] if base else self.gap_s * US,
-                        "pattern": base["pattern"] if base else self.pattern,
-                        "convs": new_convs[i],
-                        "max_ts": max((d_["max_ts"] for d_ in dicts), default=NEG_INF),
-                        "frontier_wm": max((d_["frontier_wm"] for d_ in dicts), default=NEG_INF),
-                        # cumulative metrics live on shard 0 after reshard
-                        "metrics": metrics_sum if i == 0 else {k: 0 for k in metrics_sum},
-                    }
-                )
-            )
+                blobs_in.append(fh.read())
+        blobs = reshard_states(blobs_in, self.num_shards, _stable_hash)
         ray.get([a.load_blob.remote(b) for a, b in zip(self.actors, blobs)])
         return True
 
@@ -269,6 +272,12 @@ class StreamingEngine:
                 )
         summary = {"epochs": 0, "skipped": 0, "rows": 0, "wall_s": 0.0}
         last_epoch = epochs[-1][0] if epochs else None
+        # watermark as of the last committed epoch (for router-side late
+        # eviction); recovered from the manifest on resume
+        current_wm = NEG_INF
+        if resume_from is not None:
+            with open(self.sink.manifest_path(resume_from)) as f:
+                current_wm = json.load(f)["metrics"].get("watermark_us", NEG_INF)
         for epoch, files in epochs:
             if epoch in committed:
                 summary["skipped"] += 1
@@ -276,11 +285,21 @@ class StreamingEngine:
             t0 = time.time()
             staging = self.sink.staging_dir(epoch)
             # partitioning=None: the epoch=E path component is lineage,
-            # not a data column (hive inference would inject it)
-            ds = rd.read_parquet(files, partitioning=None)
-            router = _Router(self.actors, self.num_shards)
+            # not a data column (hive inference would inject it).
+            # override_num_blocks: route whole files — Ray's default
+            # parallelism heuristic fragments small epochs into ~2k-row
+            # blocks, turning ingest into hundreds of tiny actor RPCs.
+            ds = rd.read_parquet(
+                files, partitioning=None, override_num_blocks=max(len(files), self.num_shards)
+            )
+            router = _Router(self.actors, self.num_shards, current_wm)
+            # batch_size=None: route whole blocks — one ingest RPC per
+            # (block, shard) instead of per 1024-row micro-batch
             acks = ds.map_batches(
-                router, batch_format="pyarrow", zero_copy_batch=True, concurrency=None
+                router,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
             )
             rows = 0
             max_ts = NEG_INF
@@ -293,6 +312,7 @@ class StreamingEngine:
             global_max = max([m for m in shard_maxes if m > NEG_INF], default=NEG_INF)
             flush = flush_at_end and epoch == last_epoch
             wm = global_max - self.delay_us if global_max > NEG_INF else NEG_INF
+            current_wm = max(current_wm, wm)
             metrics = ray.get(
                 [
                     a.close_and_stage.remote(wm, staging, flush)

@@ -99,7 +99,8 @@ def minhash_candidates(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pandas",
-        concurrency=2,
+        batch_size=512,
+        concurrency=(2, 8),
     )
     pairs = sig.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"

@@ -1,4 +1,4 @@
-"""Per-shard streaming state core (pure Python/numpy — no Ray).
+"""Per-shard streaming state core (pure pandas/numpy — no Ray).
 
 The streaming analogue of the reference's in-process session state:
 ``ClassificationObject`` accumulators keyed by tracker id
@@ -6,60 +6,40 @@ The streaming analogue of the reference's in-process session state:
 (``services/harvest_service.py:26-29``), generalized to per-conv_id
 state with event-time watermarks:
 
-- out-of-order buffer per conv (W3): turns with ts > watermark wait;
-  on ``close(wm)`` the ready prefix is processed in turn_idx order,
-- session windows with gap (W2), closed when wm > window_end + gap,
-- exact dedup via per-conv seen turn_idx sets (D2 made exact),
+- out-of-order buffering (W3): rows with ts > watermark wait;
+  ``close(wm)`` processes the ready set in (conv, turn_idx) order,
+- session windows with gap (W2), closed when a later turn opens a new
+  island or the watermark passes window_end + gap,
+- exact dedup (D2 made exact) against a processed-keys table pruned to
+  the watermark horizon,
 - symmetric tool-call ↔ response join on (conv_id, call_id) within
-  watermark bounds (J3 generalization); orphans emitted at flush,
-- NFA role-sequence CEP with after-match suppression (W4/W5); a tiny
-  per-conv residue (suppression frontier + role tail) survives state
-  eviction so suppression is exact across session gaps,
+  watermark bounds (J3); orphans emitted at flush,
+- role-sequence CEP with after-match suppression (W4/W5); carried
+  per-conv tails + suppression frontier keep matching exact across
+  epoch boundaries,
 - late rows (ts < wm at ingest) are evicted to a late channel (W7).
 
-Scale notes: a shard holds only open state; closed windows are emitted
-and dropped eagerly. One shard's keyspace is hash(conv_id) % B —
-B scales with the cluster. Mega-conversations: state per conv is O(open
-window + buffered turns), not O(history); the CEP residue is 3 ints.
-``snapshot()``/``restore()`` give checkpoint/resume (SURVEY §7.9).
+PERFORMANCE MODEL: everything per close is vectorized across the whole
+shard — one concat + sort of the ready rows, islands via numpy
+reduceat, carry-in state merged as small per-conv DataFrames. The only
+Python loop is the after-match suppression greedy scan over CEP
+*candidates* (a small set). A shard holds only open state: closed
+windows are emitted and dropped; processed dedup keys are pruned to
+the horizon. ``snapshot()``/``restore()`` give checkpoint/resume.
 """
 
 from __future__ import annotations
 
 import pickle
-from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 
-from ..schema import DEFAULT_SESSION_GAP_S
+from ..schema import DEFAULT_SESSION_GAP_S, DEFAULT_WATERMARK_DELAY_S
 from ..stages.cep import PatternSpec
 
 US = 1_000_000
 NEG_INF = np.iinfo(np.int64).min
-
-
-@dataclass
-class ConvState:
-    # out-of-order buffer: turn_idx -> (role, ts_us, tool, call_id, text)
-    buffer: dict[int, tuple] = field(default_factory=dict)
-    seen: set[int] = field(default_factory=set)
-    # open session accumulator
-    sess_start: int | None = None
-    sess_end: int = NEG_INF
-    sess_count: int = 0
-    sess_first_idx: int = 0
-    sess_last_idx: int = 0
-    sess_id: int = -1  # id of the OPEN session (-1: none yet)
-    next_session_id: int = 0
-    # CEP: tail of last (plen-1) processed (role, turn_idx) + suppression
-    cep_tail: list[tuple[str, int]] = field(default_factory=list)
-    last_match_end: int = -(10**9)
-    # join: call_id -> (tool, turn_idx, ts_us) for unanswered calls
-    pending_calls: dict[str, tuple] = field(default_factory=dict)
-    # responses that arrived before their call (arrival disorder)
-    pending_resps: dict[str, tuple] = field(default_factory=dict)
-
 
 EMPTY_SCHEMAS = {
     "sessions": {
@@ -101,11 +81,18 @@ EMPTY_SCHEMAS = {
     },
 }
 
+_BUF_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "call_id", "ts_us"]
+_OPEN_COLS = ["conv_id", "session_id", "start_us", "end_us", "turn_count", "first_idx", "last_idx"]
+_CALL_COLS = ["conv_id", "call_id", "tool", "turn_idx", "ts_us"]
+_RESP_COLS = ["conv_id", "call_id", "turn_idx", "ts_us"]
+
 
 def empty_frame(channel: str) -> pd.DataFrame:
-    return pd.DataFrame(
-        {c: pd.Series(dtype=t) for c, t in EMPTY_SCHEMAS[channel].items()}
-    )
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in EMPTY_SCHEMAS[channel].items()})
+
+
+def _empty(cols: list[str]) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
 
 class ShardState:
@@ -115,12 +102,21 @@ class ShardState:
         self,
         gap_s: int = DEFAULT_SESSION_GAP_S,
         pattern: PatternSpec | None = None,
+        dedup_horizon_s: int = 4 * DEFAULT_WATERMARK_DELAY_S,
     ):
         self.gap_us = gap_s * US
         self.pattern = pattern or PatternSpec(skip_past_last=True, suppress_turns=0)
-        self.convs: dict[str, ConvState] = {}
-        self.max_ts = NEG_INF  # max event ts seen by this shard
-        self.frontier_wm = NEG_INF  # last watermark applied
+        self.dedup_horizon_us = dedup_horizon_s * US
+        self.pending: list[pd.DataFrame] = []  # buffered normalized rows
+        self.processed_keys = _empty(["conv_id", "turn_idx", "ts_us"])
+        self.open_sess = _empty(_OPEN_COLS)
+        self.sess_next: dict = {}  # conv_id -> next session_id
+        self.cep_tail = _empty(["conv_id", "role", "turn_idx"])
+        self.match_frontier: dict = {}  # conv_id -> last emitted match end idx
+        self.pend_calls = _empty(_CALL_COLS)
+        self.pend_resps = _empty(_RESP_COLS)
+        self.max_ts = NEG_INF
+        self.frontier_wm = NEG_INF
         self.metrics = {
             "rows_in": 0,
             "dups_dropped": 0,
@@ -132,195 +128,398 @@ class ShardState:
 
     # ------------------------------------------------------------ ingest
     def ingest(self, df: pd.DataFrame) -> pd.DataFrame:
-        """Buffer an epoch's rows for this shard. Rows with
-        ts < current watermark are returned as the late channel."""
+        """Buffer an epoch's (normalized) rows. Rows with ts < current
+        watermark are returned as the late channel. Fully vectorized."""
         self.metrics["rows_in"] += len(df)
         if df.empty:
             return empty_frame("late")
         ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if "text" not in df:
+            df = df.assign(text="")
         late_mask = ts < self.frontier_wm
-        late = df[late_mask]
-        self.metrics["late_rows"] += int(late_mask.sum())
+        n_late = int(late_mask.sum())
+        self.metrics["late_rows"] += n_late
+        late = df.loc[late_mask, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
         ok = df[~late_mask]
-        ts_ok = ts[~late_mask]
-        if len(ts_ok):
-            self.max_ts = max(self.max_ts, int(ts_ok.max()))
-        conv_arr = ok["conv_id"].to_numpy()
-        tidx_arr = ok["turn_idx"].to_numpy()
-        role_arr = ok["role"].to_numpy()
-        tool_arr = ok["tool"].to_numpy()
-        cid_arr = ok["call_id"].to_numpy() if "call_id" in ok else np.full(len(ok), "")
-        for i in range(len(ok)):
-            cs = self.convs.get(conv_arr[i])
-            if cs is None:
-                cs = self.convs[conv_arr[i]] = ConvState()
-            t = int(tidx_arr[i])
-            if t in cs.seen:
-                self.metrics["dups_dropped"] += 1
-                continue
-            cs.seen.add(t)
-            cs.buffer[t] = (role_arr[i], int(ts_ok[i]), tool_arr[i], cid_arr[i])
-        return late.drop(columns=[c for c in ("is_tool_call", "call_id", "bucket") if c in late])
+        if len(ok):
+            self.max_ts = max(self.max_ts, int(ts[~late_mask].max()))
+            buf = pd.DataFrame(
+                {
+                    "conv_id": ok["conv_id"].to_numpy(),
+                    "turn_idx": ok["turn_idx"].to_numpy().astype(np.int32),
+                    "role": ok["role"].to_numpy(),
+                    # the router projects the payload away for on-time
+                    # rows (state never needs it); keep schema stable
+                    "text": (
+                        ok["text"].to_numpy()
+                        if "text" in ok
+                        else np.full(len(ok), "", dtype=object)
+                    ),
+                    "tool": ok["tool"].to_numpy(),
+                    "call_id": (
+                        ok["call_id"].to_numpy()
+                        if "call_id" in ok
+                        else np.full(len(ok), "", dtype=object)
+                    ),
+                    "ts_us": ts[~late_mask],
+                }
+            )
+            self.pending.append(buf)
+        return late.reset_index(drop=True)
 
     # ------------------------------------------------------------- close
     def close(self, wm: int, flush: bool = False) -> dict[str, pd.DataFrame]:
-        """Advance the watermark: process buffered turns with ts <= wm in
-        turn order, emit closed sessions / CEP matches / join pairs;
-        at ``flush`` emit open sessions and orphan calls too."""
         self.frontier_wm = max(self.frontier_wm, wm)
-        out: dict[str, list] = {"sessions": [], "matches": [], "pairs": [], "orphans": []}
-        plen = len(self.pattern.roles)
-        evict: list[str] = []
-        for conv_id, cs in self.convs.items():
-            ready = (
-                sorted(cs.buffer.items())
-                if flush
-                else sorted((t, v) for t, v in cs.buffer.items() if v[1] <= wm)
-            )
-            for t, (role, ts_us, tool, call_id) in ready:
-                del cs.buffer[t]
-                # ---- session accumulation (W2)
-                if cs.sess_start is None:
-                    cs.sess_id = cs.next_session_id
-                    cs.next_session_id += 1
-                    cs.sess_start, cs.sess_end = ts_us, ts_us
-                    cs.sess_count, cs.sess_first_idx, cs.sess_last_idx = 1, t, t
-                elif ts_us - cs.sess_end > self.gap_us:
-                    out["sessions"].append(self._emit_session(conv_id, cs))
-                    cs.sess_id = cs.next_session_id
-                    cs.next_session_id += 1
-                    cs.sess_start, cs.sess_end = ts_us, ts_us
-                    cs.sess_count, cs.sess_first_idx, cs.sess_last_idx = 1, t, t
-                else:
-                    cs.sess_end = max(cs.sess_end, ts_us)
-                    cs.sess_count += 1
-                    cs.sess_last_idx = t
-                # ---- CEP (W5 + W4 suppression)
-                cs.cep_tail.append((role, t))
-                if len(cs.cep_tail) > plen:
-                    cs.cep_tail = cs.cep_tail[-plen:]
-                if len(cs.cep_tail) == plen:
-                    roles = tuple(r for r, _ in cs.cep_tail)
-                    idxs = [i for _, i in cs.cep_tail]
-                    if (
-                        roles == self.pattern.roles
-                        and idxs[-1] - idxs[0] == plen - 1
-                        and (
-                            not (self.pattern.skip_past_last or self.pattern.suppress_turns)
-                            or idxs[0] > cs.last_match_end + self.pattern.suppress_turns
-                        )
-                    ):
-                        out["matches"].append(
-                            (conv_id, self.pattern.label(), np.int32(idxs[0]), np.int32(idxs[-1]))
-                        )
-                        cs.last_match_end = idxs[-1]
-                # ---- symmetric join (J3)
-                if call_id:
-                    if tool and role == "assistant":  # call side
-                        if call_id in cs.pending_resps:
-                            r_idx, r_ts = cs.pending_resps[call_id]
-                            if r_idx > t:
-                                del cs.pending_resps[call_id]
-                                out["pairs"].append(
-                                    (conv_id, call_id, tool, np.int32(t), np.int32(r_idx), ts_us, r_ts)
-                                )
-                            else:
-                                cs.pending_calls[call_id] = (tool, t, ts_us)
-                        elif call_id not in cs.pending_calls:
-                            cs.pending_calls[call_id] = (tool, t, ts_us)
-                    elif role == "tool":  # response side
-                        if call_id in cs.pending_calls:
-                            c_tool, c_idx, c_ts = cs.pending_calls[call_id]
-                            if t > c_idx:
-                                del cs.pending_calls[call_id]
-                                out["pairs"].append(
-                                    (conv_id, call_id, c_tool, np.int32(c_idx), np.int32(t), c_ts, ts_us)
-                                )
-                        elif call_id not in cs.pending_resps:
-                            cs.pending_resps[call_id] = (t, ts_us)
-            # ---- session close on watermark (or flush)
-            if cs.sess_start is not None and (flush or wm > cs.sess_end + self.gap_us):
-                out["sessions"].append(self._emit_session(conv_id, cs))
-                cs.sess_start = None
-            if flush:
-                for call_id, (tool, c_idx, _c_ts) in sorted(
-                    cs.pending_calls.items(), key=lambda kv: kv[1][1]
-                ):
-                    out["orphans"].append((conv_id, call_id, np.int32(c_idx)))
-                cs.pending_calls.clear()
-                cs.pending_resps.clear()
-            # ---- eviction of idle convs (bounded state): keep only the
-            # CEP residue once nothing is open or buffered
-            if (
-                cs.sess_start is None
-                and not cs.buffer
-                and not cs.pending_calls
-                and not cs.pending_resps
-                and not flush
-            ):
-                # prune the dedup seen-set: dups arrive within the
-                # watermark horizon (generator bound), safe to drop
-                cs.seen.clear()
-                if not cs.cep_tail and cs.last_match_end < 0:
-                    evict.append(conv_id)
-        for conv_id in evict:
-            del self.convs[conv_id]
-
-        self.metrics["sessions_emitted"] += len(out["sessions"])
-        self.metrics["matches_emitted"] += len(out["matches"])
-        self.metrics["pairs_emitted"] += len(out["pairs"])
-        return {
-            "sessions": _frame(out["sessions"], "sessions"),
-            "matches": _frame(out["matches"], "matches"),
-            "pairs": _frame(out["pairs"], "pairs"),
-            "orphans": _frame(out["orphans"], "orphans"),
-        }
-
-    def _emit_session(self, conv_id: str, cs: ConvState) -> tuple:
-        return (
-            conv_id,
-            np.int64(cs.sess_id),
-            cs.sess_start,
-            cs.sess_end,
-            np.int64(cs.sess_count),
-            np.int32(cs.sess_first_idx),
-            np.int32(cs.sess_last_idx),
+        buf = (
+            pd.concat(self.pending, ignore_index=True)
+            if self.pending
+            else _empty(_BUF_COLS)
         )
+        self.pending = []
+        if len(buf):
+            if flush:
+                ready, rest = buf, buf.iloc[0:0]
+            else:
+                m = buf["ts_us"].to_numpy() <= wm
+                ready, rest = buf[m], buf[~m]
+            if len(rest):
+                self.pending.append(rest.reset_index(drop=True))
+        else:
+            ready = buf
+        ready = self._dedup(ready, wm)
+        ready = ready.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        sessions = self._advance_sessions(ready, wm, flush)
+        matches = self._advance_cep(ready)
+        pairs, orphans = self._advance_join(ready, flush)
+        self.metrics["sessions_emitted"] += len(sessions)
+        self.metrics["matches_emitted"] += len(matches)
+        self.metrics["pairs_emitted"] += len(pairs)
+        return {"sessions": sessions, "matches": matches, "pairs": pairs, "orphans": orphans}
+
+    # -------------------------------------------------------------- dedup
+    def _dedup(self, ready: pd.DataFrame, wm: int) -> pd.DataFrame:
+        if not len(ready):
+            return ready
+        n0 = len(ready)
+        ready = ready.drop_duplicates(subset=["conv_id", "turn_idx"], keep="first")
+        if len(self.processed_keys):
+            seen = pd.MultiIndex.from_frame(self.processed_keys[["conv_id", "turn_idx"]])
+            keys = pd.MultiIndex.from_frame(ready[["conv_id", "turn_idx"]])
+            ready = ready[~keys.isin(seen)]
+        self.metrics["dups_dropped"] += n0 - len(ready)
+        new_keys = pd.DataFrame(
+            {
+                "conv_id": ready["conv_id"].to_numpy(),
+                "turn_idx": ready["turn_idx"].to_numpy(),
+                "ts_us": ready["ts_us"].to_numpy(),
+            }
+        )
+        pk = pd.concat([self.processed_keys, new_keys], ignore_index=True)
+        if wm > NEG_INF:
+            # duplicates arrive within the watermark horizon (generator /
+            # source contract); older keys can be forgotten
+            pk = pk[pk["ts_us"].to_numpy().astype(np.int64) >= wm - self.dedup_horizon_us]
+        self.processed_keys = pk.reset_index(drop=True)
+        return ready
+
+    # ----------------------------------------------------------- sessions
+    def _advance_sessions(self, ready: pd.DataFrame, wm: int, flush: bool) -> pd.DataFrame:
+        gap = self.gap_us
+        open_s = self.open_sess
+        emitted: list[pd.DataFrame] = []
+        if len(ready):
+            conv = ready["conv_id"].to_numpy()
+            ts = ready["ts_us"].to_numpy().astype(np.int64)
+            tidx = ready["turn_idx"].to_numpy()
+            n = len(ready)
+            is_new = np.empty(n, dtype=bool)
+            is_new[0] = True
+            is_new[1:] = (conv[1:] != conv[:-1]) | (ts[1:] - ts[:-1] > gap)
+            starts = np.flatnonzero(is_new)
+            ends = np.append(starts[1:], n) - 1
+            isl = pd.DataFrame(
+                {
+                    "conv_id": conv[starts],
+                    "start_us": ts[starts],
+                    "end_us": ts[ends],
+                    "turn_count": (ends - starts + 1).astype(np.int64),
+                    "first_idx": tidx[starts],
+                    "last_idx": tidx[ends],
+                }
+            )
+            isl["ord"] = isl.groupby("conv_id", sort=False).cumcount()
+            # merge carry-in: first island of a conv continues the open
+            # session iff the gap to it is within bounds
+            if len(open_s):
+                isl = isl.merge(
+                    open_s.add_prefix("o_").rename(columns={"o_conv_id": "conv_id"}),
+                    on="conv_id",
+                    how="left",
+                )
+            else:
+                for c in _OPEN_COLS[1:]:
+                    isl["o_" + c] = np.nan
+            has_open = isl["o_session_id"].notna()
+            merges = (
+                has_open
+                & (isl["ord"] == 0)
+                & (isl["start_us"] - isl["o_end_us"] <= gap)
+            )
+            # carried sessions not merged were ended by a later gap → emit
+            # (only for convs that appear in ready)
+            stale_open = isl[(isl["ord"] == 0) & has_open & ~merges]
+            if len(stale_open):
+                emitted.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": stale_open["conv_id"],
+                            "session_id": stale_open["o_session_id"].astype(np.int64),
+                            "start_us": stale_open["o_start_us"].astype(np.int64),
+                            "end_us": stale_open["o_end_us"].astype(np.int64),
+                            "turn_count": stale_open["o_turn_count"].astype(np.int64),
+                            "first_idx": stale_open["o_first_idx"].astype(np.int64),
+                            "last_idx": stale_open["o_last_idx"].astype(np.int64),
+                        }
+                    )
+                )
+            # fold merged carry into island 0
+            m = merges.to_numpy()
+            if m.any():
+                isl.loc[m, "start_us"] = isl.loc[m, "o_start_us"].astype(np.int64)
+                isl.loc[m, "turn_count"] = (
+                    isl.loc[m, "turn_count"] + isl.loc[m, "o_turn_count"].astype(np.int64)
+                )
+                isl.loc[m, "first_idx"] = isl.loc[m, "o_first_idx"].astype(np.int64)
+            # session ids: base = merged carry id, else per-conv counter
+            base = np.where(
+                m,
+                isl["o_session_id"].fillna(0).to_numpy(),
+                np.array([self.sess_next.get(c, 0) for c in isl["conv_id"]], dtype=np.int64),
+            ).astype(np.int64)
+            # base is only meaningful at ord==0; ids = base(conv) + ord
+            first_base = pd.Series(base).groupby(isl["conv_id"].to_numpy(), sort=False).transform("first")
+            isl["session_id"] = first_base.to_numpy() + isl["ord"].to_numpy()
+            # last island per conv stays open; previous ones are closed
+            is_last = isl.groupby("conv_id", sort=False)["ord"].transform("max") == isl["ord"]
+            closed = isl[~is_last]
+            if len(closed):
+                emitted.append(
+                    closed[["conv_id", "session_id", "start_us", "end_us", "turn_count", "first_idx", "last_idx"]]
+                )
+            new_open = isl[is_last][
+                ["conv_id", "session_id", "start_us", "end_us", "turn_count", "first_idx", "last_idx"]
+            ].rename(columns={})
+            # update sess counters for convs seen this round
+            nxt = isl[is_last][["conv_id", "session_id"]]
+            for c, s in zip(nxt["conv_id"], nxt["session_id"]):
+                self.sess_next[c] = int(s) + 1
+            # open sessions of convs not seen this round are untouched
+            if len(open_s):
+                untouched = open_s[~open_s["conv_id"].isin(set(isl["conv_id"]))]
+            else:
+                untouched = open_s
+            open_s = pd.concat([untouched, new_open], ignore_index=True)
+        # watermark/flush close of open sessions
+        if len(open_s):
+            end_us = open_s["end_us"].to_numpy().astype(np.int64)
+            to_close = np.full(len(open_s), flush) | (wm > end_us + gap)
+            if to_close.any():
+                emitted.append(open_s[to_close])
+                open_s = open_s[~to_close]
+        self.open_sess = open_s.reset_index(drop=True)
+        if not emitted:
+            return empty_frame("sessions")
+        out = pd.concat(emitted, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "conv_id": out["conv_id"].to_numpy(),
+                "session_id": out["session_id"].to_numpy().astype(np.int64),
+                "window_start": out["start_us"].to_numpy().astype(np.int64).astype("datetime64[us]"),
+                "window_end": out["end_us"].to_numpy().astype(np.int64).astype("datetime64[us]"),
+                "turn_count": out["turn_count"].to_numpy().astype(np.int64),
+                "first_turn_idx": out["first_idx"].to_numpy().astype(np.int32),
+                "last_turn_idx": out["last_idx"].to_numpy().astype(np.int32),
+            }
+        )
+
+    # ---------------------------------------------------------------- CEP
+    def _advance_cep(self, ready: pd.DataFrame) -> pd.DataFrame:
+        plen = len(self.pattern.roles)
+        if not len(ready):
+            return empty_frame("matches")
+        active = set(ready["conv_id"].unique())
+        if len(self.cep_tail):
+            tmask = self.cep_tail["conv_id"].isin(active).to_numpy()
+            tails_in, tails_out = self.cep_tail[tmask], self.cep_tail[~tmask]
+        else:
+            tails_in, tails_out = self.cep_tail, self.cep_tail
+        stream = pd.concat(
+            [
+                tails_in.assign(is_tail=True),
+                pd.DataFrame(
+                    {
+                        "conv_id": ready["conv_id"].to_numpy(),
+                        "role": ready["role"].to_numpy(),
+                        "turn_idx": ready["turn_idx"].to_numpy(),
+                        "is_tail": False,
+                    }
+                ),
+            ],
+            ignore_index=True,
+        ).sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = stream["conv_id"].to_numpy()
+        role = stream["role"].to_numpy()
+        tidx = stream["turn_idx"].to_numpy().astype(np.int64)
+        is_tail = stream["is_tail"].to_numpy()
+        n = len(stream)
+        # update tails: last plen-1 rows per active conv (+ untouched)
+        new_tails = (
+            stream.groupby("conv_id", sort=False)
+            .tail(plen - 1)[["conv_id", "role", "turn_idx"]]
+            .reset_index(drop=True)
+        )
+        self.cep_tail = pd.concat([tails_out, new_tails], ignore_index=True)
+        if n < plen:
+            return empty_frame("matches")
+        m = n - plen + 1
+        ok = conv[:m] == conv[plen - 1 :]
+        ok &= (tidx[plen - 1 :] - tidx[:m]) == plen - 1
+        ok &= ~is_tail[plen - 1 :]  # end must be a NEW row
+        for j, r in enumerate(self.pattern.roles):
+            ok &= role[j : m + j] == r
+        cand = np.flatnonzero(ok)
+        suppress = self.pattern.skip_past_last or self.pattern.suppress_turns
+        kept: list[int] = []
+        if suppress:
+            for s in cand:
+                c = conv[s]
+                frontier = self.match_frontier.get(c)
+                if frontier is None or tidx[s] > frontier + self.pattern.suppress_turns:
+                    kept.append(s)
+                    self.match_frontier[c] = int(tidx[s + plen - 1])
+        else:
+            kept = list(cand)
+        if not kept:
+            return empty_frame("matches")
+        k = np.asarray(kept)
+        return pd.DataFrame(
+            {
+                "conv_id": conv[k],
+                "pattern": self.pattern.label(),
+                "start_turn_idx": tidx[k].astype(np.int32),
+                "end_turn_idx": tidx[k + plen - 1].astype(np.int32),
+            }
+        )
+
+    # --------------------------------------------------------------- join
+    def _advance_join(self, ready: pd.DataFrame, flush: bool) -> tuple[pd.DataFrame, pd.DataFrame]:
+        if len(ready):
+            has_id = ready["call_id"].to_numpy() != ""
+            is_call = has_id & (ready["tool"].to_numpy() != "") & (ready["role"].to_numpy() == "assistant")
+            is_resp = has_id & (ready["role"].to_numpy() == "tool")
+            calls_new = ready[is_call][["conv_id", "call_id", "tool", "turn_idx", "ts_us"]]
+            resps_new = ready[is_resp][["conv_id", "call_id", "turn_idx", "ts_us"]]
+            calls = pd.concat([self.pend_calls, calls_new], ignore_index=True)
+            resps = pd.concat([self.pend_resps, resps_new], ignore_index=True)
+        else:
+            calls, resps = self.pend_calls, self.pend_resps
+        pairs = empty_frame("pairs")
+        if len(calls) and len(resps):
+            j = calls.merge(
+                resps.rename(columns={"turn_idx": "resp_turn_idx", "ts_us": "resp_ts_us"}),
+                on=["conv_id", "call_id"],
+                how="inner",
+            )
+            j = j[j["resp_turn_idx"].to_numpy() > j["turn_idx"].to_numpy()]
+            if len(j):
+                j = j.sort_values(["conv_id", "call_id", "resp_turn_idx"], kind="stable")
+                j = j.drop_duplicates(subset=["conv_id", "call_id"], keep="first")
+                pairs = pd.DataFrame(
+                    {
+                        "conv_id": j["conv_id"].to_numpy(),
+                        "call_id": j["call_id"].to_numpy(),
+                        "tool": j["tool"].to_numpy(),
+                        "call_turn_idx": j["turn_idx"].to_numpy().astype(np.int32),
+                        "resp_turn_idx": j["resp_turn_idx"].to_numpy().astype(np.int32),
+                        "call_ts": j["ts_us"].to_numpy().astype(np.int64).astype("datetime64[us]"),
+                        "resp_ts": j["resp_ts_us"].to_numpy().astype(np.int64).astype("datetime64[us]"),
+                    }
+                )
+                done = pd.MultiIndex.from_frame(j[["conv_id", "call_id"]])
+                calls = calls[~pd.MultiIndex.from_frame(calls[["conv_id", "call_id"]]).isin(done)]
+                resps = resps[~pd.MultiIndex.from_frame(resps[["conv_id", "call_id"]]).isin(done)]
+        orphans = empty_frame("orphans")
+        if flush:
+            if len(calls):
+                o = calls.sort_values(["conv_id", "turn_idx"], kind="stable")
+                orphans = pd.DataFrame(
+                    {
+                        "conv_id": o["conv_id"].to_numpy(),
+                        "call_id": o["call_id"].to_numpy(),
+                        "call_turn_idx": o["turn_idx"].to_numpy().astype(np.int32),
+                    }
+                )
+            calls = self.pend_calls.iloc[0:0]
+            resps = self.pend_resps.iloc[0:0]
+        self.pend_calls = calls.reset_index(drop=True)
+        self.pend_resps = resps.reset_index(drop=True)
+        return pairs, orphans
 
     # -------------------------------------------------------- checkpoint
     def snapshot(self) -> bytes:
-        return pickle.dumps(
-            {
-                "gap_us": self.gap_us,
-                "pattern": self.pattern,
-                "convs": self.convs,
-                "max_ts": self.max_ts,
-                "frontier_wm": self.frontier_wm,
-                "metrics": self.metrics,
-            }
-        )
+        return pickle.dumps(self.__dict__)
 
     @classmethod
     def restore(cls, blob: bytes) -> "ShardState":
         d = pickle.loads(blob)
-        s = cls()
-        s.gap_us = d["gap_us"]
-        s.pattern = d["pattern"]
-        s.convs = d["convs"]
-        s.max_ts = d["max_ts"]
-        s.frontier_wm = d["frontier_wm"]
-        s.metrics = d["metrics"]
+        s = cls.__new__(cls)
+        s.__dict__.update(d)
         return s
 
 
-def _frame(rows: list[tuple], channel: str) -> pd.DataFrame:
-    if not rows:
-        return empty_frame(channel)
-    cols = list(EMPTY_SCHEMAS[channel])
-    df = pd.DataFrame(rows, columns=cols)
-    for c, t in EMPTY_SCHEMAS[channel].items():
-        if t == "datetime64[us]" and df[c].dtype != "datetime64[us]":
-            df[c] = pd.to_datetime(df[c], unit="us").astype("datetime64[us]")
-        elif t in (np.int32, np.int64):
-            df[c] = df[c].astype(t)
-    return df
+def reshard_states(blobs: list[bytes], num_shards: int, hash_fn) -> list[bytes]:
+    """Redistribute checkpointed shard states across a different shard
+    count (resume on an N→4N cluster): every conv-keyed structure is
+    split by the same stable hash the router uses."""
+    states = [pickle.loads(b) for b in blobs]
+    outs = []
+    for i in range(num_shards):
+        s = ShardState()
+        if states:
+            s.gap_us = states[0]["gap_us"]
+            s.pattern = states[0]["pattern"]
+            s.dedup_horizon_us = states[0]["dedup_horizon_us"]
+            s.max_ts = max(st["max_ts"] for st in states)
+            s.frontier_wm = max(st["frontier_wm"] for st in states)
+            if i == 0:  # cumulative metrics live on shard 0 after reshard
+                for st in states:
+                    for k, v in st["metrics"].items():
+                        s.metrics[k] = s.metrics.get(k, 0) + v
+        outs.append(s)
+
+    def split_df(df: pd.DataFrame):
+        if not len(df):
+            return
+        sid = (hash_fn(df["conv_id"].to_numpy()) % num_shards).astype(np.int64)
+        for i in range(num_shards):
+            part = df[sid == i]
+            if len(part):
+                yield i, part.reset_index(drop=True)
+
+    for st in states:
+        pend = st["pending"]
+        if pend:
+            for i, part in split_df(pd.concat(pend, ignore_index=True)):
+                outs[i].pending.append(part)
+        for attr in ("processed_keys", "open_sess", "cep_tail", "pend_calls", "pend_resps"):
+            for i, part in split_df(st[attr]):
+                cur = getattr(outs[i], attr)
+                setattr(outs[i], attr, pd.concat([cur, part], ignore_index=True))
+        for attr in ("sess_next", "match_frontier"):
+            d = st[attr]
+            if d:
+                keys = np.array(list(d.keys()), dtype=object)
+                sid = (hash_fn(keys) % num_shards).astype(np.int64)
+                for k, i in zip(keys, sid):
+                    getattr(outs[int(i)], attr)[k] = d[k]
+    return [pickle.dumps(s.__dict__) for s in outs]
