@@ -121,26 +121,25 @@ def run_scale_one() -> dict:
     import ray.data as rd
 
     from data_harvesting_ray.fixtures.generator import GenParams, ensure_fixture
-    from data_harvesting_ray.pipelines.flagship import commit_flagship, flagship_bounded
+    from data_harvesting_ray.pipelines.flagship import flagship_bounded
 
     scale_fixture = os.environ.get("GRAFT_SCALE_FIXTURE", "sfxl")
     d = ensure_fixture(scale_fixture, GenParams(n_convs=120_000))
     path = os.path.join(d, "transcripts.parquet")
     n = rd.read_parquet(path).count()  # warm page cache
-    out = tempfile.mkdtemp(prefix="scale-flag-")
     t0 = time.time()
     blocks = max(8, NUM_CPUS)
-    sessions = flagship_bounded(
-        rd.read_parquet(path, override_num_blocks=blocks), out, num_buckets=2 * NUM_CPUS
+    # 4 buckets per CPU: enough groups per map_groups task wave to
+    # balance load (fewer buckets leaves stragglers holding the barrier)
+    union = flagship_bounded(
+        rd.read_parquet(path, override_num_blocks=blocks), num_buckets=4 * NUM_CPUS
     )
-    n_sessions = sessions.count()
-    commit_flagship(out, [path], {})
+    union.write_parquet(tempfile.mkdtemp(prefix="scale-flag-"))
     dt = time.time() - t0
     ray.shutdown()
     return {
         "value": round(dt, 3),
         "n_turns": n,
-        "n_sessions": n_sessions,
         "turns_per_sec": round(n / dt, 1),
         "num_cpus": NUM_CPUS,
     }

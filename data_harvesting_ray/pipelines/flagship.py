@@ -3,13 +3,23 @@ semantics — normalize → dedup → session windows + CEP + tool join —
 executed as ONE Ray Data pipeline with a single hash(conv_id) shuffle.
 
 The streaming epoch loop (streaming.py) optimizes window-close
-latency; this path optimizes throughput for backfills/batch reruns:
-the per-bucket kernel computes all three channels in one pass, stages
-the side channels (matches, pairs) as per-bucket parquet with
-deterministic names, and the driver commits them via the same
-manifest-gated two-phase sink — identical exactly-once discipline,
-no per-epoch barriers. Scaling efficiency (N vs 4N) is measured on
-this path (see BASELINE.md).
+latency; this path optimizes throughput for backfills/batch reruns.
+The per-bucket kernel computes all three channels in one pass and
+returns them IN-BAND as a union frame tagged by ``channel`` — output
+stays in the object store and is written once, in parallel, by
+``ds.write_parquet`` at the sink (writing per-channel files from
+inside kernel tasks serializes on the shared disk and anti-scales).
+Scaling efficiency (N vs 4N) is measured on this path (BASELINE.md).
+
+Union schema:
+  channel: string               -- 'session' | 'match' | 'pair'
+  conv_id: string
+  session_id: int64             -- session rows, else -1
+  window_start/window_end: timestamp[us] (also call_ts/resp_ts for pairs)
+  turn_count: int64
+  a_idx, b_idx: int32           -- first/last, start/end, call/resp turn idx
+  pattern: string               -- match rows, else ''
+  call_id, tool: string         -- pair rows, else ''
 """
 
 from __future__ import annotations
@@ -19,7 +29,6 @@ import pandas as pd
 
 import ray.data as rd
 
-from ..sinks.exactly_once import EpochSink
 from ..stages.cep import PatternSpec, cep_kernel
 from ..stages.dedup import dedup_kernel
 from ..stages.join import join_kernel
@@ -27,48 +36,138 @@ from ..stages.normalize import normalize_turns
 from ..stages.partition import add_bucket
 from ..stages.windows import session_kernel
 
+_EPOCH_US = "datetime64[us]"
+
+
+def _union(sessions: pd.DataFrame, matches: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+    n_s, n_m, n_p = len(sessions), len(matches), len(pairs)
+    nat = np.datetime64("NaT", "us")
+    return pd.DataFrame(
+        {
+            "channel": np.repeat(
+                np.array(["session", "match", "pair"], dtype=object), [n_s, n_m, n_p]
+            ),
+            "conv_id": np.concatenate(
+                [sessions["conv_id"], matches["conv_id"], pairs["conv_id"]]
+            ),
+            "session_id": np.concatenate(
+                [
+                    sessions["session_id"].to_numpy(np.int64),
+                    np.full(n_m, -1, np.int64),
+                    np.full(n_p, -1, np.int64),
+                ]
+            ),
+            "window_start": np.concatenate(
+                [
+                    sessions["window_start"].to_numpy(_EPOCH_US),
+                    np.full(n_m, nat),
+                    pairs["call_ts"].to_numpy(_EPOCH_US),
+                ]
+            ),
+            "window_end": np.concatenate(
+                [
+                    sessions["window_end"].to_numpy(_EPOCH_US),
+                    np.full(n_m, nat),
+                    pairs["resp_ts"].to_numpy(_EPOCH_US),
+                ]
+            ),
+            "turn_count": np.concatenate(
+                [
+                    sessions["turn_count"].to_numpy(np.int64),
+                    np.full(n_m, -1, np.int64),
+                    np.full(n_p, -1, np.int64),
+                ]
+            ),
+            "a_idx": np.concatenate(
+                [
+                    sessions["first_turn_idx"].to_numpy(np.int32),
+                    matches["start_turn_idx"].to_numpy(np.int32),
+                    pairs["call_turn_idx"].to_numpy(np.int32),
+                ]
+            ),
+            "b_idx": np.concatenate(
+                [
+                    sessions["last_turn_idx"].to_numpy(np.int32),
+                    matches["end_turn_idx"].to_numpy(np.int32),
+                    pairs["resp_turn_idx"].to_numpy(np.int32),
+                ]
+            ),
+            "pattern": np.concatenate(
+                [
+                    np.full(n_s, "", dtype=object),
+                    matches["pattern"].to_numpy(dtype=object),
+                    np.full(n_p, "", dtype=object),
+                ]
+            ),
+            "call_id": np.concatenate(
+                [
+                    np.full(n_s, "", dtype=object),
+                    np.full(n_m, "", dtype=object),
+                    pairs["call_id"].to_numpy(dtype=object),
+                ]
+            ),
+            "tool": np.concatenate(
+                [
+                    np.full(n_s, "", dtype=object),
+                    np.full(n_m, "", dtype=object),
+                    pairs["tool"].to_numpy(dtype=object),
+                ]
+            ),
+        }
+    )
+
 
 def flagship_bounded(
     ds: rd.Dataset,
-    output_dir: str,
     gap_s: int = 1800,
     pattern: PatternSpec | None = None,
     num_buckets: int | None = None,
 ) -> rd.Dataset:
-    """Returns the sessions Dataset; matches + pairs are committed to
-    ``output_dir`` under epoch 0 of the two-phase sink."""
+    """All three channels as one union Dataset (see module docstring)."""
     pattern = pattern or PatternSpec(skip_past_last=True, suppress_turns=0)
-    sink = EpochSink(output_dir)
-    staging = sink.staging_dir(0)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        bucket = int(g["bucket"].iloc[0])
-        g = g.drop(columns=["bucket"])
         g = dedup_kernel(g).sort_values(["conv_id", "turn_idx"], kind="stable")
-        matches = cep_kernel(g, pattern)
-        pairs = join_kernel(g)
-        # side channels: deterministic per-bucket keys → idempotent
-        pq.write_table(
-            pa.Table.from_pandas(matches, preserve_index=False),
-            EpochSink.staged_file(staging, "matches", bucket),
-        )
-        pq.write_table(
-            pa.Table.from_pandas(pairs, preserve_index=False),
-            EpochSink.staged_file(staging, "pairs", bucket),
-        )
-        return session_kernel(g, gap_s)
+        return _union(session_kernel(g, gap_s), cep_kernel(g, pattern), join_kernel(g))
 
-    sessions = (
-        add_bucket(normalize_turns(ds), num_buckets=num_buckets)
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
-    return sessions
+    from ..stages.partition import apply_per_bucket
+
+    return apply_per_bucket(normalize_turns(ds), per_bucket, num_buckets=num_buckets)
 
 
-def commit_flagship(output_dir: str, input_files: list[str], metrics: dict) -> dict:
-    """Phase 2: publish the staged side channels (idempotent)."""
-    return EpochSink(output_dir).commit(0, input_files, metrics)
+def split_channels(union_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
+    """Recover the per-channel frames from flagship output."""
+    s = union_df[union_df["channel"] == "session"]
+    m = union_df[union_df["channel"] == "match"]
+    p = union_df[union_df["channel"] == "pair"]
+    sessions = pd.DataFrame(
+        {
+            "conv_id": s["conv_id"],
+            "session_id": s["session_id"].astype(np.int64),
+            "window_start": s["window_start"],
+            "window_end": s["window_end"],
+            "turn_count": s["turn_count"].astype(np.int64),
+            "first_turn_idx": s["a_idx"].astype(np.int32),
+            "last_turn_idx": s["b_idx"].astype(np.int32),
+        }
+    ).reset_index(drop=True)
+    matches = pd.DataFrame(
+        {
+            "conv_id": m["conv_id"],
+            "pattern": m["pattern"],
+            "start_turn_idx": m["a_idx"].astype(np.int32),
+            "end_turn_idx": m["b_idx"].astype(np.int32),
+        }
+    ).reset_index(drop=True)
+    pairs = pd.DataFrame(
+        {
+            "conv_id": p["conv_id"],
+            "call_id": p["call_id"],
+            "tool": p["tool"],
+            "call_turn_idx": p["a_idx"].astype(np.int32),
+            "resp_turn_idx": p["b_idx"].astype(np.int32),
+            "call_ts": p["window_start"],
+            "resp_ts": p["window_end"],
+        }
+    ).reset_index(drop=True)
+    return {"sessions": sessions, "matches": matches, "pairs": pairs}

@@ -308,11 +308,13 @@ class StreamingEngine:
                 mt = pc.max(b["max_ts"]).as_py()
                 if mt is not None:
                     max_ts = max(max_ts, mt)
-            shard_maxes = ray.get([a.max_ts.remote() for a in self.actors])
-            global_max = max([m for m in shard_maxes if m > NEG_INF], default=NEG_INF)
+            # the ingest acks already carry each shard's running max event
+            # ts (monotone), so the global max needs no extra RPC round
+            global_max = max_ts
             flush = flush_at_end and epoch == last_epoch
             wm = global_max - self.delay_us if global_max > NEG_INF else NEG_INF
             current_wm = max(current_wm, wm)
+            wm = current_wm  # watermark is monotone across epochs
             metrics = ray.get(
                 [
                     a.close_and_stage.remote(wm, staging, flush)

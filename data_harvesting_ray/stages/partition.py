@@ -62,13 +62,34 @@ def apply_per_bucket(
     drop_bucket: bool = True,
 ) -> ray.data.Dataset:
     """Shuffle by hash(key) into B buckets and apply a vectorized kernel
-    to each bucket partition (a pandas DataFrame holding every row of
-    every conversation hashed there)."""
+    per partition (a pandas DataFrame holding every row of every
+    conversation hashed there; a block may hold several whole buckets —
+    kernels are vectorized across conversations, so only key
+    co-location matters).
+
+    Physical plan: hash ``repartition(keys=...)`` + ``map_batches`` —
+    NOT sort-based ``groupby().map_groups()``: a sort is a sampling
+    barrier whose coordination dominated wall time (it contributed
+    ~26 s of non-overlapped latency on a 10M-row input; hash
+    repartition needs no samples and streams)."""
 
     def wrapper(g: pd.DataFrame) -> pd.DataFrame:
-        out = fn(g.drop(columns=["bucket"]) if drop_bucket else g)
-        return out
+        return fn(g.drop(columns=["bucket"]) if drop_bucket else g)
 
-    return add_bucket(ds, key=key, num_buckets=num_buckets).groupby("bucket").map_groups(
-        wrapper, batch_format="pandas"
+    _ensure_hash_shuffle()
+    b = num_buckets or default_num_buckets()
+    parts = add_bucket(ds, key=key, num_buckets=b).repartition(
+        b, keys=["bucket"], sort=False
     )
+    return parts.map_batches(wrapper, batch_format="pandas", batch_size=None)
+
+
+def _ensure_hash_shuffle() -> None:
+    """Key-based repartition requires the hash-shuffle strategy (Ray
+    defaults to sort-based pull shuffle)."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
