@@ -1,0 +1,67 @@
+"""Typed pipeline configuration — the engine's extension surface.
+
+The reference configures everything through a single env-var object
+(``utils/VariableClass.py:10-96``, X5) plus per-project YAML validated
+only for arity (``projects/base_project.py:66-82``); plugins register
+by name in factories (X1-X3). Here the same surface is a validated
+dataclass: window spec + pattern spec (the ``condition_func`` slot,
+X1), an arbitrary batch-UDF hook (the model slot, M3/ST1), and sink
+options. ``from_yaml`` covers the reference's YAML habit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from .schema import DEFAULT_SESSION_GAP_S, DEFAULT_WATERMARK_DELAY_S, ROLES
+from .stages.cep import PatternSpec
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    session_gap_s: int = DEFAULT_SESSION_GAP_S
+    watermark_delay_s: int = DEFAULT_WATERMARK_DELAY_S
+    pattern: PatternSpec = field(default_factory=PatternSpec)
+    num_shards: int | None = None  # None → sized from cluster CPUs
+    checkpoint: bool = True
+    # batch-UDF hook (the reference's model slot): applied after
+    # normalize, before routing; must be a vectorized batch fn
+    enrich: Callable[[Any], Any] | None = None
+
+    def validate(self) -> "EngineConfig":
+        if self.session_gap_s <= 0:
+            raise ValueError("session_gap_s must be positive")
+        if self.watermark_delay_s < 0:
+            raise ValueError("watermark_delay_s must be >= 0")
+        unknown = [r for r in self.pattern.roles if r not in ROLES]
+        if unknown:
+            raise ValueError(f"pattern roles not in schema ROLES: {unknown}")
+        if self.pattern.suppress_turns < 0:
+            raise ValueError("suppress_turns must be >= 0")
+        if self.num_shards is not None and self.num_shards < 1:
+            raise ValueError("num_shards must be >= 1")
+        return self
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        d = dict(d)
+        pat = d.pop("pattern", None)
+        if isinstance(pat, dict):
+            pat = dict(pat)
+            if "roles" in pat:
+                pat["roles"] = tuple(pat["roles"])
+            pat = PatternSpec(**pat)
+        cfg = cls(
+            **{k: v for k, v in d.items() if k in cls.__dataclass_fields__},
+            **({"pattern": pat} if pat is not None else {}),
+        )
+        return cfg.validate()
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "EngineConfig":
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})

@@ -180,6 +180,30 @@ def q_e_cep(sf_dir: str) -> Any:
     return cep_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_t_translate_tools(sf_dir: str) -> Any:
+    from ..stages.projection import translate_tools
+
+    return translate_tools(_t(sf_dir))
+
+
+def q_t_call_spans(sf_dir: str) -> Any:
+    from ..stages.projection import call_spans
+
+    return call_spans(_t(sf_dir))
+
+
+def q_t_head_per_conv(sf_dir: str) -> Any:
+    from ..stages.projection import head_per_conv
+
+    return head_per_conv(_t(sf_dir), n=3)
+
+
+def q_t_systematic_sample(sf_dir: str) -> Any:
+    from ..stages.projection import systematic_sample
+
+    return systematic_sample(_t(sf_dir), pct=10)
+
+
 def _docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -304,6 +328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_turn_stats": q_t_turn_stats,
         "t_role_mode": q_t_role_mode,
         "t_topk_tools": q_t_topk_tools,
+        "t_translate_tools": q_t_translate_tools,
+        "t_call_spans": q_t_call_spans,
+        "t_head_per_conv": q_t_head_per_conv,
+        "t_systematic_sample": q_t_systematic_sample,
         "t_streaming_sessions": q_t_streaming_sessions,
         "t_streaming_pairs": q_t_streaming_pairs,
         "e_tumbling": q_e_tumbling,
@@ -423,6 +451,36 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
               AND t2 = turn_idx + 2
         """,
         "t_stride_sample": f"SELECT * FROM {T} WHERE turn_idx % 4 = 0",
+        "t_translate_tools": f"""
+            SELECT conv_id, turn_idx, role, text,
+                   CASE tool WHEN 'search' THEN 'web_search'
+                             WHEN 'calculator' THEN 'math'
+                             WHEN 'browser' THEN 'web_browser'
+                             WHEN 'python' THEN 'code'
+                             WHEN 'sql' THEN 'database'
+                             ELSE tool END AS tool,
+                   ts
+            FROM {RAW}
+        """,
+        "t_call_spans": f"""
+            SELECT conv_id, turn_idx,
+                   CASE WHEN strpos(text, '[') > 0 AND strpos(text, ']') > strpos(text, '[')
+                        THEN substr(text,
+                                    greatest(1, strpos(text, '[') - 10),
+                                    (strpos(text, ']') + 10) - greatest(0, strpos(text, '[') - 11))
+                        ELSE '' END AS call_span
+            FROM {RAW}
+        """,
+        "t_head_per_conv": f"""
+            SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+              SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+              FROM {T}
+            ) WHERE rn <= 3
+        """,
+        "t_systematic_sample": f"""
+            SELECT * FROM {RAW}
+            WHERE ((CAST(substr(conv_id, 6) AS BIGINT) * 31 + turn_idx) * 2654435761) % 997 < 100
+        """,
         "t_turn_stats": f"""
             SELECT conv_id, count(*) AS n_turns,
                    CAST(sum(CASE WHEN tool <> '' AND role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,

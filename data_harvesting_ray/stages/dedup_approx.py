@@ -91,6 +91,28 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": ids[ia].astype(np.int64), "doc_b": ids[ib].astype(np.int64)})
 
 
+def band_candidate_pairs(sig: ray.data.Dataset, num_buckets: int | None = None) -> pd.DataFrame:
+    """Distinct candidate pairs from (band, band_hash) rows: hash
+    repartition on band_hash co-locates buckets (same plan as every
+    other stateful stage — see stages/partition.py), then pairs are
+    emitted per exact (band, band_hash) group within the partition."""
+    from .partition import apply_per_bucket
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _bucket_pairs(grp)
+            for _, grp in g.groupby(["band", "band_hash"], sort=False)
+        ]
+        if not outs:
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = apply_per_bucket(sig, kernel, key="band_hash", num_buckets=num_buckets)
+    return pairs.to_pandas().drop_duplicates().reset_index(drop=True)
+
+
 def minhash_candidates(
     docs: ray.data.Dataset, num_perm: int = 128, bands: int = 32, k: int = 5
 ) -> pd.DataFrame:
@@ -102,11 +124,7 @@ def minhash_candidates(
         batch_size=512,
         concurrency=(2, 8),
     )
-    pairs = sig.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    pdf = pairs.to_pandas()
-    return pdf.drop_duplicates().reset_index(drop=True)
+    return band_candidate_pairs(sig)
 
 
 def verify_pairs_jaccard(
@@ -215,13 +233,7 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFr
             )
         return pd.concat(rows, ignore_index=True)
 
-    pairs = (
-        sig.map_batches(explode, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    pairs = band_candidate_pairs(sig.map_batches(explode, batch_format="pandas"))
     if pairs.empty:
         return pd.DataFrame(
             {

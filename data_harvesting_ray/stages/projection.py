@@ -1,0 +1,100 @@
+"""Projection / scalar-function operators (SURVEY §2.2 M6-M8, §2.6).
+
+- M6 crop-to-union-bbox (``condition.py:98-127``: union box + padding,
+  clamp, slice) → trim ``text`` to the matched call-id span ± padding.
+- M8 label translation (``utils/TranslateObject.py:1-23``: static
+  person→pedestrian remap) → static tool-name remap via vectorized
+  dictionary lookup.
+- A9 per-key output cap (``MAX_NUMBER_OF_PREDICTIONS`` per video,
+  ``services/harvest_service.py:175-176``) → first N turns per conv.
+- SO3 systematic sampling → deterministic hash-mod sample (exactly
+  reproducible in SQL — no RNG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .partition import apply_per_bucket
+
+# M8: the reference's static label remap, for tools.
+TOOL_TRANSLATION = {
+    "search": "web_search",
+    "calculator": "math",
+    "browser": "web_browser",
+    "python": "code",
+    "sql": "database",
+}
+
+SPAN_PAD = 10  # M6 padding (the reference pads crops by 100 px)
+
+
+def translate_tools(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Static tool-name remap; unknown/empty names pass through
+    (the reference leaves unmapped labels unchanged)."""
+    keys = pa.array(list(TOOL_TRANSLATION), pa.string())
+    vals = pa.array(list(TOOL_TRANSLATION.values()), pa.string())
+
+    def remap(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["tool"], keys)
+        translated = pc.coalesce(pc.take(vals, idx), t["tool"])
+        return t.set_column(t.schema.get_field_index("tool"), "tool", translated)
+
+    return ds.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def call_span_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """M6: slice text to the ``[call-...]`` token ± SPAN_PAD chars;
+    rows without a token project to ''."""
+    text = df["text"]
+    start = text.str.find("[")
+    end = text.str.find("]")
+    has = (start >= 0) & (end > start)
+    lo = np.maximum(0, start.to_numpy() - SPAN_PAD)
+    hi = end.to_numpy() + 1 + SPAN_PAD
+    spans = [
+        s[int(a) : int(b)] if h else ""
+        for s, a, b, h in zip(text, lo, hi, has)
+    ]
+    return pd.DataFrame(
+        {
+            "conv_id": df["conv_id"],
+            "turn_idx": df["turn_idx"],
+            "call_span": spans,
+        }
+    )
+
+
+def call_spans(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(call_span_batch, batch_format="pandas")
+
+
+def head_per_conv(ds: ray.data.Dataset, n: int = 3, num_buckets: int | None = None) -> ray.data.Dataset:
+    """A9: cap output at the first n turns per conversation."""
+    from .dedup import dedup_kernel
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = dedup_kernel(g).sort_values(["conv_id", "turn_idx"], kind="stable")
+        rank = g.groupby("conv_id", sort=False).cumcount()
+        return g[rank.to_numpy() < n]
+
+    return apply_per_bucket(ds, kernel, num_buckets=num_buckets)
+
+
+def systematic_sample(ds: ray.data.Dataset, pct: int = 10) -> ray.data.Dataset:
+    """SO3: deterministic pseudo-random sample — hash-mod on
+    (conv number, turn_idx) with exact integer arithmetic, so the same
+    rows are selected by the SQL oracle. (For true random sampling use
+    ``ds.random_sample(frac, seed=...)``.)"""
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        conv_num = df["conv_id"].str.slice(5).astype(np.int64)
+        key = (conv_num * 31 + df["turn_idx"].astype(np.int64)) * 2654435761 % 997
+        return df[key < pct * 10]
+
+    return ds.map_batches(gate, batch_format="pandas")

@@ -166,15 +166,9 @@ def embedding_near_dups(
             code |= bits[:, j].astype(np.int64) << j
         return pd.DataFrame({"doc_id": df["vec_id"].astype(np.int64), "band": np.int64(0), "band_hash": code})
 
-    from .dedup_approx import _bucket_pairs
+    from .dedup_approx import band_candidate_pairs
 
-    pairs = (
-        ds.map_batches(sketch, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    pairs = band_candidate_pairs(ds.map_batches(sketch, batch_format="pandas"))
     if pairs.empty:
         return pd.DataFrame(
             {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64), "sim_milli": np.array([], np.int64)}

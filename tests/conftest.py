@@ -12,6 +12,9 @@ warnings.filterwarnings("ignore")
 def ray_session():
     import ray
 
+    import data_harvesting_ray  # noqa: F401 - sets Ray Data context
+    # (shuffle strategy etc.) BEFORE any Dataset is created
+
     ray.init(
         address="local",
         num_cpus=4,
