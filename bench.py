@@ -123,8 +123,8 @@ def run_scale_one() -> dict:
     from data_harvesting_ray.fixtures.generator import GenParams, ensure_fixture
     from data_harvesting_ray.pipelines.flagship import flagship_bounded
 
-    scale_fixture = os.environ.get("GRAFT_SCALE_FIXTURE", "sfxl")
-    d = ensure_fixture(scale_fixture, GenParams(n_convs=120_000))
+    scale_fixture = os.environ.get("GRAFT_SCALE_FIXTURE", "sfxxl")
+    d = ensure_fixture(scale_fixture, GenParams(n_convs=600_000))
     path = os.path.join(d, "transcripts.parquet")
     n = rd.read_parquet(path).count()  # warm page cache
     t0 = time.time()
@@ -162,15 +162,25 @@ def run_scaling() -> dict:
                 best = r  # best-of-N: the sandbox VM has heavy CPU steal
         return best
 
-    lo, hi = one(8), one(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # N vs 4N pair. Default 4→16: the sandbox VM peaks at ~23 effective
+    # cores under host steal (BASELINE.md), so 8→32 measures the host,
+    # not the engine; below 4 CPUs the hash-shuffle aggregators starve
+    # the map tasks. Override with GRAFT_SCALE_CPUS="8,32".
+    pair = os.environ.get("GRAFT_SCALE_CPUS", "4,16").split(",")
+    if len(pair) != 2:
+        raise SystemExit("GRAFT_SCALE_CPUS must be 'N_lo,N_hi', e.g. '4,16'")
+    n_lo, n_hi = int(pair[0]), int(pair[1])
+    lo, hi = one(n_lo), one(n_hi)
+    eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
     return {
         "metric": "scaling_efficiency",
         "pipeline": "flagship_bounded (sessions+CEP+join, one shuffle)",
-        "sec_8cpu": lo["value"],
-        "sec_32cpu": hi["value"],
-        "turns_per_sec_8cpu": lo["turns_per_sec"],
-        "turns_per_sec_32cpu": hi["turns_per_sec"],
+        "cpus_lo": n_lo,
+        "cpus_hi": n_hi,
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "turns_per_sec_lo": lo["turns_per_sec"],
+        "turns_per_sec_hi": hi["turns_per_sec"],
         "n_turns": lo["n_turns"],
         "scaling_efficiency": round(eff, 3),
     }
