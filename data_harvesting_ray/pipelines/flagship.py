@@ -33,7 +33,6 @@ from ..stages.cep import PatternSpec, cep_kernel
 from ..stages.dedup import dedup_kernel
 from ..stages.join import join_kernel
 from ..stages.normalize import normalize_turns
-from ..stages.partition import add_bucket
 from ..stages.windows import session_kernel
 
 _EPOCH_US = "datetime64[us]"

@@ -220,7 +220,7 @@ class StreamingEngine:
 
     def _restore_from(self, epoch: int) -> bool:
         import glob as _glob
-        import pickle
+
 
         d = os.path.join(self.ckpt_dir, f"epoch={epoch:06d}")
         if not os.path.isdir(d):
