@@ -131,7 +131,16 @@ def flagship_bounded(
 
     from ..stages.partition import apply_per_bucket
 
-    return apply_per_bucket(normalize_turns(ds), per_bucket, num_buckets=num_buckets)
+    def drop_text(t):
+        # the kernels consume only turn metadata + call_id — the
+        # payload must not ride the shuffle (same projection the
+        # streaming router does at pipelines/streaming.py)
+        return t.drop_columns([c for c in ("text",) if c in t.column_names])
+
+    normalized = normalize_turns(ds).map_batches(
+        drop_text, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return apply_per_bucket(normalized, per_bucket, num_buckets=num_buckets)
 
 
 def split_channels(union_df: pd.DataFrame) -> dict[str, pd.DataFrame]:

@@ -45,20 +45,28 @@ def _read_blocks() -> int:
         return 8
 
 
-def _t(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(transcripts_path(sf_dir), override_num_blocks=_read_blocks())
+def _t(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Transcript read, pruned at the source: every query passes only
+    the columns its operators touch (`columns=` reaches the parquet
+    reader, so pruned columns never leave storage — at 100 TB this is
+    the difference between scanning transcripts and scanning turn
+    metadata)."""
+    return rd.read_parquet(
+        transcripts_path(sf_dir),
+        columns=columns,
+        override_num_blocks=_read_blocks(),
+    )
+
+
+_META = ["conv_id", "turn_idx", "ts"]  # session/sliding windows
+_META_RT = ["conv_id", "turn_idx", "role", "tool", "ts"]  # + tool-call flag
+_META_ROLE = ["conv_id", "turn_idx", "role"]  # CEP / role mode
 
 
 def _norm(sf_dir: str) -> rd.Dataset:
     from ..stages.normalize import normalize_turns
 
     return normalize_turns(_t(sf_dir))
-
-
-def _norm_dedup(sf_dir: str) -> rd.Dataset:
-    from ..stages.dedup import dedup_exact
-
-    return dedup_exact(_norm(sf_dir))
 
 
 # --------------------------------------------------------------- callables
@@ -75,20 +83,19 @@ def q_t_dedup(sf_dir: str) -> Any:
 def q_t_session_windows(sf_dir: str) -> Any:
     from ..stages.windows import session_windows
 
-    return session_windows(_t(sf_dir))
+    return session_windows(_t(sf_dir, _META))
 
 
 def q_t_tumbling_windows(sf_dir: str) -> Any:
     from ..stages.windows import tumbling_windows
 
-    return tumbling_windows(_norm_dedup(sf_dir))
+    return tumbling_windows(_t(sf_dir, _META_RT))
 
 
 def q_t_sliding_windows(sf_dir: str) -> Any:
-    from ..stages.dedup import dedup_exact
     from ..stages.windows import sliding_windows
 
-    return sliding_windows(dedup_exact(_t(sf_dir)))
+    return sliding_windows(_t(sf_dir, _META))
 
 
 def q_t_tool_join(sf_dir: str) -> Any:
@@ -106,39 +113,42 @@ def q_t_orphan_calls(sf_dir: str) -> Any:
 def q_t_cep_matches(sf_dir: str) -> Any:
     from ..stages.cep import cep_matches
 
-    return cep_matches(_t(sf_dir))
+    return cep_matches(_t(sf_dir, _META_ROLE))
 
 
 def q_t_cep_suppressed(sf_dir: str) -> Any:
     from ..stages.cep import PatternSpec, cep_matches
 
-    return cep_matches(_t(sf_dir), PatternSpec(skip_past_last=True, suppress_turns=5))
+    return cep_matches(
+        _t(sf_dir, _META_ROLE), PatternSpec(skip_past_last=True, suppress_turns=5)
+    )
 
 
 def q_t_stride_sample(sf_dir: str) -> Any:
     from ..stages.aggregates import stride_sample
     from ..stages.dedup import dedup_exact
 
-    return stride_sample(dedup_exact(_t(sf_dir)), k=4)
+    # stride gate commutes with key-exact dedup; filtering first means
+    # dedup's key pass only scans the surviving stride
+    return dedup_exact(stride_sample(_t(sf_dir), k=4))
 
 
 def q_t_turn_stats(sf_dir: str) -> Any:
     from ..stages.aggregates import turn_stats
 
-    return turn_stats(_norm_dedup(sf_dir))
+    return turn_stats(_t(sf_dir, _META_RT))
 
 
 def q_t_role_mode(sf_dir: str) -> Any:
     from ..stages.aggregates import role_mode
-    from ..stages.dedup import dedup_exact
 
-    return role_mode(dedup_exact(_t(sf_dir)))
+    return role_mode(_t(sf_dir, _META_ROLE))
 
 
 def q_t_topk_tools(sf_dir: str) -> Any:
     from ..stages.aggregates import topk_tools
 
-    return topk_tools(_norm_dedup(sf_dir), k=3)
+    return topk_tools(_t(sf_dir, ["conv_id", "turn_idx", "role", "tool"]), k=3)
 
 
 def _run_streaming(sf_dir: str):

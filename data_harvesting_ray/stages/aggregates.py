@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
 from .partition import apply_per_bucket
 
@@ -29,20 +29,27 @@ def stride_sample(ds: ray.data.Dataset, k: int = 4) -> ray.data.Dataset:
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def turn_stats(normalized_deduped: ray.data.Dataset) -> ray.data.Dataset:
+def turn_stats(ds: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
     """Per-conversation stats: count, tool-call count, first/last ts
-    (the ClassificationObject incremental-aggregate analogue, ST3)."""
+    (the ClassificationObject incremental-aggregate analogue, ST3).
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.select(["conv_id", "ts", "is_tool_call"]).to_pandas()
-        part = (
+    Accepts raw (possibly duplicated) rows pruned to (conv_id,
+    turn_idx, ts, role, tool): dedup and the final per-conv aggregate
+    fuse into the one hash(conv_id) pass — no second groupby, no
+    payload in the shuffle."""
+    from .dedup import dedup_kernel
+    from .windows import _is_tool_call
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = dedup_kernel(g)
+        return (
             pd.DataFrame(
                 {
-                    "conv_id": df["conv_id"],
+                    "conv_id": g["conv_id"].to_numpy(),
                     "n_turns": np.int64(1),
-                    "n_tool_calls": df["is_tool_call"].to_numpy().astype(np.int64),
-                    "first_ts": df["ts"],
-                    "last_ts": df["ts"],
+                    "n_tool_calls": _is_tool_call(g),
+                    "first_ts": g["ts"].to_numpy(),
+                    "last_ts": g["ts"].to_numpy(),
                 }
             )
             .groupby("conv_id", sort=False, as_index=False)
@@ -53,52 +60,54 @@ def turn_stats(normalized_deduped: ray.data.Dataset) -> ray.data.Dataset:
                 last_ts=("last_ts", "max"),
             )
         )
-        return pa.Table.from_pandas(part, preserve_index=False)
 
-    return normalized_deduped.map_batches(partial, batch_format="pyarrow").groupby(
-        "conv_id"
-    ).aggregate(
-        Sum("n_turns", alias_name="n_turns"),
-        Sum("n_tool_calls", alias_name="n_tool_calls"),
-        Min("first_ts", alias_name="first_ts"),
-        Max("last_ts", alias_name="last_ts"),
-    )
+    return apply_per_bucket(ds, kernel, num_buckets=num_buckets)
 
 
-def role_mode(deduped: ray.data.Dataset) -> ray.data.Dataset:
+def role_mode(ds: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
     """Majority role per conversation (A7, exact mode with
     deterministic tie-break by role name asc —
-    utils/ClassificationObject.py:105-113)."""
+    utils/ClassificationObject.py:105-113). Fused dedup + count +
+    argmax per bucket; input pruned to (conv_id, turn_idx, role)."""
+    from .dedup import dedup_kernel
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.select(["conv_id", "role"]).to_pandas()
-        part = (
-            df.assign(n=np.int64(1))
-            .groupby(["conv_id", "role"], sort=False, as_index=False)
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = dedup_kernel(g)
+        counts = (
+            g.assign(n=np.int64(1))
+            .groupby(["conv_id", "role"], sort=False, as_index=False)["n"]
             .sum()
         )
-        return pa.Table.from_pandas(part, preserve_index=False)
+        counts = counts.sort_values(
+            ["conv_id", "n", "role"], ascending=[True, False, True], kind="stable"
+        )
+        out = counts.drop_duplicates(subset=["conv_id"], keep="first")
+        return out.rename(columns={"role": "top_role", "n": "role_count"})[
+            ["conv_id", "top_role", "role_count"]
+        ]
 
-    counts = deduped.map_batches(partial, batch_format="pyarrow").groupby(
-        ["conv_id", "role"]
-    ).aggregate(Sum("n", alias_name="role_count"))
-
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["conv_id", "role_count", "role"], ascending=[True, False, True], kind="stable")
-        out = g.drop_duplicates(subset=["conv_id"], keep="first")
-        return out.rename(columns={"role": "top_role"})[["conv_id", "top_role", "role_count"]]
-
-    return apply_per_bucket(counts, top1)
+    return apply_per_bucket(ds, kernel, num_buckets=num_buckets)
 
 
-def topk_tools(normalized_deduped: ray.data.Dataset, k: int = 3) -> pd.DataFrame:
+def topk_tools(ds: ray.data.Dataset, k: int = 3, num_buckets: int | None = None) -> pd.DataFrame:
     """Global top-k tools by call count (A8; exact, small result →
-    driver-side final sort is fine)."""
-    calls = normalized_deduped.map_batches(
-        lambda t: t.filter(t["is_tool_call"]).select(["tool"]),
-        batch_format="pyarrow",
-    )
-    counts = calls.groupby("tool").aggregate(Count(alias_name="n_calls")).to_pandas()
+    driver-side final sort is fine). The bucket kernel dedups and
+    emits per-tool partial counts (≤ |tools| rows per bucket); the
+    final groupby shuffles those partials only."""
+    from .dedup import dedup_kernel
+    from .windows import _is_tool_call
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = dedup_kernel(g)
+        g = g[_is_tool_call(g).astype(bool)]
+        return (
+            g.assign(n=np.int64(1))
+            .groupby("tool", sort=False, as_index=False)["n"]
+            .sum()
+        )
+
+    partials = apply_per_bucket(ds, kernel, num_buckets=num_buckets)
+    counts = partials.groupby("tool").aggregate(Sum("n", alias_name="n_calls")).to_pandas()
     counts = counts.sort_values(["n_calls", "tool"], ascending=[False, True], kind="stable")
     counts["n_calls"] = counts["n_calls"].astype(np.int64)
     return counts.head(k).reset_index(drop=True)

@@ -13,11 +13,31 @@ hash join. Orphan calls (no response) are the anti-join complement
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from .dedup import dedup_kernel
 from .partition import apply_per_bucket
+
+
+def _participants(normalized: ray.data.Dataset) -> ray.data.Dataset:
+    """Pre-shuffle pruning: only call/response rows participate in the
+    join, and the join needs no payload — filter to them and project
+    `text` away BEFORE the shuffle (most rows and nearly all bytes
+    never move). Filtering before dedup is sound because duplicate
+    rows are byte-identical (the predicate is row-deterministic)."""
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(t["call_id"], pa.scalar("")),
+            pc.or_(t["is_tool_call"], pc.equal(t["role"], pa.scalar("tool"))),
+        )
+        t = t.filter(keep)
+        return t.drop_columns([c for c in ("text",) if c in t.column_names])
+
+    return normalized.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _split_calls_resps(g: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -73,8 +93,21 @@ def orphan_kernel(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def tool_join(normalized: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
-    return apply_per_bucket(normalized, join_kernel, num_buckets=num_buckets)
+    """Bucketing on the TRUE join key (conv_id, call_id): a hot
+    conversation's calls spread over many buckets instead of pinning
+    one partition (the kernel only needs per-(conv, call) co-location)."""
+    return apply_per_bucket(
+        _participants(normalized),
+        join_kernel,
+        key=["conv_id", "call_id"],
+        num_buckets=num_buckets,
+    )
 
 
 def orphan_calls(normalized: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
-    return apply_per_bucket(normalized, orphan_kernel, num_buckets=num_buckets)
+    return apply_per_bucket(
+        _participants(normalized),
+        orphan_kernel,
+        key=["conv_id", "call_id"],
+        num_buckets=num_buckets,
+    )

@@ -32,6 +32,18 @@ def _stable_hash(strings: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(strings.astype(object), categorize=False)
 
 
+def _stable_hash_cols(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Combined stable hash over one or more key columns (vectorized).
+
+    Multi-key bucketing lets joins co-locate on their true join key
+    (e.g. (conv_id, call_id)) so a hot conversation's calls spread over
+    many buckets instead of pinning one straggler partition."""
+    h = _stable_hash(t[keys[0]].to_numpy(zero_copy_only=False))
+    for k in keys[1:]:
+        h = h * np.uint64(1_000_003) + _stable_hash(t[k].to_numpy(zero_copy_only=False))
+    return h
+
+
 def default_num_buckets(parallelism_hint: int | None = None) -> int:
     if parallelism_hint is None:
         try:
@@ -43,12 +55,15 @@ def default_num_buckets(parallelism_hint: int | None = None) -> int:
 
 
 def add_bucket(
-    ds: ray.data.Dataset, key: str = "conv_id", num_buckets: int | None = None
+    ds: ray.data.Dataset,
+    key: str | list[str] = "conv_id",
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     b = num_buckets or default_num_buckets()
+    keys = [key] if isinstance(key, str) else list(key)
 
     def assign(t: pa.Table) -> pa.Table:
-        h = _stable_hash(t[key].to_numpy(zero_copy_only=False))
+        h = _stable_hash_cols(t, keys)
         return t.append_column("bucket", pa.array((h % b).astype(np.int64)))
 
     return ds.map_batches(assign, batch_format="pyarrow")
@@ -57,7 +72,7 @@ def add_bucket(
 def apply_per_bucket(
     ds: ray.data.Dataset,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    key: str = "conv_id",
+    key: str | list[str] = "conv_id",
     num_buckets: int | None = None,
     drop_bucket: bool = True,
 ) -> ray.data.Dataset:

@@ -75,7 +75,13 @@ def call_spans(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def head_per_conv(ds: ray.data.Dataset, n: int = 3, num_buckets: int | None = None) -> ray.data.Dataset:
-    """A9: cap output at the first n turns per conversation."""
+    """A9: cap output at the first n turns per conversation.
+
+    Top-k-per-key partial pattern: each block locally keeps its own
+    first-n per conv (a superset of the global first-n — any globally
+    kept row is in its block's local head), so the shuffle moves at
+    most n × blocks rows per conv instead of whole conversations with
+    payload."""
     from .dedup import dedup_kernel
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
@@ -83,7 +89,8 @@ def head_per_conv(ds: ray.data.Dataset, n: int = 3, num_buckets: int | None = No
         rank = g.groupby("conv_id", sort=False).cumcount()
         return g[rank.to_numpy() < n]
 
-    return apply_per_bucket(ds, kernel, num_buckets=num_buckets)
+    local = ds.map_batches(kernel, batch_format="pandas")
+    return apply_per_bucket(local, kernel, num_buckets=num_buckets)
 
 
 def systematic_sample(ds: ray.data.Dataset, pct: int = 10) -> ray.data.Dataset:

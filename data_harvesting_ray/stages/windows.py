@@ -8,11 +8,11 @@ Physical plans:
 - session: needs whole conversations → one hash(conv_id) shuffle, then
   a fully vectorized gaps-and-islands kernel per bucket (reduceat over
   island boundaries — no per-conversation Python).
-- tumbling/sliding: decomposable aggregates → partial aggregation
-  inside ``map_batches`` (one row per (conv, window) per batch), then a
-  small ``groupby().aggregate(Sum)`` over the partials — the shuffle
-  moves pre-aggregated rows, not turns (SURVEY.md "pre-aggregate
-  inside map_batches").
+- tumbling/sliding: dedup + the full (conv, window) aggregate fused
+  into one hash(conv_id) partition pass over PRUNED metadata columns
+  (conv_id, turn_idx, ts, role, tool) — the payload (`text`) is never
+  read, never shuffled. (The partial-agg + small-groupby plan lives on
+  in the streaming engine's per-epoch window partials.)
 """
 
 from __future__ import annotations
@@ -22,7 +22,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..schema import DEFAULT_SESSION_GAP_S
 from .dedup import dedup_kernel
@@ -86,70 +85,82 @@ def session_windows(
     )
 
 
-def _tumbling_partial(t: pa.Table, size_us: int) -> pa.Table:
-    """Partial per-batch aggregate: one row per (conv_id, window) key.
+def _is_tool_call(g: pd.DataFrame) -> np.ndarray:
+    """is_tool_call from whichever columns are present: a normalized
+    frame carries it; a pruned raw read derives it from (role, tool)."""
+    if "is_tool_call" in g.columns:
+        return g["is_tool_call"].to_numpy().astype(np.int64)
+    return (
+        (g["tool"].to_numpy() != "") & (g["role"].to_numpy() == "assistant")
+    ).astype(np.int64)
 
-    Exact duplicates inflate counts if not removed first — callers pass
-    a deduped dataset (see pipelines). Kept separate so the partial
-    aggregation is a pure decomposable combiner.
-    """
-    df = t.select(["conv_id", "ts", "is_tool_call"]).to_pandas()
-    ws = (df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // size_us) * size_us
-    part = (
+
+def tumbling_kernel(g: pd.DataFrame, size_us: int) -> pd.DataFrame:
+    """Dedup + per-(conv, window) counts in one pass over a bucket.
+    Input needs only (conv_id, turn_idx, ts) + (role, tool |
+    is_tool_call) — callers prune the read to those columns so the one
+    hash shuffle ships ~30 bytes/row of metadata, never the payload."""
+    g = dedup_kernel(g)
+    ws = (g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // size_us) * size_us
+    out = (
         pd.DataFrame(
             {
-                "conv_id": df["conv_id"],
+                "conv_id": g["conv_id"].to_numpy(),
                 "window_start": ws,
                 "turn_count": np.int64(1),
-                "tool_call_count": df["is_tool_call"].to_numpy().astype(np.int64),
+                "tool_call_count": _is_tool_call(g),
             }
         )
         .groupby(["conv_id", "window_start"], sort=False, as_index=False)
         .sum()
     )
-    part["window_start"] = part["window_start"].astype("datetime64[us]")
-    return pa.Table.from_pandas(part, preserve_index=False)
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out
 
 
 def tumbling_windows(
-    normalized_deduped: ray.data.Dataset, size_s: int = 600
+    ds: ray.data.Dataset, size_s: int = 600, num_buckets: int | None = None
 ) -> ray.data.Dataset:
+    """Per-(conv, tumbling-window) turn/tool-call counts. Accepts raw
+    (possibly duplicated) rows: dedup and the full aggregate fuse into
+    the same hash(conv_id) partition pass, so exactly one shuffle of
+    pruned metadata columns runs end-to-end."""
     size_us = size_s * US
-    partials = normalized_deduped.map_batches(
-        lambda t: _tumbling_partial(t, size_us), batch_format="pyarrow"
-    )
-    return partials.groupby(["conv_id", "window_start"]).aggregate(
-        Sum("turn_count", alias_name="turn_count"),
-        Sum("tool_call_count", alias_name="tool_call_count"),
+    return apply_per_bucket(
+        ds, lambda g: tumbling_kernel(g, size_us), num_buckets=num_buckets
     )
 
 
-def _sliding_partial(t: pa.Table, size_us: int, slide_us: int) -> pa.Table:
-    df = t.select(["conv_id", "ts"]).to_pandas()
-    ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+def sliding_kernel(g: pd.DataFrame, size_us: int, slide_us: int) -> pd.DataFrame:
+    g = dedup_kernel(g)
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     k_hi = ts // slide_us
     k_lo = (ts - size_us) // slide_us + 1
     reps = (k_hi - k_lo + 1).astype(np.int64)
-    conv = np.repeat(df["conv_id"].to_numpy(), reps)
+    conv = np.repeat(g["conv_id"].to_numpy(), reps)
     # window index for each (row, window) pair without a Python loop
     offsets = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
     ws = (np.repeat(k_lo, reps) + offsets) * slide_us
-    part = (
+    out = (
         pd.DataFrame({"conv_id": conv, "window_start": ws, "turn_count": np.int64(1)})
         .groupby(["conv_id", "window_start"], sort=False, as_index=False)
         .sum()
     )
-    part["window_start"] = part["window_start"].astype("datetime64[us]")
-    return pa.Table.from_pandas(part, preserve_index=False)
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out
 
 
 def sliding_windows(
-    deduped: ray.data.Dataset, size_s: int = 600, slide_s: int = 300
+    ds: ray.data.Dataset,
+    size_s: int = 600,
+    slide_s: int = 300,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
-    partials = deduped.map_batches(
-        lambda t: _sliding_partial(t, size_s * US, slide_s * US),
-        batch_format="pyarrow",
-    )
-    return partials.groupby(["conv_id", "window_start"]).aggregate(
-        Sum("turn_count", alias_name="turn_count")
+    """Sliding-window counts; same fused one-shuffle plan as tumbling
+    (the window expansion happens after the shuffle, inside the
+    kernel, so pre-expansion rows — not size/slide× more — move)."""
+    return apply_per_bucket(
+        ds,
+        lambda g: sliding_kernel(g, size_s * US, slide_s * US),
+        num_buckets=num_buckets,
     )
