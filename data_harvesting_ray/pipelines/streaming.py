@@ -69,13 +69,15 @@ class StateShardActor:
         self.state = ShardState(gap_s=gap_s, pattern=pattern)
         self.epoch_late: list[pd.DataFrame] = []
 
-    def ingest(self, table: pa.Table) -> tuple[int, int]:
+    def ingest(self, table: pa.Table, barrier=None) -> tuple[int, int]:
+        # `barrier` is the previous epoch's resolved snapshot/close ref
+        # (ordering only — see _Router.barriers); its value is unused.
         late = self.state.ingest(table.to_pandas())
         if len(late):
             self.epoch_late.append(late)
         return len(table), self.state.max_ts
 
-    def ingest_late(self, table: pa.Table) -> tuple[int, int]:
+    def ingest_late(self, table: pa.Table, barrier=None) -> tuple[int, int]:
         """Rows the router evicted as late (payload intact)."""
         df = table.to_pandas()
         self.state.metrics["rows_in"] += len(df)
@@ -138,10 +140,18 @@ class _Router:
     At 100 TB this is the difference between shuffling transcripts and
     shuffling turn metadata. Emits one ack row per (batch, shard)."""
 
-    def __init__(self, actors: list, num_shards: int, wm: int):
+    def __init__(self, actors: list, num_shards: int, wm: int, barriers: list | None = None):
         self.actors = actors
         self.num_shards = num_shards
         self.wm = wm
+        # Per-actor ObjectRefs from the PREVIOUS epoch's snapshot (or
+        # close): passed as an ingest argument so Ray's dependency
+        # resolution guarantees close/snapshot(E) happen-before
+        # ingest(E+1) on each actor — per-actor ordering across
+        # different callers (driver vs route workers) is otherwise
+        # unspecified. This is what lets the driver overlap epoch E's
+        # close barrier with epoch E+1's read + route.
+        self.barriers = barriers or [None] * num_shards
 
     def __call__(self, t: pa.Table) -> pa.Table:
         t = normalize_batch(t)
@@ -156,7 +166,9 @@ class _Router:
             late_shards = shards[late_mask]
             for sid in np.unique(late_shards):
                 sub = late_t.filter(pa.array(late_shards == sid))
-                refs.append(self.actors[int(sid)].ingest_late.remote(sub))
+                refs.append(
+                    self.actors[int(sid)].ingest_late.remote(sub, self.barriers[int(sid)])
+                )
                 ids.append(int(sid))
                 counts.append(len(sub))
             t = t.filter(pa.array(~late_mask))
@@ -171,7 +183,11 @@ class _Router:
             stops = np.concatenate([bounds, [len(sorted_shards)]])
             for lo, hi in zip(starts, stops):
                 sid = int(sorted_shards[lo])
-                refs.append(self.actors[sid].ingest.remote(sorted_t.slice(lo, hi - lo)))
+                refs.append(
+                    self.actors[sid].ingest.remote(
+                        sorted_t.slice(lo, hi - lo), self.barriers[sid]
+                    )
+                )
                 ids.append(sid)
                 counts.append(hi - lo)
         acks = ray.get(refs)  # backpressure: ingest before next batch
@@ -218,20 +234,46 @@ class StreamingEngine:
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"shard-{shard:04d}.bin")
 
+    def _ckpt_manifest(self, epoch: int) -> str:
+        return os.path.join(self.ckpt_dir, f"epoch={epoch:06d}", "manifest.json")
+
+    def _write_ckpt_manifest(self, epoch: int) -> None:
+        """Written AFTER the snapshot barrier: records the shard count
+        and file list so a partial/corrupt checkpoint directory is
+        distinguishable from a legitimate different-shard-count
+        checkpoint (a bare file-count heuristic cannot tell them
+        apart, and an empty dir would silently resume with fresh
+        state)."""
+        entry = {
+            "num_shards": self.num_shards,
+            "files": [f"shard-{i:04d}.bin" for i in range(self.num_shards)],
+        }
+        tmp = self._ckpt_manifest(epoch) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._ckpt_manifest(epoch))
+
     def _restore_from(self, epoch: int) -> bool:
-        import glob as _glob
-
-
         d = os.path.join(self.ckpt_dir, f"epoch={epoch:06d}")
         if not os.path.isdir(d):
             return False
-        files = sorted(_glob.glob(os.path.join(d, "shard-*.bin")))
-        if len(files) == self.num_shards:
+        mpath = self._ckpt_manifest(epoch)
+        if not os.path.exists(mpath):
+            raise RuntimeError(
+                f"checkpoint dir {d} has no manifest — partial or corrupt "
+                "checkpoint; refusing to resume from it"
+            )
+        with open(mpath) as f:
+            m = json.load(f)
+        files = [os.path.join(d, name) for name in m["files"]]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing or len(files) != m["num_shards"]:
+            raise RuntimeError(f"checkpoint {d} incomplete (missing {missing})")
+        if m["num_shards"] == self.num_shards:
             ray.get(
-                [
-                    a.restore.remote(os.path.join(d, f"shard-{i:04d}.bin"))
-                    for i, a in enumerate(self.actors)
-                ]
+                [a.restore.remote(f) for a, f in zip(self.actors, files)]
             )
             return True
         # Reshard on restore: the checkpoint was written with a different
@@ -261,8 +303,29 @@ class StreamingEngine:
         pass False when more epochs will arrive in a later run."""
         if epochs is None:
             epochs = discover_epochs(epochs_root)
-        self._spawn()
         committed = set(self.sink.committed_epochs())
+        summary = {"epochs": 0, "skipped": 0, "rows": 0, "wall_s": 0.0}
+        uncommitted = [e for e, _ in epochs if e not in committed]
+        if not uncommitted:
+            # Re-running a finished job is a no-op (the exactly-once
+            # idempotence story) — even when checkpoint=False was used
+            # or checkpoints were pruned: with nothing left to process
+            # there is no state to restore.
+            summary["skipped"] = len(epochs)
+            return summary
+        self._spawn()
+        try:
+            return self._run_epochs(epochs, committed, summary, flush_at_end)
+        finally:
+            self._teardown()
+
+    def _run_epochs(
+        self,
+        epochs: list[tuple[int, list[str]]],
+        committed: set,
+        summary: dict,
+        flush_at_end: bool,
+    ) -> dict:
         resume_from = max(committed) if committed else None
         if resume_from is not None:
             if not self._restore_from(resume_from):
@@ -270,7 +333,6 @@ class StreamingEngine:
                     f"epoch {resume_from} committed but checkpoint missing; "
                     "cannot resume exactly-once"
                 )
-        summary = {"epochs": 0, "skipped": 0, "rows": 0, "wall_s": 0.0}
         last_epoch = epochs[-1][0] if epochs else None
         # watermark as of the last committed epoch (for router-side late
         # eviction); recovered from the manifest on resume
@@ -278,12 +340,59 @@ class StreamingEngine:
         if resume_from is not None:
             with open(self.sink.manifest_path(resume_from)) as f:
                 current_wm = json.load(f)["metrics"].get("watermark_us", NEG_INF)
+
+        # Pipelined close: epoch E's close_and_stage + snapshot refs are
+        # submitted without blocking; epoch E+1's ingest uses them as
+        # per-actor barriers (see _Router), so E's close overlaps E+1's
+        # read + route. Commits drain strictly in epoch order (resume
+        # assumes max committed epoch has every earlier epoch committed).
+        pending: list[dict] = []
+
+        def drain(block: bool) -> None:
+            while pending:
+                head = pending[0]
+                refs = head["close_refs"] + head["snap_refs"]
+                if not block:
+                    done, _ = ray.wait(refs, num_returns=len(refs), timeout=0)
+                    if len(done) < len(refs):
+                        return
+                metrics = ray.get(head["close_refs"])
+                ray.get(head["snap_refs"])
+                if head["snap_refs"]:
+                    self._write_ckpt_manifest(head["epoch"])
+                epoch_metrics = {
+                    "epoch": head["epoch"],
+                    "rows": head["rows"],
+                    "watermark_us": head["wm"],
+                    "flush": head["flush"],
+                    "wall_s": round(time.time() - head["t0"], 3),
+                    "shards": metrics,
+                }
+                self.sink.commit(head["epoch"], head["files"], epoch_metrics)
+                with open(os.path.join(self.sink.root, "metrics.jsonl"), "a") as f:
+                    f.write(
+                        json.dumps(
+                            {k: v for k, v in epoch_metrics.items() if k != "shards"}
+                        )
+                        + "\n"
+                    )
+                summary["epochs"] += 1
+                summary["rows"] += head["rows"]
+                summary["wall_s"] += epoch_metrics["wall_s"]
+                pending.pop(0)
+
+        barriers: list | None = None
         for epoch, files in epochs:
             if epoch in committed:
                 summary["skipped"] += 1
                 continue
             t0 = time.time()
             staging = self.sink.staging_dir(epoch)
+            # a crashed earlier run may have staged files under a
+            # different shard count; stale names would be swept into
+            # the commit listing — start from a clean staging dir
+            for name in os.listdir(staging):
+                os.unlink(os.path.join(staging, name))
             # partitioning=None: the epoch=E path component is lineage,
             # not a data column (hive inference would inject it).
             # override_num_blocks: route whole files — Ray's default
@@ -292,7 +401,7 @@ class StreamingEngine:
             ds = rd.read_parquet(
                 files, partitioning=None, override_num_blocks=max(len(files), self.num_shards)
             )
-            router = _Router(self.actors, self.num_shards, current_wm)
+            router = _Router(self.actors, self.num_shards, current_wm, barriers)
             # batch_size=None: route whole blocks — one ingest RPC per
             # (block, shard) instead of per 1024-row micro-batch
             acks = ds.map_batches(
@@ -315,34 +424,32 @@ class StreamingEngine:
             wm = global_max - self.delay_us if global_max > NEG_INF else NEG_INF
             current_wm = max(current_wm, wm)
             wm = current_wm  # watermark is monotone across epochs
-            metrics = ray.get(
+            close_refs = [
+                a.close_and_stage.remote(wm, staging, flush) for a in self.actors
+            ]
+            snap_refs = (
                 [
-                    a.close_and_stage.remote(wm, staging, flush)
-                    for a in self.actors
+                    a.snapshot.remote(self._ckpt_path(epoch, i))
+                    for i, a in enumerate(self.actors)
                 ]
+                if self.checkpoint
+                else []
             )
-            if self.checkpoint:
-                ray.get(
-                    [
-                        a.snapshot.remote(self._ckpt_path(epoch, i))
-                        for i, a in enumerate(self.actors)
-                    ]
-                )
-            epoch_metrics = {
-                "epoch": epoch,
-                "rows": rows,
-                "watermark_us": wm,
-                "flush": flush,
-                "wall_s": round(time.time() - t0, 3),
-                "shards": metrics,
-            }
-            self.sink.commit(epoch, files, epoch_metrics)
-            with open(os.path.join(self.sink.root, "metrics.jsonl"), "a") as f:
-                f.write(json.dumps({k: v for k, v in epoch_metrics.items() if k != "shards"}) + "\n")
-            summary["epochs"] += 1
-            summary["rows"] += rows
-            summary["wall_s"] += epoch_metrics["wall_s"]
-        self._teardown()
+            barriers = snap_refs if snap_refs else close_refs
+            pending.append(
+                {
+                    "epoch": epoch,
+                    "files": files,
+                    "close_refs": close_refs,
+                    "snap_refs": snap_refs,
+                    "rows": rows,
+                    "wm": wm,
+                    "flush": flush,
+                    "t0": t0,
+                }
+            )
+            drain(block=False)
+        drain(block=True)
         return summary
 
     def _teardown(self):

@@ -156,6 +156,47 @@ def test_manifest_gates_visibility(tmp_path):
     assert entry["inputs"] == ["in.parquet"]
 
 
+def test_rerun_of_finished_job_without_checkpoint_is_noop(ray_session, tmp_path):
+    """A finished job re-run with checkpoint=False (or after checkpoint
+    pruning) must be a no-op, not a 'checkpoint missing' error — there
+    is nothing left to process, so no state needs restoring."""
+    import shutil
+
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    epochs = discover_epochs(epochs_root("sf0.001"))
+    out = str(tmp_path / "nockpt")
+    eng1 = StreamingEngine(out, num_shards=4, checkpoint=False)
+    eng1.run(epochs)
+    shutil.rmtree(eng1.ckpt_dir, ignore_errors=True)  # prune checkpoints
+    eng2 = StreamingEngine(out, num_shards=4, checkpoint=False)
+    s = eng2.run(epochs)
+    assert s["epochs"] == 0 and s["skipped"] == len(epochs)
+
+
+def test_partial_checkpoint_is_detected(ray_session, tmp_path):
+    """A checkpoint directory without its manifest (partial/corrupt
+    write) must refuse to resume rather than silently starting with
+    fresh or truncated state."""
+    import glob
+
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    epochs = discover_epochs(epochs_root("sf0.001"))
+    out = str(tmp_path / "corrupt")
+    eng1 = StreamingEngine(out, num_shards=4)
+    eng1.run(epochs[:2], flush_at_end=False)
+    last_ckpt = sorted(glob.glob(os.path.join(eng1.ckpt_dir, "epoch=*")))[-1]
+    os.remove(os.path.join(last_ckpt, "manifest.json"))
+    eng2 = StreamingEngine(out, num_shards=4)
+    with pytest.raises(RuntimeError, match="manifest"):
+        eng2.run(epochs)
+
+
 def _late_fixture(tmp_path) -> tuple[str, list[pd.DataFrame]]:
     """Two epochs where epoch 1 contains a beyond-watermark late turn."""
     import pyarrow as pa
