@@ -35,9 +35,8 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
-from .partition import _stable_hash, apply_per_bucket
+from .partition import _ensure_hash_shuffle, _stable_hash, apply_per_bucket, default_num_buckets
 
 
 def dedup_kernel(g: pd.DataFrame) -> pd.DataFrame:
@@ -52,16 +51,42 @@ def _key_fp(t: pa.Table) -> np.ndarray:
     ).astype(np.int64)
 
 
-def dedup_exact(ds: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
+def _dup_fps(ds: ray.data.Dataset, num_buckets: int | None = None) -> np.ndarray:
+    """Fingerprints with global multiplicity > 1. Partial (fp, n)
+    counts per block, hash-repartitioned by fp (the engine's shared
+    bucket primitive — far cheaper than a groupby().aggregate() actor
+    round for a single int column), summed per partition."""
+    b = num_buckets or default_num_buckets()
+
     def partial_counts(t: pa.Table) -> pa.Table:
         fp, counts = np.unique(_key_fp(t), return_counts=True)
-        return pa.table({"fp": fp, "n": counts.astype(np.int64)})
+        return pa.table(
+            {
+                "fp": fp,
+                "n": counts.astype(np.int64),
+                "bucket": (fp.astype(np.uint64) % np.uint64(b)).astype(np.int64),
+            }
+        )
 
-    totals = ds.map_batches(partial_counts, batch_format="pyarrow").groupby(
-        "fp"
-    ).aggregate(Sum("n", alias_name="n"))
-    dup_fps = totals.filter(expr="n > 1").select_columns(["fp"]).to_pandas()
-    dup_set = ray.put(np.sort(dup_fps["fp"].to_numpy().astype(np.int64)))
+    def dups_in_bucket(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy()
+        n = t["n"].to_numpy()
+        order = np.argsort(fp, kind="stable")
+        fp, n = fp[order], n[order]
+        uniq, idx = np.unique(fp, return_index=True)
+        sums = np.add.reduceat(n, idx) if len(n) else n
+        return pa.table({"fp": uniq[sums > 1]})
+
+    _ensure_hash_shuffle()
+    parts = ds.map_batches(partial_counts, batch_format="pyarrow").repartition(
+        b, keys=["bucket"], sort=False
+    )
+    out = parts.map_batches(dups_in_bucket, batch_format="pyarrow").to_pandas()
+    return np.sort(out["fp"].to_numpy().astype(np.int64))
+
+
+def dedup_exact(ds: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
+    dup_set = ray.put(_dup_fps(ds, num_buckets))
 
     def split(t: pa.Table, want_dups: bool) -> pa.Table:
         fps = _key_fp(t)
