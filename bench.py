@@ -125,14 +125,21 @@ def run_scale_one() -> dict:
 
     scale_fixture = os.environ.get("GRAFT_SCALE_FIXTURE", "sfxxl")
     d = ensure_fixture(scale_fixture, GenParams(n_convs=600_000))
-    path = os.path.join(d, "transcripts.parquet")
-    n = rd.read_parquet(path).count()  # warm page cache
+    # Read the sharded epoch part-files, not the single-file copy: one
+    # parquet file = ONE read task regardless of row groups, a serial
+    # head that alone costs ~30% of wall at 16 CPUs (at 100 TB input is
+    # always many files; the single file exists for the DuckDB oracle).
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(d, "epochs", "epoch=*", "part-*.parquet")))
+    n = rd.read_parquet(files, partitioning=None).count()  # warm page cache
     t0 = time.time()
-    blocks = max(8, NUM_CPUS)
+    blocks = max(len(files), NUM_CPUS)
     # 4 buckets per CPU: enough groups per map_groups task wave to
     # balance load (fewer buckets leaves stragglers holding the barrier)
     union = flagship_bounded(
-        rd.read_parquet(path, override_num_blocks=blocks), num_buckets=4 * NUM_CPUS
+        rd.read_parquet(files, partitioning=None, override_num_blocks=blocks),
+        num_buckets=4 * NUM_CPUS,
     )
     union.write_parquet(tempfile.mkdtemp(prefix="scale-flag-"))
     dt = time.time() - t0

@@ -30,7 +30,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..stages.cep import PatternSpec, cep_kernel
-from ..stages.dedup import dedup_kernel
+from ..stages.dedup import prepare_bucket
 from ..stages.join import join_kernel
 from ..stages.normalize import normalize_turns
 from ..stages.windows import session_kernel
@@ -126,8 +126,13 @@ def flagship_bounded(
     pattern = pattern or PatternSpec(skip_past_last=True, suppress_turns=0)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = dedup_kernel(g).sort_values(["conv_id", "turn_idx"], kind="stable")
-        return _union(session_kernel(g, gap_s), cep_kernel(g, pattern), join_kernel(g))
+        # one int-key dedup + sort shared by all three kernels
+        g = prepare_bucket(g)
+        return _union(
+            session_kernel(g, gap_s, prepared=True),
+            cep_kernel(g, pattern, prepared=True),
+            join_kernel(g, prepared=True),
+        )
 
     from ..stages.partition import apply_per_bucket
 

@@ -151,14 +151,22 @@ def q_t_topk_tools(sf_dir: str) -> Any:
     return topk_tools(_t(sf_dir, ["conv_id", "turn_idx", "role", "tool"]), k=3)
 
 
+_STREAM_MEMO: dict[str, Any] = {}
+
+
 def _run_streaming(sf_dir: str):
-    import tempfile
+    """One engine run per sf_dir per process: every t_streaming_*
+    query reads a different committed channel of the same run."""
+    eng = _STREAM_MEMO.get(sf_dir)
+    if eng is None:
+        import tempfile
 
-    from ..fixtures.generator import epochs_root
-    from .streaming import StreamingEngine
+        from ..fixtures.generator import epochs_root
+        from .streaming import StreamingEngine
 
-    eng = StreamingEngine(tempfile.mkdtemp(prefix="graft-stream-"))
-    eng.run(epochs_root=epochs_root(sf_dir))
+        eng = StreamingEngine(tempfile.mkdtemp(prefix="graft-stream-"))
+        eng.run(epochs_root=epochs_root(sf_dir))
+        _STREAM_MEMO[sf_dir] = eng
     return eng
 
 
@@ -170,6 +178,17 @@ def q_t_streaming_sessions(sf_dir: str) -> Any:
 
 def q_t_streaming_pairs(sf_dir: str) -> Any:
     return _run_streaming(sf_dir).results("pairs")
+
+
+def q_t_streaming_tumbling(sf_dir: str) -> Any:
+    """Streaming tumbling-count channel: per-epoch partials merged in
+    shard state, emitted when the watermark passes window end — must
+    equal the bounded t_tumbling_windows SQL exactly."""
+    return _run_streaming(sf_dir).results("tumbling")
+
+
+def q_t_streaming_sliding(sf_dir: str) -> Any:
+    return _run_streaming(sf_dir).results("sliding")
 
 
 def q_e_tumbling(sf_dir: str) -> Any:
@@ -344,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_systematic_sample": q_t_systematic_sample,
         "t_streaming_sessions": q_t_streaming_sessions,
         "t_streaming_pairs": q_t_streaming_pairs,
+        "t_streaming_tumbling": q_t_streaming_tumbling,
+        "t_streaming_sliding": q_t_streaming_sliding,
         "e_tumbling": q_e_tumbling,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
@@ -598,4 +619,6 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     # results — same SQL oracle (exactly-once + watermark conformance).
     sqls["t_streaming_sessions"] = sqls["t_session_windows"]
     sqls["t_streaming_pairs"] = sqls["t_tool_join"]
+    sqls["t_streaming_tumbling"] = sqls["t_tumbling_windows"]
+    sqls["t_streaming_sliding"] = sqls["t_sliding_windows"]
     return sqls

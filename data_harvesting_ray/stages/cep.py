@@ -18,7 +18,7 @@ import pandas as pd
 
 import ray.data
 
-from .dedup import dedup_kernel
+from .dedup import prepare_bucket
 from .partition import apply_per_bucket
 
 
@@ -37,8 +37,9 @@ class PatternSpec:
         return self.name or ">".join(self.roles)
 
 
-def cep_kernel(g: pd.DataFrame, spec: PatternSpec) -> pd.DataFrame:
-    g = dedup_kernel(g).sort_values(["conv_id", "turn_idx"], kind="stable")
+def cep_kernel(g: pd.DataFrame, spec: PatternSpec, prepared: bool = False) -> pd.DataFrame:
+    if not prepared:
+        g = prepare_bucket(g)
     conv = g["conv_id"].to_numpy()
     role = g["role"].to_numpy()
     tidx = g["turn_idx"].to_numpy().astype(np.int32)

@@ -43,6 +43,28 @@ def dedup_kernel(g: pd.DataFrame) -> pd.DataFrame:
     return g.drop_duplicates(subset=["conv_id", "turn_idx"], keep="first")
 
 
+def prepare_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Dedup on (conv_id, turn_idx) AND sort by (conv, turn_idx) in one
+    vectorized pass over factorized int64 keys — far cheaper than
+    pandas string-pair drop_duplicates + sort_values, and done ONCE
+    per bucket for all kernels (session/CEP/join each used to redo
+    it). Conversations come out grouped in first-appearance order
+    (kernels need key grouping + turn order, not lexicographic conv
+    order)."""
+    if not len(g):
+        return g
+    codes, _ = pd.factorize(g["conv_id"].to_numpy(), sort=False)
+    key = (codes.astype(np.int64) << np.int64(32)) | g["turn_idx"].to_numpy().astype(
+        np.int64
+    )
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    keep = np.empty(len(sk), dtype=bool)
+    keep[0] = True
+    keep[1:] = sk[1:] != sk[:-1]
+    return g.iloc[order[keep]].reset_index(drop=True)
+
+
 def _key_fp(t: pa.Table) -> np.ndarray:
     h = _stable_hash(t["conv_id"].to_numpy(zero_copy_only=False))
     return (

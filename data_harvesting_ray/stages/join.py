@@ -40,16 +40,19 @@ def _participants(normalized: ray.data.Dataset) -> ray.data.Dataset:
     return normalized.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _split_calls_resps(g: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
-    g = dedup_kernel(g)
+def _split_calls_resps(
+    g: pd.DataFrame, prepared: bool = False
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    if not prepared:
+        g = dedup_kernel(g)
     has_id = g["call_id"] != ""
     calls = g[g["is_tool_call"] & has_id]
     resps = g[(g["role"] == "tool") & has_id]
     return calls, resps
 
 
-def join_kernel(g: pd.DataFrame) -> pd.DataFrame:
-    calls, resps = _split_calls_resps(g)
+def join_kernel(g: pd.DataFrame, prepared: bool = False) -> pd.DataFrame:
+    calls, resps = _split_calls_resps(g, prepared)
     m = calls.merge(
         resps[["conv_id", "call_id", "turn_idx", "ts"]].rename(
             columns={"turn_idx": "resp_turn_idx", "ts": "resp_ts"}
@@ -74,8 +77,8 @@ def join_kernel(g: pd.DataFrame) -> pd.DataFrame:
     ]
 
 
-def orphan_kernel(g: pd.DataFrame) -> pd.DataFrame:
-    calls, resps = _split_calls_resps(g)
+def orphan_kernel(g: pd.DataFrame, prepared: bool = False) -> pd.DataFrame:
+    calls, resps = _split_calls_resps(g, prepared)
     resp_turn = resps.rename(columns={"turn_idx": "resp_turn_idx"})
     m = calls.merge(
         resp_turn[["conv_id", "call_id", "resp_turn_idx"]],

@@ -101,10 +101,24 @@ def apply_per_bucket(
 
 def _ensure_hash_shuffle() -> None:
     """Key-based repartition requires the hash-shuffle strategy (Ray
-    defaults to sort-based pull shuffle)."""
+    defaults to sort-based pull shuffle). Also (re)size the aggregator
+    pool to the session: the import-time default (8) capped shuffle
+    width identically at every cluster size — a flat ceiling that
+    showed up directly as lost 4→16-CPU scaling efficiency. Called at
+    pipeline build time, when the Ray session (and its CPU count)
+    exists; the context is snapshotted into each dataset at creation."""
+    import ray
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
     ctx = DataContext.get_current()
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # one aggregator per core scales the shuffle with the session; the
+    # tiny per-partition CPU reservation (set at import) keeps them
+    # from starving map tasks on small sessions
+    ctx.max_hash_shuffle_aggregators = max(4, cpus)

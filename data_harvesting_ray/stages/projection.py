@@ -82,12 +82,20 @@ def head_per_conv(ds: ray.data.Dataset, n: int = 3, num_buckets: int | None = No
     kept row is in its block's local head), so the shuffle moves at
     most n × blocks rows per conv instead of whole conversations with
     payload."""
-    from .dedup import dedup_kernel
+    from .dedup import prepare_bucket
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
-        g = dedup_kernel(g).sort_values(["conv_id", "turn_idx"], kind="stable")
-        rank = g.groupby("conv_id", sort=False).cumcount()
-        return g[rank.to_numpy() < n]
+        g = prepare_bucket(g)
+        conv = g["conv_id"].to_numpy()
+        m = len(g)
+        if m == 0:
+            return g
+        starts = np.flatnonzero(
+            np.concatenate([[True], conv[1:] != conv[:-1]])
+        )
+        counts = np.diff(np.append(starts, m))
+        rank = np.arange(m) - np.repeat(starts, counts)
+        return g[rank < n]
 
     local = ds.map_batches(kernel, batch_format="pandas")
     return apply_per_bucket(local, kernel, num_buckets=num_buckets)

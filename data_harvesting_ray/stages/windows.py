@@ -24,14 +24,17 @@ import pyarrow as pa
 import ray.data
 
 from ..schema import DEFAULT_SESSION_GAP_S
-from .dedup import dedup_kernel
+from .dedup import dedup_kernel, prepare_bucket
 from .partition import apply_per_bucket
 
 US = 1_000_000
 
 
-def session_kernel(g: pd.DataFrame, gap_s: int = DEFAULT_SESSION_GAP_S) -> pd.DataFrame:
-    g = dedup_kernel(g).sort_values(["conv_id", "turn_idx"], kind="stable")
+def session_kernel(
+    g: pd.DataFrame, gap_s: int = DEFAULT_SESSION_GAP_S, prepared: bool = False
+) -> pd.DataFrame:
+    if not prepared:
+        g = prepare_bucket(g)
     ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     conv = g["conv_id"].to_numpy()
     tidx = g["turn_idx"].to_numpy()

@@ -79,6 +79,17 @@ EMPTY_SCHEMAS = {
         "tool": object,
         "ts": "datetime64[us]",
     },
+    "tumbling": {
+        "conv_id": object,
+        "window_start": "datetime64[us]",
+        "turn_count": np.int64,
+        "tool_call_count": np.int64,
+    },
+    "sliding": {
+        "conv_id": object,
+        "window_start": "datetime64[us]",
+        "turn_count": np.int64,
+    },
 }
 
 _BUF_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "call_id", "ts_us"]
@@ -103,10 +114,16 @@ class ShardState:
         gap_s: int = DEFAULT_SESSION_GAP_S,
         pattern: PatternSpec | None = None,
         dedup_horizon_s: int = 4 * DEFAULT_WATERMARK_DELAY_S,
+        tumble_s: int = 600,
+        slide_size_s: int = 600,
+        slide_step_s: int = 300,
     ):
         self.gap_us = gap_s * US
         self.pattern = pattern or PatternSpec(skip_past_last=True, suppress_turns=0)
         self.dedup_horizon_us = dedup_horizon_s * US
+        self.tumble_us = tumble_s * US
+        self.slide_size_us = slide_size_s * US
+        self.slide_step_us = slide_step_s * US
         self.pending: list[pd.DataFrame] = []  # buffered normalized rows
         self.processed_keys = _empty(["conv_id", "turn_idx", "ts_us"])
         self.open_sess = _empty(_OPEN_COLS)
@@ -115,6 +132,10 @@ class ShardState:
         self.match_frontier: dict = {}  # conv_id -> last emitted match end idx
         self.pend_calls = _empty(_CALL_COLS)
         self.pend_resps = _empty(_RESP_COLS)
+        # windowed-aggregate partials: one row per open (conv, window),
+        # merged per close, emitted when the watermark passes window end
+        self.open_tumbles = _empty(["conv_id", "ws_us", "turn_count", "tool_call_count"])
+        self.open_slides = _empty(["conv_id", "ws_us", "turn_count"])
         self.max_ts = NEG_INF
         self.frontier_wm = NEG_INF
         self.metrics = {
@@ -124,6 +145,8 @@ class ShardState:
             "sessions_emitted": 0,
             "matches_emitted": 0,
             "pairs_emitted": 0,
+            "tumbling_emitted": 0,
+            "sliding_emitted": 0,
         }
 
     # ------------------------------------------------------------ ingest
@@ -191,10 +214,110 @@ class ShardState:
         sessions = self._advance_sessions(ready, wm, flush)
         matches = self._advance_cep(ready)
         pairs, orphans = self._advance_join(ready, flush)
+        tumbling = self._advance_tumbling(ready, wm, flush)
+        sliding = self._advance_sliding(ready, wm, flush)
         self.metrics["sessions_emitted"] += len(sessions)
         self.metrics["matches_emitted"] += len(matches)
         self.metrics["pairs_emitted"] += len(pairs)
-        return {"sessions": sessions, "matches": matches, "pairs": pairs, "orphans": orphans}
+        self.metrics["tumbling_emitted"] += len(tumbling)
+        self.metrics["sliding_emitted"] += len(sliding)
+        return {
+            "sessions": sessions,
+            "matches": matches,
+            "pairs": pairs,
+            "orphans": orphans,
+            "tumbling": tumbling,
+            "sliding": sliding,
+        }
+
+    # ---------------------------------------------------- windowed counts
+    def _advance_tumbling(self, ready: pd.DataFrame, wm: int, flush: bool) -> pd.DataFrame:
+        """Per-(conv, tumbling window) counts, decomposable partials:
+        ready rows fold into the open partial per window; a window is
+        emitted once the watermark passes its end (no on-time row can
+        land in it again — the W2 streaming analogue of
+        stages/windows.tumbling_kernel)."""
+        open_t = self.open_tumbles
+        if len(ready):
+            ts = ready["ts_us"].to_numpy().astype(np.int64)
+            is_call = (
+                (ready["tool"].to_numpy() != "") & (ready["role"].to_numpy() == "assistant")
+            ).astype(np.int64)
+            part = (
+                pd.DataFrame(
+                    {
+                        "conv_id": ready["conv_id"].to_numpy(),
+                        "ws_us": (ts // self.tumble_us) * self.tumble_us,
+                        "turn_count": np.int64(1),
+                        "tool_call_count": is_call,
+                    }
+                )
+                .groupby(["conv_id", "ws_us"], sort=False, as_index=False)
+                .sum()
+            )
+            open_t = (
+                pd.concat([open_t, part], ignore_index=True)
+                .groupby(["conv_id", "ws_us"], sort=False, as_index=False)
+                .sum()
+                if len(open_t)
+                else part
+            )
+        emitted = empty_frame("tumbling")
+        if len(open_t):
+            ws = open_t["ws_us"].to_numpy().astype(np.int64)
+            close_mask = np.full(len(open_t), flush) | (ws + self.tumble_us <= wm)
+            if close_mask.any():
+                done = open_t[close_mask]
+                emitted = pd.DataFrame(
+                    {
+                        "conv_id": done["conv_id"].to_numpy(),
+                        "window_start": done["ws_us"].to_numpy().astype(np.int64).astype("datetime64[us]"),
+                        "turn_count": done["turn_count"].to_numpy().astype(np.int64),
+                        "tool_call_count": done["tool_call_count"].to_numpy().astype(np.int64),
+                    }
+                )
+                open_t = open_t[~close_mask]
+        self.open_tumbles = open_t.reset_index(drop=True)
+        return emitted
+
+    def _advance_sliding(self, ready: pd.DataFrame, wm: int, flush: bool) -> pd.DataFrame:
+        open_s = self.open_slides
+        if len(ready):
+            ts = ready["ts_us"].to_numpy().astype(np.int64)
+            k_hi = ts // self.slide_step_us
+            k_lo = (ts - self.slide_size_us) // self.slide_step_us + 1
+            reps = (k_hi - k_lo + 1).astype(np.int64)
+            conv = np.repeat(ready["conv_id"].to_numpy(), reps)
+            offsets = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
+            ws = (np.repeat(k_lo, reps) + offsets) * self.slide_step_us
+            part = (
+                pd.DataFrame({"conv_id": conv, "ws_us": ws, "turn_count": np.int64(1)})
+                .groupby(["conv_id", "ws_us"], sort=False, as_index=False)
+                .sum()
+            )
+            open_s = (
+                pd.concat([open_s, part], ignore_index=True)
+                .groupby(["conv_id", "ws_us"], sort=False, as_index=False)
+                .sum()
+                if len(open_s)
+                else part
+            )
+        emitted = empty_frame("sliding")
+        if len(open_s):
+            ws = open_s["ws_us"].to_numpy().astype(np.int64)
+            close_mask = np.full(len(open_s), flush) | (ws + self.slide_size_us <= wm)
+            if close_mask.any():
+                done = open_s[close_mask]
+                emitted = pd.DataFrame(
+                    {
+                        "conv_id": done["conv_id"].to_numpy(),
+                        "window_start": done["ws_us"].to_numpy().astype(np.int64).astype("datetime64[us]"),
+                        "turn_count": done["turn_count"].to_numpy().astype(np.int64),
+                    }
+                )
+                open_s = open_s[~close_mask]
+        self.open_slides = open_s.reset_index(drop=True)
+        return emitted
 
     # -------------------------------------------------------------- dedup
     def _dedup(self, ready: pd.DataFrame, wm: int) -> pd.DataFrame:
@@ -489,6 +612,9 @@ def reshard_states(blobs: list[bytes], num_shards: int, hash_fn) -> list[bytes]:
             s.gap_us = states[0]["gap_us"]
             s.pattern = states[0]["pattern"]
             s.dedup_horizon_us = states[0]["dedup_horizon_us"]
+            s.tumble_us = states[0]["tumble_us"]
+            s.slide_size_us = states[0]["slide_size_us"]
+            s.slide_step_us = states[0]["slide_step_us"]
             s.max_ts = max(st["max_ts"] for st in states)
             s.frontier_wm = max(st["frontier_wm"] for st in states)
             if i == 0:  # cumulative metrics live on shard 0 after reshard
@@ -511,7 +637,15 @@ def reshard_states(blobs: list[bytes], num_shards: int, hash_fn) -> list[bytes]:
         if pend:
             for i, part in split_df(pd.concat(pend, ignore_index=True)):
                 outs[i].pending.append(part)
-        for attr in ("processed_keys", "open_sess", "cep_tail", "pend_calls", "pend_resps"):
+        for attr in (
+            "processed_keys",
+            "open_sess",
+            "cep_tail",
+            "pend_calls",
+            "pend_resps",
+            "open_tumbles",
+            "open_slides",
+        ):
             for i, part in split_df(st[attr]):
                 cur = getattr(outs[i], attr)
                 setattr(outs[i], attr, pd.concat([cur, part], ignore_index=True))

@@ -55,6 +55,25 @@ def test_streaming_cep_and_join_match_oracle(engine_run, df_small):
     assert len(eng.results_pandas("late")) == 0
 
 
+def test_streaming_windowed_counts_match_oracle(engine_run, df_small):
+    """Tumbling/sliding count channels: per-epoch partials merged in
+    shard state and emitted on watermark close must equal the bounded
+    oracle over the same input."""
+    from data_harvesting_ray.oracle import reference as R
+
+    eng, _, _ = engine_run
+    assert_frames_equal(
+        eng.results_pandas("tumbling"),
+        R.tumbling_windows(df_small),
+        ["conv_id", "window_start"],
+    )
+    assert_frames_equal(
+        eng.results_pandas("sliding"),
+        R.sliding_windows(df_small),
+        ["conv_id", "window_start"],
+    )
+
+
 def test_rerun_is_noop_no_duplicates(engine_run):
     """Exactly-once: re-running all epochs on the same sink commits
     nothing new and leaves outputs byte-identical."""
