@@ -26,9 +26,24 @@ class EngineConfig:
     pattern: PatternSpec = field(default_factory=PatternSpec)
     num_shards: int | None = None  # None → sized from cluster CPUs
     checkpoint: bool = True
-    # batch-UDF hook (the reference's model slot): applied after
-    # normalize, before routing; must be a vectorized batch fn
+    # batch-UDF hook (the reference's model slot, M3/ST1 —
+    # projects/base_project.py:84-106): an Arrow-batch fn applied in
+    # the router after normalize, before late eviction and routing.
+    # It may rewrite columns or add derived ones; derived columns ride
+    # the shard buffers and are emitted on the `turns` channel.
     enrich: Callable[[Any], Any] | None = None
+    # emit the deduped on-time turn stream (incl. enrich-derived
+    # columns) as a committed `turns` channel
+    emit_turns: bool = False
+    tumble_s: int = 600
+    slide_size_s: int = 600
+    slide_step_s: int = 300
+    # per-conv state (session counter, CEP tail/frontier, pending
+    # calls/responses) is evicted once the watermark passes the conv's
+    # last activity by this much; exact session numbering / pattern
+    # continuity / join matching are guaranteed for conversations
+    # whose silences stay under it (the streaming state-bound contract)
+    state_ttl_s: int = 86400
 
     def validate(self) -> "EngineConfig":
         if self.session_gap_s <= 0:
@@ -42,6 +57,10 @@ class EngineConfig:
             raise ValueError("suppress_turns must be >= 0")
         if self.num_shards is not None and self.num_shards < 1:
             raise ValueError("num_shards must be >= 1")
+        if self.tumble_s <= 0 or self.slide_size_s <= 0 or self.slide_step_s <= 0:
+            raise ValueError("window sizes must be positive")
+        if self.state_ttl_s <= 0:
+            raise ValueError("state_ttl_s must be positive")
         return self
 
     @classmethod

@@ -121,8 +121,18 @@ def flagship_bounded(
     gap_s: int = 1800,
     pattern: PatternSpec | None = None,
     num_buckets: int | None = None,
+    config=None,
 ) -> rd.Dataset:
-    """All three channels as one union Dataset (see module docstring)."""
+    """All three channels as one union Dataset (see module docstring).
+    An ``EngineConfig`` supplies gap/pattern and the enrich batch-UDF
+    (applied after normalize, before the shuffle — same slot as the
+    streaming router's)."""
+    enrich = None
+    if config is not None:
+        config = config.validate()
+        gap_s = config.session_gap_s
+        pattern = config.pattern
+        enrich = config.enrich
     pattern = pattern or PatternSpec(skip_past_last=True, suppress_turns=0)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -136,14 +146,16 @@ def flagship_bounded(
 
     from ..stages.partition import apply_per_bucket
 
-    def drop_text(t):
+    def post_norm(t):
+        if enrich is not None:
+            t = enrich(t)
         # the kernels consume only turn metadata + call_id — the
         # payload must not ride the shuffle (same projection the
         # streaming router does at pipelines/streaming.py)
         return t.drop_columns([c for c in ("text",) if c in t.column_names])
 
     normalized = normalize_turns(ds).map_batches(
-        drop_text, batch_format="pyarrow", zero_copy_batch=True
+        post_norm, batch_format="pyarrow", zero_copy_batch=True
     )
     return apply_per_bucket(normalized, per_bucket, num_buckets=num_buckets)
 

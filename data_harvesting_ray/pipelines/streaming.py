@@ -44,6 +44,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..config import EngineConfig
 from ..schema import DEFAULT_SESSION_GAP_S, DEFAULT_WATERMARK_DELAY_S
 from ..sinks.exactly_once import EpochSink
 from ..sources.epochs import discover_epochs
@@ -64,9 +65,9 @@ class StateShardActor:
     """One shard of the keyspace: owns a ShardState across epochs and
     stages its own emission parquet files (driver never sees rows)."""
 
-    def __init__(self, shard_id: int, gap_s: int, pattern: PatternSpec | None):
+    def __init__(self, shard_id: int, state_kwargs: dict):
         self.shard_id = shard_id
-        self.state = ShardState(gap_s=gap_s, pattern=pattern)
+        self.state = ShardState(**state_kwargs)
         self.epoch_late: list[pd.DataFrame] = []
 
     def ingest(self, table: pa.Table, barrier=None) -> tuple[int, int]:
@@ -140,10 +141,18 @@ class _Router:
     At 100 TB this is the difference between shuffling transcripts and
     shuffling turn metadata. Emits one ack row per (batch, shard)."""
 
-    def __init__(self, actors: list, num_shards: int, wm: int, barriers: list | None = None):
+    def __init__(
+        self,
+        actors: list,
+        num_shards: int,
+        wm: int,
+        barriers: list | None = None,
+        enrich=None,
+    ):
         self.actors = actors
         self.num_shards = num_shards
         self.wm = wm
+        self.enrich = enrich
         # Per-actor ObjectRefs from the PREVIOUS epoch's snapshot (or
         # close): passed as an ingest argument so Ray's dependency
         # resolution guarantees close/snapshot(E) happen-before
@@ -155,6 +164,12 @@ class _Router:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         t = normalize_batch(t)
+        if self.enrich is not None:
+            # the user model slot (EngineConfig.enrich): runs after
+            # normalize, before late eviction/projection/routing, so
+            # rewritten columns feed the join/CEP state and derived
+            # columns ride to the `turns` channel
+            t = self.enrich(t)
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         shards = (
             _stable_hash(t["conv_id"].to_numpy(zero_copy_only=False)) % self.num_shards
@@ -209,7 +224,21 @@ class StreamingEngine:
         pattern: PatternSpec | None = None,
         watermark_delay_s: int = DEFAULT_WATERMARK_DELAY_S,
         checkpoint: bool = True,
+        config: "EngineConfig | None" = None,
     ):
+        """``config`` (a validated EngineConfig) is the full extension
+        surface — window sizes, pattern, enrich batch-UDF, state TTL,
+        turns channel; the loose kwargs remain for the common knobs
+        and lose to ``config`` where both are given."""
+        if config is not None:
+            config = config.validate()
+            gap_s = config.session_gap_s
+            pattern = config.pattern
+            watermark_delay_s = config.watermark_delay_s
+            checkpoint = config.checkpoint
+            if config.num_shards is not None:
+                num_shards = config.num_shards
+        self.config = config
         self.sink = EpochSink(output_dir)
         self.ckpt_dir = os.path.join(output_dir, "checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
@@ -223,9 +252,21 @@ class StreamingEngine:
         self.actors: list = []
 
     # ------------------------------------------------------------ helpers
+    def _state_kwargs(self) -> dict:
+        kw = {"gap_s": self.gap_s, "pattern": self.pattern}
+        if self.config is not None:
+            kw.update(
+                tumble_s=self.config.tumble_s,
+                slide_size_s=self.config.slide_size_s,
+                slide_step_s=self.config.slide_step_s,
+                state_ttl_s=self.config.state_ttl_s,
+                emit_turns=self.config.emit_turns,
+            )
+        return kw
+
     def _spawn(self):
         self.actors = [
-            StateShardActor.remote(i, self.gap_s, self.pattern)
+            StateShardActor.remote(i, self._state_kwargs())
             for i in range(self.num_shards)
         ]
 
@@ -401,7 +442,13 @@ class StreamingEngine:
             ds = rd.read_parquet(
                 files, partitioning=None, override_num_blocks=max(len(files), self.num_shards)
             )
-            router = _Router(self.actors, self.num_shards, current_wm, barriers)
+            router = _Router(
+                self.actors,
+                self.num_shards,
+                current_wm,
+                barriers,
+                enrich=self.config.enrich if self.config else None,
+            )
             # batch_size=None: route whole blocks — one ingest RPC per
             # (block, shard) instead of per 1024-row micro-batch
             acks = ds.map_batches(

@@ -79,6 +79,14 @@ EMPTY_SCHEMAS = {
         "tool": object,
         "ts": "datetime64[us]",
     },
+    "turns": {
+        "conv_id": object,
+        "turn_idx": np.int32,
+        "role": object,
+        "tool": object,
+        "call_id": object,
+        "ts": "datetime64[us]",
+    },
     "tumbling": {
         "conv_id": object,
         "window_start": "datetime64[us]",
@@ -117,6 +125,8 @@ class ShardState:
         tumble_s: int = 600,
         slide_size_s: int = 600,
         slide_step_s: int = 300,
+        state_ttl_s: int = 86400,
+        emit_turns: bool = False,
     ):
         self.gap_us = gap_s * US
         self.pattern = pattern or PatternSpec(skip_past_last=True, suppress_turns=0)
@@ -136,6 +146,10 @@ class ShardState:
         # merged per close, emitted when the watermark passes window end
         self.open_tumbles = _empty(["conv_id", "ws_us", "turn_count", "tool_call_count"])
         self.open_slides = _empty(["conv_id", "ws_us", "turn_count"])
+        self.state_ttl_us = state_ttl_s * US
+        self.emit_turns = emit_turns
+        # per-conv last event ts, for TTL eviction of per-conv state
+        self.conv_last = _empty(["conv_id", "last_us"])
         self.max_ts = NEG_INF
         self.frontier_wm = NEG_INF
         self.metrics = {
@@ -187,6 +201,12 @@ class ShardState:
                     "ts_us": ts[~late_mask],
                 }
             )
+            # user-derived columns (EngineConfig.enrich) ride the buffer
+            # and surface on the `turns` channel
+            known = set(buf.columns) | {"ts", "is_tool_call"}
+            for c in ok.columns:
+                if c not in known:
+                    buf[c] = ok[c].to_numpy()
             self.pending.append(buf)
         return late.reset_index(drop=True)
 
@@ -216,12 +236,15 @@ class ShardState:
         pairs, orphans = self._advance_join(ready, flush)
         tumbling = self._advance_tumbling(ready, wm, flush)
         sliding = self._advance_sliding(ready, wm, flush)
+        ttl_orphans = self._evict_expired(ready, wm)
+        if len(ttl_orphans):
+            orphans = pd.concat([orphans, ttl_orphans], ignore_index=True)
         self.metrics["sessions_emitted"] += len(sessions)
         self.metrics["matches_emitted"] += len(matches)
         self.metrics["pairs_emitted"] += len(pairs)
         self.metrics["tumbling_emitted"] += len(tumbling)
         self.metrics["sliding_emitted"] += len(sliding)
-        return {
+        out = {
             "sessions": sessions,
             "matches": matches,
             "pairs": pairs,
@@ -229,6 +252,75 @@ class ShardState:
             "tumbling": tumbling,
             "sliding": sliding,
         }
+        if self.emit_turns:
+            turns = ready.drop(columns=["text"], errors="ignore").copy()
+            turns["ts"] = turns.pop("ts_us").astype(np.int64).astype("datetime64[us]")
+            out["turns"] = turns
+        return out
+
+    # ------------------------------------------------------- TTL eviction
+    def _evict_expired(self, ready: pd.DataFrame, wm: int) -> pd.DataFrame:
+        """Bound per-conv state on endless streams: once the watermark
+        passes a conv's last activity + state_ttl, its session counter,
+        CEP tail/frontier and last-ts entry are dropped (exact
+        semantics are contracted only for silences < ttl — same shape
+        of contract as the dedup horizon). Pending calls older than the
+        horizon are emitted as orphans NOW (not only at flush) and
+        ghost responses older than it are dropped — without this,
+        pend_calls/pend_resps grow forever on an unbounded stream."""
+        if len(ready):
+            part = (
+                pd.DataFrame(
+                    {
+                        "conv_id": ready["conv_id"].to_numpy(),
+                        "last_us": ready["ts_us"].to_numpy().astype(np.int64),
+                    }
+                )
+                .groupby("conv_id", sort=False, as_index=False)
+                .max()
+            )
+            self.conv_last = (
+                pd.concat([self.conv_last, part], ignore_index=True)
+                .groupby("conv_id", sort=False, as_index=False)
+                .max()
+                if len(self.conv_last)
+                else part
+            )
+        orphans = empty_frame("orphans")
+        if wm <= NEG_INF or not len(self.conv_last):
+            return orphans
+        horizon = wm - self.state_ttl_us
+        last = self.conv_last["last_us"].to_numpy().astype(np.int64)
+        expired_mask = last < horizon
+        if expired_mask.any():
+            expired = set(self.conv_last["conv_id"].to_numpy()[expired_mask])
+            for c in expired:
+                self.sess_next.pop(c, None)
+                self.match_frontier.pop(c, None)
+            if len(self.cep_tail):
+                self.cep_tail = self.cep_tail[
+                    ~self.cep_tail["conv_id"].isin(expired)
+                ].reset_index(drop=True)
+            self.conv_last = self.conv_last[~expired_mask].reset_index(drop=True)
+        if len(self.pend_calls):
+            call_old = self.pend_calls["ts_us"].to_numpy().astype(np.int64) < horizon
+            if call_old.any():
+                o = self.pend_calls[call_old].sort_values(
+                    ["conv_id", "turn_idx"], kind="stable"
+                )
+                orphans = pd.DataFrame(
+                    {
+                        "conv_id": o["conv_id"].to_numpy(),
+                        "call_id": o["call_id"].to_numpy(),
+                        "call_turn_idx": o["turn_idx"].to_numpy().astype(np.int32),
+                    }
+                )
+                self.pend_calls = self.pend_calls[~call_old].reset_index(drop=True)
+        if len(self.pend_resps):
+            resp_old = self.pend_resps["ts_us"].to_numpy().astype(np.int64) < horizon
+            if resp_old.any():
+                self.pend_resps = self.pend_resps[~resp_old].reset_index(drop=True)
+        return orphans
 
     # ---------------------------------------------------- windowed counts
     def _advance_tumbling(self, ready: pd.DataFrame, wm: int, flush: bool) -> pd.DataFrame:
@@ -615,6 +707,8 @@ def reshard_states(blobs: list[bytes], num_shards: int, hash_fn) -> list[bytes]:
             s.tumble_us = states[0]["tumble_us"]
             s.slide_size_us = states[0]["slide_size_us"]
             s.slide_step_us = states[0]["slide_step_us"]
+            s.state_ttl_us = states[0]["state_ttl_us"]
+            s.emit_turns = states[0]["emit_turns"]
             s.max_ts = max(st["max_ts"] for st in states)
             s.frontier_wm = max(st["frontier_wm"] for st in states)
             if i == 0:  # cumulative metrics live on shard 0 after reshard
@@ -645,6 +739,7 @@ def reshard_states(blobs: list[bytes], num_shards: int, hash_fn) -> list[bytes]:
             "pend_resps",
             "open_tumbles",
             "open_slides",
+            "conv_last",
         ):
             for i, part in split_df(st[attr]):
                 cur = getattr(outs[i], attr)

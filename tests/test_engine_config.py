@@ -1,0 +1,146 @@
+"""EngineConfig as a live extension surface (X1/X3/X5) + state TTL.
+
+- the enrich batch-UDF (the reference's model slot,
+  projects/base_project.py:84-106) must actually run in the router:
+  derived columns surface on the committed `turns` channel and
+  rewritten columns feed the join state,
+- per-conv state must stay bounded over many epochs of disjoint
+  conversations (TTL eviction), with committed outputs unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from .conftest import assert_frames_equal
+
+
+def _enrich(t: pa.Table) -> pa.Table:
+    """Derive a column AND rewrite one (a stand-in model scorer)."""
+    tlen = pc.utf8_length(t["text"])
+    t = t.append_column("text_len", tlen)
+    upper = pc.if_else(
+        pc.equal(t["tool"], pa.scalar("search")),
+        pa.scalar("websearch"),
+        t["tool"],
+    )
+    return t.set_column(t.schema.get_field_index("tool"), "tool", upper)
+
+
+def test_enrich_column_reaches_committed_turns_channel(ray_session, tmp_path):
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    cfg = EngineConfig(enrich=_enrich, emit_turns=True)
+    eng = StreamingEngine(str(tmp_path / "out"), num_shards=4, config=cfg)
+    eng.run(discover_epochs(epochs_root("sf0.001")))
+    turns = eng.results_pandas("turns")
+    assert "text_len" in turns.columns and len(turns) > 0
+    # rewritten tool names flow into the correlated pairs channel
+    pairs = eng.results_pandas("pairs")
+    tools = set(pairs["tool"].unique())
+    assert "search" not in tools and "websearch" in tools
+    # derived value is the enrich output, not a default
+    assert (turns["text_len"].to_numpy() > 0).any()
+
+
+def test_enrich_applies_in_bounded_flagship(ray_session, sf_small):
+    import ray.data as rd
+
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.pipelines.flagship import flagship_bounded, split_channels
+
+    cfg = EngineConfig(enrich=_enrich)
+    u = flagship_bounded(rd.read_parquet(sf_small), config=cfg).to_pandas()
+    pairs = split_channels(u)["pairs"]
+    tools = set(pairs["tool"].unique())
+    assert "search" not in tools and "websearch" in tools
+
+
+def _disjoint_epochs(root: str, n_epochs: int, spacing_s: int) -> None:
+    """Each epoch has fresh conversations, spaced far apart in event
+    time, with one call/response pair and one orphan call per conv."""
+    import pyarrow.parquet as pq
+
+    from data_harvesting_ray.schema import TRANSCRIPT_SCHEMA
+
+    base = np.int64(1_704_067_200_000_000)
+    for e in range(n_epochs):
+        rows = []
+        t0 = base + np.int64(e) * spacing_s * 1_000_000
+        for k in range(20):
+            cid = f"conv-e{e}-{k:03d}"
+            cal = f"call-{cid}-0"
+            orph = f"call-{cid}-9"
+            rows += [
+                (cid, 0, "user", "hi", "", t0 + k * 1000),
+                (cid, 1, "assistant", f"go [{cal}]", "search", t0 + k * 1000 + 10),
+                (cid, 2, "tool", f"res [{cal}]", "search", t0 + k * 1000 + 20),
+                (cid, 3, "assistant", f"lost [{orph}]", "sql", t0 + k * 1000 + 30),
+            ]
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "us"]
+        )
+        df["turn_idx"] = df["turn_idx"].astype(np.int32)
+        df["ts"] = df.pop("us").astype("datetime64[us]")
+        d = os.path.join(root, f"epoch={e:03d}")
+        os.makedirs(d)
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=TRANSCRIPT_SCHEMA),
+            os.path.join(d, "part-000.parquet"),
+        )
+
+
+@pytest.mark.parametrize("n_epochs", [6])
+def test_state_ttl_bounds_per_conv_state(ray_session, tmp_path, n_epochs):
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    root = str(tmp_path / "epochs")
+    _disjoint_epochs(root, n_epochs, spacing_s=8 * 3600)
+    epochs = discover_epochs(root)
+
+    outs = {}
+    for name, ttl in (("small", 3600), ("huge", 10**7)):
+        out = str(tmp_path / name)
+        cfg = EngineConfig(state_ttl_s=ttl)
+        eng = StreamingEngine(out, num_shards=4, config=cfg)
+        eng.run(epochs)
+        outs[name] = {
+            ch: eng.results_pandas(ch)
+            for ch in ("sessions", "pairs", "orphans", "matches")
+        }
+        # inspect the second-to-last checkpoint (pre-flush state)
+        ckpts = sorted(glob.glob(os.path.join(out, "checkpoints", "epoch=*")))
+        states = []
+        for f in glob.glob(os.path.join(ckpts[-2], "shard-*.bin")):
+            with open(f, "rb") as fh:
+                states.append(pickle.loads(fh.read()))
+        outs[name]["n_tracked"] = sum(len(s["sess_next"]) + len(s["conv_last"]) for s in states)
+    # identical committed outputs with and without aggressive eviction
+    for ch, sort in (
+        ("sessions", ["conv_id", "session_id"]),
+        ("pairs", ["conv_id", "call_turn_idx"]),
+        ("orphans", ["conv_id", "call_turn_idx"]),
+        ("matches", ["conv_id", "start_turn_idx"]),
+    ):
+        assert_frames_equal(outs["small"][ch], outs["huge"][ch], sort)
+    # every orphan surfaced exactly once (20 per epoch)
+    assert len(outs["small"]["orphans"]) == 20 * n_epochs
+    # with ttl << epoch spacing, only the newest processed epoch's
+    # convs are tracked; without eviction every conv ever seen is.
+    # (rows of epoch E sit above the watermark until close E+1, so the
+    # pre-flush checkpoint at epoch n-2 has processed n-2 epochs.)
+    assert outs["huge"]["n_tracked"] >= 20 * (n_epochs - 2) * 2
+    assert outs["small"]["n_tracked"] <= 20 * 2 * 2
