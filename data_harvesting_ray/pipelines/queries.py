@@ -307,10 +307,15 @@ def q_v_knn_ivf(sf_dir: str) -> Any:
 
 
 def q_v_near_dups(sf_dir: str) -> Any:
-    from ..stages.similarity import embedding_near_dups
+    """Exact embedding near-dup pairs (the brute-force baseline,
+    SQL-checked against DuckDB list_cosine_similarity); the LSH scale
+    path is recall-tested against it in tests/test_extensions.py.
+    Threshold 0.45: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ≈ 0.51), so 0.45 exercises a non-empty result."""
+    from ..stages.similarity import embedding_near_dups_exact
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_near_dups(emb, threshold=0.8)
+    return embedding_near_dups_exact(emb, threshold=0.45)
 
 
 def q_m_binary_meta(sf_dir: str) -> Any:
@@ -320,15 +325,12 @@ def q_m_binary_meta(sf_dir: str) -> Any:
 
 
 def q_m_features(sf_dir: str) -> Any:
+    """Actor-pool decode/feature stage; the integer byte-checksum of
+    the (deterministic md5-stub) feature vector is the SQL-checkable
+    witness — the float features themselves ride alongside."""
     from ..stages.multimodal import extract_features
 
-    feats = extract_features(_docs(sf_dir)).to_pandas()
-    import numpy as np
-
-    feats["feat_sum_milli"] = feats.pop("features").map(
-        lambda v: int(np.asarray(v, np.float64).sum() * 1000)
-    ).astype(np.int64)
-    return feats
+    return extract_features(_docs(sf_dir)).select_columns(["doc_id", "feat_checksum"])
 
 
 def q_lineitem_rollup(sf_dir: str) -> Any:
@@ -614,6 +616,67 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             ) WHERE rn <= 5
         """,
         "m_binary_meta": "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
+        "t_cep_suppressed": f"""
+            WITH RECURSIVE cand AS (
+              SELECT conv_id, turn_idx AS s, t2 AS e,
+                     row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+              FROM (
+                SELECT conv_id, turn_idx, role,
+                       lead(role, 1) OVER w AS r1, lead(role, 2) OVER w AS r2,
+                       lead(turn_idx, 2) OVER w AS t2
+                FROM {T}
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+              )
+              WHERE role = 'user' AND r1 = 'assistant' AND r2 = 'tool'
+                AND t2 = turn_idx + 2
+            ), walk AS (
+              -- greedy after-match suppression: a candidate survives iff
+              -- it starts more than suppress_turns (5) past the end of
+              -- the previous SURVIVING match in the same conversation
+              SELECT conv_id, rn, s, e, TRUE AS kept, e AS frontier
+              FROM cand WHERE rn = 1
+              UNION ALL
+              SELECT c.conv_id, c.rn, c.s, c.e,
+                     c.s > w.frontier + 5,
+                     CASE WHEN c.s > w.frontier + 5 THEN c.e ELSE w.frontier END
+              FROM walk w JOIN cand c ON c.conv_id = w.conv_id AND c.rn = w.rn + 1
+            )
+            SELECT conv_id, 'user>assistant>tool' AS pattern,
+                   s AS start_turn_idx, e AS end_turn_idx
+            FROM walk WHERE kept
+        """,
+        "d_lang_id": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                list_sum(list_transform(toks, x -> CASE WHEN list_contains(['the','and','of','a','is','to'], x) THEN 1 ELSE 0 END)) AS n_en,
+                list_sum(list_transform(toks, x -> CASE WHEN list_contains(['der','die','das','und','ist','ein'], x) THEN 1 ELSE 0 END)) AS n_de,
+                list_sum(list_transform(toks, x -> CASE WHEN list_contains(['le','la','et','les','des','est'], x) THEN 1 ELSE 0 END)) AS n_fr,
+                list_sum(list_transform(toks, x -> CASE WHEN list_contains(['el','la','los','las','es','una'], x) THEN 1 ELSE 0 END)) AS n_es
+              FROM t
+            )
+            SELECT doc_id, CASE
+              WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+              WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+              WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+              WHEN n_es > 0 THEN 'es'
+              ELSE 'unknown' END AS lang_pred
+            FROM c
+        """,
+        "m_features": """
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 8),
+                        i -> CAST('0x' || substr(md5(text), CAST(i * 2 + 1 AS INT), 2) AS BIGINT)))
+                        AS BIGINT) AS feat_checksum
+            FROM documents
+        """,
+        "v_near_dups": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
     }
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).

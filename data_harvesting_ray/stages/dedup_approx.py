@@ -3,20 +3,37 @@
 Extension slot noted in SURVEY §2.7 D2: the reference suppresses
 near-duplicate detections by coordinate tolerance
 (``condition.py:66-77``); at training-data scale the analogous
-operators are document near-dup sketches. All sketches are computed
-per-batch (vectorized numpy over each doc's shingle set), exploded to
-(band, band_hash, doc_id) rows, bucketed by a single groupby — the
-standard shingle→minhash→band→bucket plan — then candidate pairs are
-verified exactly with the texts of only the involved docs broadcast
-via ``ray.put`` (candidates ≪ corpus, no second full shuffle).
+operators are document near-dup sketches. The plan is the standard
+shingle→minhash→band→bucket pipeline, kept distributed end-to-end:
 
-Determinism: all hashing is crc32/blake2b-based (no PYTHONHASHSEED
-dependence), so signatures are identical across workers and runs.
+- sketches are computed per batch with VECTORIZED numpy kernels (a
+  sliding-window polynomial hash over the document's bytes; token
+  hashes via ``pd.util.hash_array`` — no per-shingle/per-token Python
+  hashing),
+- (band, band_hash) rows are co-located by the engine's shared hash
+  repartition and candidate pairs emitted per exact bucket, with a
+  hot-bucket cap (a degenerate hash — e.g. many near-empty docs — is
+  skipped with a warning instead of going O(n²)),
+- candidate pairs stay a ``Dataset``; exact verification fetches ONLY
+  the involved documents via a broadcast-id semi-join (distributed
+  filter over the corpus, never a driver-side corpus scan) and runs
+  inside ``map_batches``. The final thresholded pair list — small by
+  construction — is returned as pandas.
+
+If the involved-document set ever outgrew driver memory (pathological
+candidate volume), the fallback is the exploded two-sided join: pairs
+→ (pair_id, doc_id) rows co-partitioned with the docs by hash(doc_id),
+then regrouped by pair_id — two key-only shuffles, still no driver
+materialization.
+
+Determinism: all hashing is fixed-coefficient polynomial / siphash
+with pandas' fixed key (no PYTHONHASHSEED dependence), so signatures
+are identical across workers and runs.
 """
 
 from __future__ import annotations
 
-import zlib
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -26,16 +43,31 @@ import ray
 import ray.data
 
 MERSENNE = (1 << 61) - 1
+_POLY_P = np.uint64(1_099_511_628_211)  # FNV-ish odd multiplier, mod 2^64
+
+
+def _poly_powers(k: int) -> np.ndarray:
+    out = np.empty(k, dtype=np.uint64)
+    out[0] = np.uint64(1)
+    for i in range(1, k):
+        out[i] = out[i - 1] * _POLY_P
+    return out
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """Distinct crc32 hashes of the k-char shingles of a document."""
-    if len(text) < k:
-        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
-    b = text.encode("utf-8", "ignore")
-    return np.unique(
-        np.array([zlib.crc32(b[i : i + k]) for i in range(len(b) - k + 1)], dtype=np.uint64)
-    )
+    """Distinct polynomial hashes of the k-byte shingles of a document
+    — one sliding-window view + k vectorized multiply-adds (mod 2^64
+    by uint64 wraparound), no per-shingle Python."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    pw = _poly_powers(k)
+    if len(b) < k:
+        if not len(b):
+            return np.array([np.uint64(0)], dtype=np.uint64)
+        h = (b.astype(np.uint64) * pw[: len(b)]).sum(dtype=np.uint64)
+        return np.array([h], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    h = win @ pw  # uint64 wraparound == mod 2^64
+    return np.unique(h)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -58,49 +90,61 @@ class MinHasher:
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = char_shingles(text, self.k).astype(np.uint64)
+        sh = char_shingles(text, self.k)
         # (num_perm, |S|) universal hash, min over shingles
         v = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
         return v.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = self.signature(text).reshape(self.bands, self.rows)
+        n = len(df)
+        sig = np.empty((n, self.bands), dtype=np.uint64)
+        for i, text in enumerate(df["text"]):
+            s = self.signature(text).reshape(self.bands, self.rows)
             # fold each band's rows into one deterministic bucket hash
-            bh = sig[:, 0].copy()
+            bh = s[:, 0].copy()
             for r in range(1, self.rows):
-                bh = (bh * np.uint64(1_000_003) + sig[:, r]) % np.uint64(MERSENNE)
-            out_doc.extend([doc_id] * self.bands)
-            out_band.extend(range(self.bands))
-            out_hash.extend(bh.tolist())
+                bh = (bh * np.uint64(1_000_003) + s[:, r]) % np.uint64(MERSENNE)
+            sig[i] = bh
         return pd.DataFrame(
             {
-                "doc_id": np.array(out_doc, dtype=np.int64),
-                "band": np.array(out_band, dtype=np.int64),
-                "band_hash": np.array(out_hash, dtype=np.uint64).astype(np.int64),
+                "doc_id": np.repeat(df["doc_id"].to_numpy().astype(np.int64), self.bands),
+                "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
+                "band_hash": sig.reshape(-1).astype(np.int64),
             }
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _bucket_pairs(g: pd.DataFrame, cap: int | None) -> pd.DataFrame:
     ids = np.sort(g["doc_id"].unique())
+    empty = pd.DataFrame({"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)})
     if len(ids) < 2:
-        return pd.DataFrame({"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)})
+        return empty
+    if cap is not None and len(ids) > cap:
+        warnings.warn(
+            f"near-dup bucket with {len(ids)} docs exceeds cap {cap}; "
+            "skipping (degenerate band hash — e.g. empty documents)"
+        )
+        return empty
     ia, ib = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"doc_a": ids[ia].astype(np.int64), "doc_b": ids[ib].astype(np.int64)})
 
 
-def band_candidate_pairs(sig: ray.data.Dataset, num_buckets: int | None = None) -> pd.DataFrame:
-    """Distinct candidate pairs from (band, band_hash) rows: hash
-    repartition on band_hash co-locates buckets (same plan as every
-    other stateful stage — see stages/partition.py), then pairs are
-    emitted per exact (band, band_hash) group within the partition."""
+def band_candidate_pairs(
+    sig: ray.data.Dataset,
+    num_buckets: int | None = None,
+    bucket_cap: int | None = 5000,
+) -> ray.data.Dataset:
+    """Distinct candidate pairs from (band, band_hash) rows, as a
+    Dataset: hash repartition on band_hash co-locates buckets (the
+    same plan as every other stateful stage — stages/partition.py),
+    pairs are emitted per exact (band, band_hash) group within the
+    partition, and cross-partition duplicates (a pair sharing several
+    bands) are dropped by a second, pair-keyed repartition."""
     from .partition import apply_per_bucket
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         outs = [
-            _bucket_pairs(grp)
+            _bucket_pairs(grp, bucket_cap)
             for _, grp in g.groupby(["band", "band_hash"], sort=False)
         ]
         if not outs:
@@ -110,12 +154,17 @@ def band_candidate_pairs(sig: ray.data.Dataset, num_buckets: int | None = None) 
         return pd.concat(outs, ignore_index=True)
 
     pairs = apply_per_bucket(sig, kernel, key="band_hash", num_buckets=num_buckets)
-    return pairs.to_pandas().drop_duplicates().reset_index(drop=True)
+    return apply_per_bucket(
+        pairs,
+        lambda g: g.drop_duplicates(),
+        key=["doc_a", "doc_b"],
+        num_buckets=num_buckets,
+    )
 
 
 def minhash_candidates(
     docs: ray.data.Dataset, num_perm: int = 128, bands: int = 32, k: int = 5
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Distinct candidate near-dup pairs (share ≥ 1 LSH band)."""
     sig = docs.map_batches(
         MinHasher,
@@ -127,24 +176,48 @@ def minhash_candidates(
     return band_candidate_pairs(sig)
 
 
+def _collect_involved(
+    pairs: ray.data.Dataset, id_cols: tuple[str, str] = ("doc_a", "doc_b")
+) -> np.ndarray:
+    """Distinct ids referenced by the candidate pairs (ids only — a few
+    bytes per candidate, never document payloads)."""
+    a, b = id_cols
+
+    def ids(t: pa.Table) -> pa.Table:
+        u = np.union1d(t[a].to_numpy(zero_copy_only=False), t[b].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": u.astype(np.int64)})
+
+    out = pairs.map_batches(ids, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in out.columns:
+        return np.array([], dtype=np.int64)
+    return np.unique(out["doc_id"].to_numpy())
+
+
+def _fetch_involved_map(
+    ds: ray.data.Dataset, involved: np.ndarray, key: str, value: str
+) -> dict:
+    """Broadcast-id semi-join: the involved-id set is broadcast via
+    ``ray.put`` and the corpus filtered in parallel map_batches tasks —
+    only the involved rows (candidate-scale, not corpus-scale) reach
+    the driver."""
+    ref = ray.put(np.sort(involved))
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(df[key].to_numpy(), ray.get(ref))
+        return df[keep][[key, value]]
+
+    small = ds.map_batches(filt, batch_format="pandas").to_pandas()
+    return dict(zip(small[key], small[value]))
+
+
 def verify_pairs_jaccard(
-    docs: ray.data.Dataset, pairs: pd.DataFrame, k: int = 5
-) -> pd.DataFrame:
-    """Exact n-gram Jaccard for candidate pairs; texts of involved docs
-    only are broadcast (small side) — no full-corpus shuffle."""
-    if pairs.empty:
-        return pd.DataFrame(
-            {
-                "doc_a": np.array([], np.int64),
-                "doc_b": np.array([], np.int64),
-                "jaccard_milli": np.array([], np.int64),
-            }
-        )
-    involved = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    texts = {}
-    for b in docs.select_columns(["doc_id", "text"]).iter_batches(batch_format="pandas"):
-        m = b[b["doc_id"].isin(involved)]
-        texts.update(zip(m["doc_id"], m["text"]))
+    docs: ray.data.Dataset, pairs: ray.data.Dataset, k: int = 5
+) -> ray.data.Dataset:
+    """Exact n-gram Jaccard for candidate pairs, computed inside
+    map_batches over the pairs Dataset; texts of involved docs only
+    are broadcast (small side) — no full-corpus shuffle or scan."""
+    involved = _collect_involved(pairs)
+    texts = _fetch_involved_map(docs.select_columns(["doc_id", "text"]), involved, "doc_id", "text")
     ref = ray.put(texts)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -162,41 +235,47 @@ def verify_pairs_jaccard(
         ]
         return df.assign(jaccard_milli=np.array(jm, dtype=np.int64))
 
-    return (
-        ray.data.from_pandas(pairs)
-        .map_batches(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    return pairs.map_batches(verify, batch_format="pandas")
 
 
 def minhash_near_dups(
     docs: ray.data.Dataset, threshold_milli: int = 700, k: int = 5
 ) -> pd.DataFrame:
-    """MinHash-LSH near-dup pairs with exact-Jaccard verification."""
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification.
+    Candidates and verification stay distributed; only the final
+    thresholded pair list (small by construction) lands on the driver."""
     cand = minhash_candidates(docs, k=k)
     verified = verify_pairs_jaccard(docs, cand, k=k)
-    out = verified[verified["jaccard_milli"] >= threshold_milli]
+    out = verified.map_batches(
+        lambda df: df[df["jaccard_milli"].to_numpy() >= threshold_milli],
+        batch_format="pandas",
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "doc_a": np.array([], np.int64),
+                "doc_b": np.array([], np.int64),
+                "jaccard_milli": np.array([], np.int64),
+            }
+        )
     return out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)
 
 
 # ----------------------------------------------------------------- simhash
-def _token_hash64(tok: str) -> int:
-    import hashlib
-
-    return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-
-
 def simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.lower().split():
-        h = _token_hash64(tok)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash with vectorized token hashing: one
+    ``pd.util.hash_array`` call per document (siphash, fixed key) and a
+    (T, 64) bit unpack — no per-token Python hashing."""
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    h = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in np.flatnonzero(acc > 0):
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out)
 
 
 def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -218,7 +297,8 @@ def simhash_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
 def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dups: 4×16-bit band exact-match candidates (any pair
     within hamming ≤ 3 of a 64-bit hash shares ≥ 1 of 4 bands), then
-    exact hamming verify."""
+    exact hamming verify. Candidates stay a Dataset; only involved
+    signatures (not the full signature table) reach the driver."""
     sig = simhash_docs(docs)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -234,7 +314,8 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFr
         return pd.concat(rows, ignore_index=True)
 
     pairs = band_candidate_pairs(sig.map_batches(explode, batch_format="pandas"))
-    if pairs.empty:
+    involved = _collect_involved(pairs)
+    if not len(involved):
         return pd.DataFrame(
             {
                 "doc_a": np.array([], np.int64),
@@ -242,15 +323,26 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFr
                 "hamming": np.array([], np.int64),
             }
         )
-    sp = sig.to_pandas()
-    sig_map = dict(zip(sp["doc_id"], sp["simhash"]))
-    a = pairs["doc_a"].map(sig_map).to_numpy().astype(np.uint64)
-    b = pairs["doc_b"].map(sig_map).to_numpy().astype(np.uint64)
-    x = a ^ b
-    ham = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        ham += (x & 1).astype(np.int64)
-        x >>= 1
-    out = pairs.assign(hamming=ham)
-    out = out[out["hamming"] <= max_hamming]
+    sig_map = _fetch_involved_map(sig, involved, "doc_id", "simhash")
+    ref = ray.put(sig_map)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(ref)
+        a = df["doc_a"].map(sm).to_numpy().astype(np.uint64)
+        b = df["doc_b"].map(sm).to_numpy().astype(np.uint64)
+        x = a ^ b
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        return df.assign(hamming=ham)
+
+    out = (
+        pairs.map_batches(verify, batch_format="pandas")
+        .map_batches(
+            lambda df: df[df["hamming"].to_numpy() <= max_hamming],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     return out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)

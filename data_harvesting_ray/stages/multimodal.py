@@ -76,17 +76,25 @@ class FeatureExtractor:
         )
 
     def _decode_stub(self, payload: bytes) -> np.ndarray:
-        # Deterministic fake features: bytes of blake2b digest → float
-        d = hashlib.blake2b(payload, digest_size=self.FEATURE_DIM).digest()
-        return np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0
+        # Deterministic fake feature bytes: md5 digest prefix (md5 so
+        # the driver's DuckDB oracle can recompute the checksum in SQL)
+        d = hashlib.md5(payload).digest()[: self.FEATURE_DIM]
+        return np.frombuffer(d, dtype=np.uint8)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        decode = self._decode_real if self.use_real_decoder else self._decode_stub
-        feats = [decode(p) for p in df["payload"]]
+        if self.use_real_decoder:
+            raw = [self._decode_real(p) for p in df["payload"]]
+        else:
+            raw = [self._decode_stub(p) for p in df["payload"]]
+        feats = [(r.astype(np.float32) / 255.0) for r in raw]
+        # integer checksum of the raw feature bytes: an exact,
+        # SQL-recomputable witness of the float feature vector
+        checks = np.array([int(r.sum()) for r in raw], dtype=np.int64)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype(np.int64),
                 "features": pd.Series(feats, dtype=object),
+                "feat_checksum": checks,
             }
         )
 

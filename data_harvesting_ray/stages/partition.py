@@ -27,9 +27,12 @@ import pyarrow as pa
 import ray.data
 
 
-def _stable_hash(strings: np.ndarray) -> np.ndarray:
-    """Deterministic (cross-process, cross-run) vectorized string hash."""
-    return pd.util.hash_array(strings.astype(object), categorize=False)
+def _stable_hash(arr: np.ndarray) -> np.ndarray:
+    """Deterministic (cross-process, cross-run) vectorized hash for
+    string or integer key columns."""
+    if arr.dtype.kind in "iu":
+        return pd.util.hash_array(arr.astype(np.uint64), categorize=False)
+    return pd.util.hash_array(arr.astype(object), categorize=False)
 
 
 def _stable_hash_cols(t: pa.Table, keys: list[str]) -> np.ndarray:

@@ -146,45 +146,121 @@ def knn_ivf(
 
 
 def embedding_near_dups(
-    ds: ray.data.Dataset, threshold: float = 0.9, n_planes: int = 16, seed: int = 23
+    ds: ray.data.Dataset,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    seed: int = 23,
 ) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane LSH: sign-bit
-    sketches bucket candidates, exact cosine verifies. Output
-    (vec_a, vec_b, sim_milli)."""
+    """Embedding-cosine near-dup pairs via multi-band hyperplane LSH —
+    the SCALE path. ``n_bands`` bands of ``band_bits`` sign bits each:
+    a pair is a candidate if any band matches exactly (for cosine
+    ≥ 0.95 and 8×8-bit bands, per-band match prob ≈ (1-θ/π)^8 ≈ 0.63 →
+    miss prob ≈ 3e-4; tune bands/bits per threshold). Candidates stay
+    a Dataset; exact cosine verification fetches only involved vectors
+    via a broadcast-id semi-join (no driver-side corpus scan).
+    Output (vec_a, vec_b, sim_milli). ``embedding_near_dups_exact`` is
+    the brute-force baseline it is recall-tested against."""
     rng = np.random.default_rng(seed)
     first = ds.take(1)
     dim = len(first[0]["embedding"]) if first else 0
+    n_planes = n_bands * band_bits
     planes = rng.normal(size=(dim, n_planes)) if dim else np.zeros((0, n_planes))
-    ref = ray.put(planes)
+    pref = ray.put(planes)
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
-        p = ray.get(ref)
+        p = ray.get(pref)
         m = _normalize_rows(_stack(df["embedding"]))
-        bits = (m @ p) > 0
-        code = np.zeros(len(m), dtype=np.int64)
-        for j in range(bits.shape[1]):
-            code |= bits[:, j].astype(np.int64) << j
-        return pd.DataFrame({"doc_id": df["vec_id"].astype(np.int64), "band": np.int64(0), "band_hash": code})
+        bits = (m @ p) > 0  # (n, n_bands*band_bits)
+        outs = []
+        for band in range(n_bands):
+            sub = bits[:, band * band_bits : (band + 1) * band_bits]
+            code = (sub.astype(np.int64) << np.arange(band_bits, dtype=np.int64)).sum(axis=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": df["vec_id"].astype(np.int64),
+                        "band": np.int64(band),
+                        "band_hash": code,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
-    from .dedup_approx import band_candidate_pairs
+    from .dedup_approx import _collect_involved, band_candidate_pairs
 
     pairs = band_candidate_pairs(ds.map_batches(sketch, batch_format="pandas"))
-    if pairs.empty:
-        return pd.DataFrame(
-            {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64), "sim_milli": np.array([], np.int64)}
-        )
-    involved = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    vecs = {}
-    for b in ds.select_columns(["vec_id", "embedding"]).iter_batches(batch_format="pandas"):
-        m = b[b["vec_id"].isin(involved)]
-        vecs.update(zip(m["vec_id"], (np.asarray(v, np.float64) for v in m["embedding"])))
-    sims = []
-    for a, bb in zip(pairs["doc_a"], pairs["doc_b"]):
-        va, vb = vecs[a], vecs[bb]
-        s = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12))
-        sims.append(int(s * 1000))
-    out = pd.DataFrame(
-        {"vec_a": pairs["doc_a"].to_numpy(), "vec_b": pairs["doc_b"].to_numpy(), "sim_milli": np.array(sims, np.int64)}
+    involved = _collect_involved(pairs)
+    empty = pd.DataFrame(
+        {
+            "vec_a": np.array([], np.int64),
+            "vec_b": np.array([], np.int64),
+            "sim_milli": np.array([], np.int64),
+        }
     )
-    out = out[out["sim_milli"] >= int(threshold * 1000)]
+    if not len(involved):
+        return empty
+    iref = ray.put(np.sort(involved))
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(df["vec_id"].to_numpy(), ray.get(iref))
+        return df[keep][["vec_id", "embedding"]]
+
+    small = ds.map_batches(filt, batch_format="pandas").to_pandas()
+    vec_ids = small["vec_id"].to_numpy().astype(np.int64)
+    mat = _normalize_rows(_stack(small["embedding"]))
+    vref = ray.put((vec_ids, mat))
+    thr = int(threshold * 1000)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ids, m = ray.get(vref)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        ia = np.fromiter((pos[int(x)] for x in df["doc_a"]), dtype=np.int64, count=len(df))
+        ib = np.fromiter((pos[int(x)] for x in df["doc_b"]), dtype=np.int64, count=len(df))
+        sims = np.einsum("ij,ij->i", m[ia], m[ib])
+        out = pd.DataFrame(
+            {
+                "vec_a": df["doc_a"].to_numpy(),
+                "vec_b": df["doc_b"].to_numpy(),
+                "sim_milli": (sims * 1000).astype(np.int64),
+            }
+        )
+        return out[out["sim_milli"].to_numpy() >= thr]
+
+    out = pairs.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["vec_a", "vec_b"], kind="stable").reset_index(drop=True)
+
+
+def embedding_near_dups_exact(
+    ds: ray.data.Dataset, threshold: float = 0.45
+) -> pd.DataFrame:
+    """Exact all-pairs cosine near-dups — the brute-force BASELINE
+    (mirrors knn_bruteforce): the normalized corpus matrix is broadcast
+    once via ``ray.put`` and each batch emits its pairs against it
+    (i < j, one matmul per batch). Valid while the matrix fits the
+    object store; the LSH variant above is the 100 TB path. Output
+    (vec_a, vec_b) — thresholded exact pairs, SQL-checkable."""
+    all_df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = all_df["vec_id"].to_numpy().astype(np.int64)
+    mat = _normalize_rows(_stack(all_df["embedding"]))
+    ref = ray.put((ids, mat))
+    thr = float(threshold)
+
+    def pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
+        aids, m = ray.get(ref)
+        bids = df["vec_id"].to_numpy().astype(np.int64)
+        bm = _normalize_rows(_stack(df["embedding"]))
+        sims = bm @ m.T  # (batch, corpus)
+        bi, ci = np.nonzero((sims >= thr) & (bids[:, None] < aids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": bids[bi], "vec_b": aids[ci]}
+        )
+
+    out = ds.map_batches(pairs_batch, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64)}
+        )
     return out.sort_values(["vec_a", "vec_b"], kind="stable").reset_index(drop=True)

@@ -143,6 +143,25 @@ def test_embedding_near_dups_finds_planted_dup(ray_session):
     assert (0, 20) in set(zip(got["vec_a"], got["vec_b"]))
 
 
+def test_embedding_lsh_subset_of_exact(ray_session):
+    """Every LSH-found pair is exactly verified, so the LSH output must
+    be a subset of the brute-force baseline at the same threshold (the
+    difference is recall, covered by the planted-dup test)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_exact,
+    )
+
+    emb = rd.read_parquet(EMB, columns=["vec_id", "embedding"])
+    exact = embedding_near_dups_exact(emb, threshold=0.45)
+    lsh = embedding_near_dups(emb, threshold=0.45, n_bands=16, band_bits=6)
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    l = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert l <= e
+
+
 def test_lang_id_heuristic(ray_session):
     import ray.data as rd
 
