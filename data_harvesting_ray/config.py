@@ -38,6 +38,9 @@ class EngineConfig:
     tumble_s: int = 600
     slide_size_s: int = 600
     slide_step_s: int = 300
+    # sink format for committed channel files (X2 — the reference's
+    # export-factory slot; see sinks/registry.py, register_format)
+    sink_format: str = "parquet"
     # per-conv state (session counter, CEP tail/frontier, pending
     # calls/responses) is evicted once the watermark passes the conv's
     # last activity by this much; exact session numbering / pattern
@@ -61,6 +64,9 @@ class EngineConfig:
             raise ValueError("window sizes must be positive")
         if self.state_ttl_s <= 0:
             raise ValueError("state_ttl_s must be positive")
+        from .sinks.registry import get_format
+
+        get_format(self.sink_format)  # raises on unregistered formats
         return self
 
     @classmethod

@@ -86,6 +86,16 @@ def q_t_session_windows(sf_dir: str) -> Any:
     return session_windows(_t(sf_dir, _META))
 
 
+def q_t_session_windows_salted(sf_dir: str) -> Any:
+    """Hot-key-salted session plan (partial islands per turn-range
+    chunk + tiny merge shuffle); must equal the unsalted SQL oracle.
+    salt_chunk=256 so the fixture's hot conversations (600 turns)
+    actually split across chunks at sf0.01."""
+    from ..stages.windows import session_windows_salted
+
+    return session_windows_salted(_t(sf_dir, _META), salt_chunk=256)
+
+
 def q_t_tumbling_windows(sf_dir: str) -> Any:
     from ..stages.windows import tumbling_windows
 
@@ -349,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_normalize": q_t_normalize,
         "t_dedup": q_t_dedup,
         "t_session_windows": q_t_session_windows,
+        "t_session_windows_salted": q_t_session_windows_salted,
         "t_tumbling_windows": q_t_tumbling_windows,
         "t_sliding_windows": q_t_sliding_windows,
         "t_tool_join": q_t_tool_join,
@@ -680,6 +691,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     }
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).
+    sqls["t_session_windows_salted"] = sqls["t_session_windows"]
     sqls["t_streaming_sessions"] = sqls["t_session_windows"]
     sqls["t_streaming_pairs"] = sqls["t_tool_join"]
     sqls["t_streaming_tumbling"] = sqls["t_tumbling_windows"]

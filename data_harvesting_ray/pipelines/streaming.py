@@ -65,9 +65,12 @@ class StateShardActor:
     """One shard of the keyspace: owns a ShardState across epochs and
     stages its own emission parquet files (driver never sees rows)."""
 
-    def __init__(self, shard_id: int, state_kwargs: dict):
+    def __init__(self, shard_id: int, state_kwargs: dict, sink_format: str = "parquet"):
+        from ..sinks.registry import get_format
+
         self.shard_id = shard_id
         self.state = ShardState(**state_kwargs)
+        self.fmt = get_format(sink_format)
         self.epoch_late: list[pd.DataFrame] = []
 
     def ingest(self, table: pa.Table, barrier=None) -> tuple[int, int]:
@@ -94,8 +97,6 @@ class StateShardActor:
     def close_and_stage(
         self, wm: int, staging_dir: str, flush: bool
     ) -> dict:
-        import pyarrow.parquet as pq
-
         t0 = time.time()
         out = self.state.close(wm, flush=flush)
         out["late"] = (
@@ -108,8 +109,8 @@ class StateShardActor:
         for channel, df in out.items():
             if df is None or not len(df):
                 continue
-            path = EpochSink.staged_file(staging_dir, channel, self.shard_id)
-            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+            path = EpochSink.staged_file(staging_dir, channel, self.shard_id, self.fmt.ext)
+            self.fmt.write(df, path)
             written[channel] = len(df)
         m = dict(self.state.metrics)
         m["close_s"] = round(time.time() - t0, 4)
@@ -265,8 +266,9 @@ class StreamingEngine:
         return kw
 
     def _spawn(self):
+        fmt = self.config.sink_format if self.config else "parquet"
         self.actors = [
-            StateShardActor.remote(i, self._state_kwargs())
+            StateShardActor.remote(i, self._state_kwargs(), fmt)
             for i in range(self.num_shards)
         ]
 
@@ -509,17 +511,23 @@ class StreamingEngine:
     # ------------------------------------------------------------ results
     def results(self, channel: str) -> rd.Dataset | None:
         files = self.sink.committed_files(channel)
-        return rd.read_parquet(files, partitioning=None) if files else None
+        if not files:
+            return None
+        if files[0].endswith(".parquet"):
+            return rd.read_parquet(files, partitioning=None)
+        return rd.from_pandas(self.results_pandas(channel))
 
     def results_pandas(self, channel: str) -> pd.DataFrame:
-        import pyarrow.parquet as pq
+        from ..sinks.registry import format_for_file
 
         files = self.sink.committed_files(channel)
         if not files:
             from ..state.store import empty_frame
 
             return empty_frame(channel)
-        return pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+        return pd.concat(
+            [format_for_file(f).read(f) for f in files], ignore_index=True
+        )
 
 
 def run_streaming(

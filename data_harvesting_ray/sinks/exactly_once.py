@@ -43,8 +43,8 @@ class EpochSink:
         return d
 
     @staticmethod
-    def staged_file(staging_dir: str, channel: str, shard: int) -> str:
-        return os.path.join(staging_dir, f"{channel}-shard{shard:04d}.parquet")
+    def staged_file(staging_dir: str, channel: str, shard: int, ext: str = "parquet") -> str:
+        return os.path.join(staging_dir, f"{channel}-shard{shard:04d}.{ext}")
 
     # ---- phase 2: commit -------------------------------------------------
     def manifest_path(self, epoch: int) -> str:

@@ -88,6 +88,142 @@ def session_windows(
     )
 
 
+def session_windows_salted(
+    ds: ray.data.Dataset,
+    gap_s: int = DEFAULT_SESSION_GAP_S,
+    salt_chunk: int = 65536,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Session windows with HOT-KEY SALTING (SURVEY §7 hard part (c)).
+
+    ``session_windows`` co-locates whole conversations, so one
+    mega-conversation pins one partition (the straggler holds the
+    barrier). Here the partition key is (conv_id, turn_idx //
+    salt_chunk): a 10M-turn conversation spreads over ~150 buckets.
+    Stage 1 computes PARTIAL gap-islands per chunk (the decomposable
+    part); stage 2 shuffles only the island rows — one row per partial
+    session, ≥ salt_chunk× smaller than the input — by conv_id and
+    merges chunk-boundary islands with the same gap rule, which is
+    exact: two islands merge iff their boundary turns are consecutive
+    with a gap ≤ the session gap, and within-chunk splits already
+    satisfy the complement.
+
+    Output is identical to ``session_windows`` (metamorphic test in
+    tests/test_salting.py); use it when conversation-length skew is
+    unbounded."""
+    gap_us = gap_s * US
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        chunk = (
+            t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64) // salt_chunk
+        )
+        return t.append_column("chunk", pa.array(chunk))
+
+    def partial_islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = dedup_kernel(g)
+        # chunk = turn_idx // C is monotone in turn_idx, so sorting by
+        # (conv, turn_idx) also orders by chunk
+        codes, _ = pd.factorize(g["conv_id"].to_numpy(), sort=False)
+        key = (codes.astype(np.int64) << np.int64(32)) | g["turn_idx"].to_numpy().astype(
+            np.int64
+        )
+        order = np.argsort(key, kind="stable")
+        g = g.iloc[order]
+        conv = g["conv_id"].to_numpy()
+        chunk = g["chunk"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tidx = g["turn_idx"].to_numpy().astype(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": np.array([], dtype=object),
+                    "start_us": np.array([], np.int64),
+                    "end_us": np.array([], np.int64),
+                    "turn_count": np.array([], np.int64),
+                    "first_idx": np.array([], np.int64),
+                    "last_idx": np.array([], np.int64),
+                }
+            )
+        is_new = np.empty(n, dtype=bool)
+        is_new[0] = True
+        is_new[1:] = (
+            (conv[1:] != conv[:-1])
+            | (chunk[1:] != chunk[:-1])
+            | (ts[1:] - ts[:-1] > gap_us)
+        )
+        starts = np.flatnonzero(is_new)
+        ends = np.append(starts[1:], n) - 1
+        return pd.DataFrame(
+            {
+                "conv_id": conv[starts],
+                "start_us": ts[starts],
+                "end_us": ts[ends],
+                "turn_count": (ends - starts + 1).astype(np.int64),
+                "first_idx": tidx[starts],
+                "last_idx": tidx[ends],
+            }
+        )
+
+    def merge_islands(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "conv_id": np.array([], dtype=object),
+                    "session_id": np.array([], np.int64),
+                    "window_start": np.array([], "datetime64[us]"),
+                    "window_end": np.array([], "datetime64[us]"),
+                    "turn_count": np.array([], np.int64),
+                    "first_turn_idx": np.array([], np.int32),
+                    "last_turn_idx": np.array([], np.int32),
+                }
+            )
+        codes, _ = pd.factorize(g["conv_id"].to_numpy(), sort=False)
+        key = (codes.astype(np.int64) << np.int64(32)) | g["first_idx"].to_numpy().astype(
+            np.int64
+        )
+        order = np.argsort(key, kind="stable")
+        g = g.iloc[order]
+        conv = g["conv_id"].to_numpy()
+        start = g["start_us"].to_numpy().astype(np.int64)
+        end = g["end_us"].to_numpy().astype(np.int64)
+        cnt = g["turn_count"].to_numpy().astype(np.int64)
+        fidx = g["first_idx"].to_numpy().astype(np.int64)
+        lidx = g["last_idx"].to_numpy().astype(np.int64)
+        n = len(g)
+        is_new = np.empty(n, dtype=bool)
+        is_new[0] = True
+        is_new[1:] = (conv[1:] != conv[:-1]) | (start[1:] - end[:-1] > gap_us)
+        s = np.flatnonzero(is_new)
+        e = np.append(s[1:], n) - 1
+        conv_new = np.empty(n, dtype=bool)
+        conv_new[0] = True
+        conv_new[1:] = conv[1:] != conv[:-1]
+        island_idx = np.cumsum(is_new) - 1
+        first_island = island_idx[np.flatnonzero(conv_new)]
+        session_id = np.arange(len(s)) - np.repeat(
+            first_island, np.diff(np.append(first_island, len(s)))
+        )
+        cnt_sums = np.add.reduceat(cnt, s)
+        return pd.DataFrame(
+            {
+                "conv_id": conv[s],
+                "session_id": session_id.astype(np.int64),
+                "window_start": start[s].astype("datetime64[us]"),
+                "window_end": end[e].astype("datetime64[us]"),
+                "turn_count": cnt_sums.astype(np.int64),
+                "first_turn_idx": fidx[s].astype(np.int32),
+                "last_turn_idx": lidx[e].astype(np.int32),
+            }
+        )
+
+    chunked = ds.map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
+    partials = apply_per_bucket(
+        chunked, partial_islands, key=["conv_id", "chunk"], num_buckets=num_buckets
+    )
+    return apply_per_bucket(partials, merge_islands, num_buckets=num_buckets)
+
+
 def _is_tool_call(g: pd.DataFrame) -> np.ndarray:
     """is_tool_call from whichever columns are present: a normalized
     frame carries it; a pruned raw read derives it from (role, tool)."""

@@ -67,6 +67,34 @@ def test_enrich_applies_in_bounded_flagship(ray_session, sf_small):
     assert "search" not in tools and "websearch" in tools
 
 
+def test_sink_format_registry_jsonl(ray_session, tmp_path, df_small):
+    """X2: a registered non-default sink format writes the committed
+    channels (manifest-gated, same exactly-once path) and reads back
+    to the same rows as the oracle."""
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    eng = StreamingEngine(
+        str(tmp_path / "jsonl"), num_shards=4, config=EngineConfig(sink_format="jsonl")
+    )
+    eng.run(discover_epochs(epochs_root("sf0.001")))
+    files = eng.sink.committed_files("sessions")
+    assert files and all(f.endswith(".jsonl") for f in files)
+    assert_frames_equal(
+        eng.results_pandas("sessions"), R.session_windows(df_small), ["conv_id", "session_id"]
+    )
+
+
+def test_unknown_sink_format_rejected():
+    from data_harvesting_ray.config import EngineConfig
+
+    with pytest.raises(ValueError, match="sink format"):
+        EngineConfig(sink_format="avro").validate()
+
+
 def _disjoint_epochs(root: str, n_epochs: int, spacing_s: int) -> None:
     """Each epoch has fresh conversations, spaced far apart in event
     time, with one call/response pair and one orphan call per conv."""

@@ -1,0 +1,68 @@
+"""Hot-conversation salting (SURVEY §7 hard part (c)): the salted
+session-window plan must be output-identical to the unsalted one —
+including over a fixture with a 100k-turn conversation — while
+spreading a mega-conversation across many partitions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from .conftest import assert_frames_equal
+
+
+def test_salted_sessions_match_unsalted_on_default_fixture(ray_session, sf_small, df_small):
+    import ray.data as rd
+
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.stages.windows import session_windows_salted
+
+    ds = rd.read_parquet(sf_small, columns=["conv_id", "turn_idx", "ts"])
+    got = session_windows_salted(ds, salt_chunk=64).to_pandas()
+    assert_frames_equal(got, R.session_windows(df_small), ["conv_id", "session_id"])
+
+
+@pytest.fixture(scope="module")
+def hot_fixture(ray_session):
+    """Deterministic fixture with 100k-turn hot conversations."""
+    from data_harvesting_ray.fixtures.generator import GenParams, ensure_fixture
+
+    d = ensure_fixture(
+        "sfhot-test",
+        GenParams(n_convs=48, hot_frac=0.05, hot_turns=100_000, seed=11, n_epochs=2),
+    )
+    return f"{d}/transcripts.parquet"
+
+
+def test_salting_metamorphic_with_100k_turn_conv(ray_session, hot_fixture):
+    """Output invariant with salting on/off over a fixture where one
+    conversation has 100k turns (split over ~25 chunks at 4096)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.windows import session_windows, session_windows_salted
+
+    cols = ["conv_id", "turn_idx", "ts"]
+    base = session_windows(rd.read_parquet(hot_fixture, columns=cols)).to_pandas()
+    salted = session_windows_salted(
+        rd.read_parquet(hot_fixture, columns=cols), salt_chunk=4096
+    ).to_pandas()
+    # the hot conv is real (sessions are small; the conversation is not)
+    assert base.groupby("conv_id")["turn_count"].sum().max() > 50_000
+    assert_frames_equal(salted, base, ["conv_id", "session_id"])
+
+
+def test_join_buckets_on_composite_key_spreads_hot_conv(ray_session, hot_fixture):
+    """tool_join co-locates on (conv_id, call_id), so a hot conv's
+    calls spread over many buckets; results equal the pandas oracle."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.stages.join import tool_join
+    from data_harvesting_ray.stages.normalize import normalize_turns
+
+    ds = normalize_turns(rd.read_parquet(hot_fixture))
+    got = tool_join(ds).to_pandas()
+    want = R.tool_join(pq.read_table(hot_fixture).to_pandas())
+    assert_frames_equal(got, want, ["conv_id", "call_turn_idx"])
