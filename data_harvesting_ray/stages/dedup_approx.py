@@ -134,12 +134,14 @@ def band_candidate_pairs(
     num_buckets: int | None = None,
     bucket_cap: int | None = 5000,
 ) -> ray.data.Dataset:
-    """Distinct candidate pairs from (band, band_hash) rows, as a
-    Dataset: hash repartition on band_hash co-locates buckets (the
-    same plan as every other stateful stage — stages/partition.py),
-    pairs are emitted per exact (band, band_hash) group within the
-    partition, and cross-partition duplicates (a pair sharing several
-    bands) are dropped by a second, pair-keyed repartition."""
+    """Candidate pairs from (band, band_hash) rows, as a Dataset: hash
+    repartition on band_hash co-locates buckets (the same plan as every
+    other stateful stage — stages/partition.py); pairs are emitted per
+    exact (band, band_hash) group and deduped within the partition.
+    A pair sharing several bands can still appear once per band (≤
+    #bands copies) — verification is idempotent per pair, so callers
+    drop the few cross-band duplicates from the FINAL (thresholded,
+    small) result instead of paying a second pair-keyed shuffle here."""
     from .partition import apply_per_bucket
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
@@ -151,15 +153,14 @@ def band_candidate_pairs(
             return pd.DataFrame(
                 {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
             )
-        return pd.concat(outs, ignore_index=True)
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
 
     pairs = apply_per_bucket(sig, kernel, key="band_hash", num_buckets=num_buckets)
-    return apply_per_bucket(
-        pairs,
-        lambda g: g.drop_duplicates(),
-        key=["doc_a", "doc_b"],
-        num_buckets=num_buckets,
-    )
+    # candidate pairs are consumed twice (involved-id collection, then
+    # verification); materialize so the sketch + shuffle don't
+    # re-execute per consumer. Candidate-scale (≪ corpus) by design —
+    # the hot-bucket cap bounds the degenerate case.
+    return pairs.materialize()
 
 
 def minhash_candidates(
@@ -258,36 +259,43 @@ def minhash_near_dups(
                 "jaccard_milli": np.array([], np.int64),
             }
         )
+    out = out.drop_duplicates()  # a pair may match in several bands
     return out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)
 
 
 # ----------------------------------------------------------------- simhash
-def simhash64(text: str) -> int:
-    """64-bit SimHash with vectorized token hashing: one
-    ``pd.util.hash_array`` call per document (siphash, fixed key) and a
-    (T, 64) bit unpack — no per-token Python hashing."""
-    toks = text.lower().split()
-    if not toks:
-        return 0
-    h = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
-    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in np.flatnonzero(acc > 0):
-        out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+_BIT_POWS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
 
 def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"],
-            # store as int64 (two's complement of the uint64 simhash)
-            "simhash": np.array(
-                [simhash64(t) for t in df["text"]], dtype=np.uint64
-            ).astype(np.int64),
-        }
-    )
+    """64-bit SimHash, vectorized across the WHOLE batch: all documents'
+    tokens are hashed in ONE ``pd.util.hash_array`` call (siphash,
+    fixed key — no per-token or per-doc Python hashing), the ±1 bit
+    sums are segmented per doc with ``np.add.reduceat``, and the sign
+    bits packed back into one uint64 per doc."""
+    tok_lists = [t.lower().split() for t in df["text"]]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    sig = np.zeros(len(df), dtype=np.uint64)
+    nonempty = np.flatnonzero(counts)
+    if len(nonempty):
+        all_toks = np.concatenate(
+            [np.asarray(tok_lists[i], dtype=object) for i in nonempty]
+        )
+        h = pd.util.hash_array(all_toks, categorize=False)
+        pm = (
+            2 * ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int8)
+            - 1
+        ).astype(np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
+        sums = np.add.reduceat(pm, starts, axis=0)  # (n_nonempty, 64)
+        sig[nonempty] = ((sums > 0).astype(np.uint64) * _BIT_POWS[None, :]).sum(axis=1)
+    return pd.DataFrame({"doc_id": df["doc_id"], "simhash": sig.astype(np.int64)})
+
+
+def simhash64(text: str) -> int:
+    """Single-document convenience wrapper over ``simhash_batch``."""
+    out = simhash_batch(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    return int(out["simhash"].iloc[0]) & 0xFFFFFFFFFFFFFFFF
 
 
 def simhash_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -299,7 +307,9 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFr
     within hamming ≤ 3 of a 64-bit hash shares ≥ 1 of 4 bands), then
     exact hamming verify. Candidates stay a Dataset; only involved
     signatures (not the full signature table) reach the driver."""
-    sig = simhash_docs(docs)
+    # sig is consumed twice (band explode + involved-signature fetch):
+    # one int64 per doc — materialize instead of recomputing the sketch
+    sig = simhash_docs(docs).materialize()
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         h = df["simhash"].to_numpy().astype(np.uint64)
@@ -345,4 +355,5 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFr
         )
         .to_pandas()
     )
+    out = out.drop_duplicates()  # a pair may match in several bands
     return out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)

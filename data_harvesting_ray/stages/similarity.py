@@ -230,6 +230,7 @@ def embedding_near_dups(
     out = pairs.map_batches(verify, batch_format="pandas").to_pandas()
     if out.empty:
         return empty
+    out = out.drop_duplicates()  # a pair may match in several bands
     return out.sort_values(["vec_a", "vec_b"], kind="stable").reset_index(drop=True)
 
 
