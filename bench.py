@@ -44,6 +44,9 @@ def run_bench() -> dict:
 
     import ray.data as rd
 
+    import data_harvesting_ray
+
+    data_harvesting_ray.configure_session()  # BEFORE any dataset
     from data_harvesting_ray.fixtures.generator import (
         epochs_root,
         transcripts_path,
@@ -120,6 +123,9 @@ def run_scale_one() -> dict:
 
     import ray.data as rd
 
+    import data_harvesting_ray
+
+    data_harvesting_ray.configure_session()  # BEFORE any dataset
     from data_harvesting_ray.fixtures.generator import GenParams, ensure_fixture
     from data_harvesting_ray.pipelines.flagship import flagship_bounded
 
@@ -135,11 +141,14 @@ def run_scale_one() -> dict:
     n = rd.read_parquet(files, partitioning=None).count()  # warm page cache
     t0 = time.time()
     blocks = max(len(files), NUM_CPUS)
-    # 4 buckets per CPU: enough groups per map_groups task wave to
-    # balance load (fewer buckets leaves stragglers holding the barrier)
+    # num_buckets is FIXED across CPU levels (strong scaling: identical
+    # job + decomposition, more workers). At 100 TB the bucket count is
+    # sized by the DATA (each bucket must fit a worker's heap —
+    # stages/partition.py), not by the cluster, so a real N→4N resize
+    # keeps the same partitioning. 64 ≈ 4 × the largest level tested.
     union = flagship_bounded(
         rd.read_parquet(files, partitioning=None, override_num_blocks=blocks),
-        num_buckets=4 * NUM_CPUS,
+        num_buckets=int(os.environ.get("GRAFT_SCALE_BUCKETS", "64")),
     )
     union.write_parquet(tempfile.mkdtemp(prefix="scale-flag-"))
     dt = time.time() - t0

@@ -127,6 +127,11 @@ def flagship_bounded(
     An ``EngineConfig`` supplies gap/pattern and the enrich batch-UDF
     (applied after normalize, before the shuffle — same slot as the
     streaming router's)."""
+    from ..stages.partition import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()  # session-size shuffle knobs (note: callers
+    # creating `ds` earlier in the same context already snapshotted it;
+    # bench/queries call configure_session() before their reads)
     enrich = None
     if config is not None:
         config = config.validate()

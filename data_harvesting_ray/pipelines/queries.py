@@ -51,6 +51,9 @@ def _t(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     reader, so pruned columns never leave storage — at 100 TB this is
     the difference between scanning transcripts and scanning turn
     metadata)."""
+    import data_harvesting_ray
+
+    data_harvesting_ray.configure_session()  # before dataset creation
     return rd.read_parquet(
         transcripts_path(sf_dir),
         columns=columns,
@@ -244,6 +247,9 @@ def q_t_systematic_sample(sf_dir: str) -> Any:
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
+    import data_harvesting_ray
+
+    data_harvesting_ray.configure_session()
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 

@@ -24,10 +24,15 @@ Scale: shard count scales with the cluster; each epoch's data flows
 worker→actor through the object store (one serialized sub-table per
 (block, shard)); emissions are written by the actors themselves so the
 driver never touches row data. Hot conversations: rows of one conv all
-route to one shard, but shard state is O(open windows), not O(history);
-the ingest shuffle itself is per-block parallel so a mega-conv's rows
-arrive spread over many parallel route tasks (salting of the *shuffle*;
-state-merge salting is documented as future work in SURVEY §7 (c)).
+route to one shard, but shard state is O(open windows) with a TTL —
+per-conv entries are evicted once the watermark passes last activity +
+``EngineConfig.state_ttl_s`` — not O(history); the ingest shuffle is
+per-block parallel so a mega-conv's rows arrive spread over many route
+tasks. Bounded-path state-merge salting lives in
+``stages/windows.session_windows_salted`` (SURVEY §7 (c)). Epoch E's
+close + snapshot overlap epoch E+1's read/route: the snapshot refs are
+passed as per-actor ingest barriers, so ordering is enforced by Ray's
+dependency resolution instead of a driver-side wait.
 """
 
 from __future__ import annotations

@@ -8,12 +8,15 @@ ONE shuffle keyed the same way for every stateful stage, and each
 kernel call gets a whole bucket (many conversations) so the work is
 numpy/pandas-vectorized across conversations, never per-row Python.
 
-Scale note (100 TB): ``num_buckets`` must scale with the cluster so a
-bucket fits a worker's heap (rows_total / B × row_width ≤ ~1 GiB).
-Skewed mega-conversations stay within one bucket here; the streaming
-engine (state/ + pipelines/streaming.py) additionally salts hot
-conv_ids and merges partial window state at close (SURVEY.md §7 hard
-part (c)).
+Scale note (100 TB): ``num_buckets`` is sized by the DATA so a bucket
+fits a worker's heap (rows_total / B × row_width ≤ ~1 GiB) — it does
+not change when the cluster is resized (strong scaling keeps the same
+decomposition). Skewed mega-conversations stay within one bucket
+here; for unbounded skew use the salted plans (SURVEY.md §7 hard part
+(c)): ``stages/windows.session_windows_salted`` partitions by
+(conv_id, turn_idx // chunk) and merges partial islands, and
+``stages/join.tool_join`` buckets on the true join key
+(conv_id, call_id) so a hot conversation's calls spread naturally.
 """
 
 from __future__ import annotations
@@ -117,11 +120,14 @@ def _ensure_hash_shuffle() -> None:
     ctx = DataContext.get_current()
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
+    if not ray.is_initialized():
+        return  # keep import-time defaults until a session exists
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     # one aggregator per core scales the shuffle with the session; the
-    # tiny per-partition CPU reservation (set at import) keeps them
-    # from starving map tasks on small sessions
+    # per-partition CPU reservation must stay tiny relative to the
+    # session or the aggregator pool starves the map tasks (observed
+    # livelock at 4 CPUs with 64 partitions × 0.05 = 3.2 CPUs reserved)
     ctx.max_hash_shuffle_aggregators = max(4, cpus)
+    ov = 0.05 if cpus >= 16 else 0.02
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = ov
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = ov

@@ -26,6 +26,7 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    data_harvesting_ray.configure_session()
     yield ray
     ray.shutdown()
 

@@ -53,6 +53,9 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
+    import data_harvesting_ray
+
+    data_harvesting_ray.configure_session()
     from data_harvesting_ray.pipelines.queries import oracle_sql, queries
 
     con = duckdb.connect()
