@@ -284,15 +284,17 @@ def q_d_lang_id(sf_dir: str) -> Any:
 
 
 def q_d_minhash_near_dups(sf_dir: str) -> Any:
+    # num_buckets sized to the (small) candidate shuffle, not the CPU
+    # count — partition count tracks data volume
     from ..stages.dedup_approx import minhash_near_dups
 
-    return minhash_near_dups(_docs(sf_dir), threshold_milli=700)
+    return minhash_near_dups(_docs(sf_dir), threshold_milli=700, num_buckets=16)
 
 
 def q_d_simhash_near_dups(sf_dir: str) -> Any:
     from ..stages.dedup_approx import simhash_near_dups
 
-    return simhash_near_dups(_docs(sf_dir), max_hamming=3)
+    return simhash_near_dups(_docs(sf_dir), max_hamming=3, num_buckets=16)
 
 
 def _query_vectors(sf_dir: str, n: int = 10):

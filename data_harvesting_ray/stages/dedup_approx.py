@@ -164,7 +164,11 @@ def band_candidate_pairs(
 
 
 def minhash_candidates(
-    docs: ray.data.Dataset, num_perm: int = 128, bands: int = 32, k: int = 5
+    docs: ray.data.Dataset,
+    num_perm: int = 128,
+    bands: int = 32,
+    k: int = 5,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Distinct candidate near-dup pairs (share ≥ 1 LSH band)."""
     sig = docs.map_batches(
@@ -174,7 +178,7 @@ def minhash_candidates(
         batch_size=512,
         concurrency=(2, 8),
     )
-    return band_candidate_pairs(sig)
+    return band_candidate_pairs(sig, num_buckets=num_buckets)
 
 
 def _collect_involved(
@@ -240,12 +244,15 @@ def verify_pairs_jaccard(
 
 
 def minhash_near_dups(
-    docs: ray.data.Dataset, threshold_milli: int = 700, k: int = 5
+    docs: ray.data.Dataset,
+    threshold_milli: int = 700,
+    k: int = 5,
+    num_buckets: int | None = None,
 ) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
     Candidates and verification stay distributed; only the final
     thresholded pair list (small by construction) lands on the driver."""
-    cand = minhash_candidates(docs, k=k)
+    cand = minhash_candidates(docs, k=k, num_buckets=num_buckets)
     verified = verify_pairs_jaccard(docs, cand, k=k)
     out = verified.map_batches(
         lambda df: df[df["jaccard_milli"].to_numpy() >= threshold_milli],
@@ -302,7 +309,9 @@ def simhash_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(simhash_batch, batch_format="pandas")
 
 
-def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_near_dups(
+    docs: ray.data.Dataset, max_hamming: int = 3, num_buckets: int | None = None
+) -> pd.DataFrame:
     """SimHash near-dups: 4×16-bit band exact-match candidates (any pair
     within hamming ≤ 3 of a 64-bit hash shares ≥ 1 of 4 bands), then
     exact hamming verify. Candidates stay a Dataset; only involved
@@ -323,7 +332,9 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFr
             )
         return pd.concat(rows, ignore_index=True)
 
-    pairs = band_candidate_pairs(sig.map_batches(explode, batch_format="pandas"))
+    pairs = band_candidate_pairs(
+        sig.map_batches(explode, batch_format="pandas"), num_buckets=num_buckets
+    )
     involved = _collect_involved(pairs)
     if not len(involved):
         return pd.DataFrame(

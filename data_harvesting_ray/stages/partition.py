@@ -123,11 +123,16 @@ def _ensure_hash_shuffle() -> None:
     if not ray.is_initialized():
         return  # keep import-time defaults until a session exists
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    # one aggregator per core scales the shuffle with the session; the
-    # per-partition CPU reservation must stay tiny relative to the
+    # one aggregator per core scales the shuffle with the session, but
+    # each aggregator is an actor with ~1 s spawn cost per shuffle —
+    # small shuffles (doc-scale near-dup candidates) drown in spawn
+    # time with a 32-wide pool. Cap at 16 for this single node; on a
+    # real multi-node cluster this should grow with node count, since
+    # spawn cost amortizes over far larger per-shuffle volumes.
+    # The per-partition CPU reservation must stay tiny relative to the
     # session or the aggregator pool starves the map tasks (observed
     # livelock at 4 CPUs with 64 partitions × 0.05 = 3.2 CPUs reserved)
-    ctx.max_hash_shuffle_aggregators = max(4, cpus)
+    ctx.max_hash_shuffle_aggregators = max(4, min(cpus, 16))
     ov = 0.05 if cpus >= 16 else 0.02
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = ov
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = ov
