@@ -31,7 +31,9 @@ class EngineConfig:
     # the router after normalize, before late eviction and routing.
     # It may rewrite columns or add derived ones; derived columns ride
     # the shard buffers and are emitted on the `turns` channel.
-    enrich: Callable[[Any], Any] | None = None
+    # A string selects a registered UDF by name (X4 — enrich.py), so
+    # YAML configs can pick an enrich stage (`enrich: token_count`).
+    enrich: Callable[[Any], Any] | str | None = None
     # emit the deduped on-time turn stream (incl. enrich-derived
     # columns) as a committed `turns` channel
     emit_turns: bool = False
@@ -67,6 +69,10 @@ class EngineConfig:
         from .sinks.registry import get_format
 
         get_format(self.sink_format)  # raises on unregistered formats
+        if isinstance(self.enrich, str):
+            from .enrich import get_enrich
+
+            get_enrich(self.enrich)  # raises on unregistered UDF names
         return self
 
     @classmethod

@@ -29,6 +29,7 @@ import pandas as pd
 
 import ray.data as rd
 
+from ..enrich import resolve_enrich
 from ..stages.cep import PatternSpec, cep_kernel
 from ..stages.dedup import prepare_bucket
 from ..stages.join import join_kernel
@@ -137,7 +138,7 @@ def flagship_bounded(
         config = config.validate()
         gap_s = config.session_gap_s
         pattern = config.pattern
-        enrich = config.enrich
+        enrich = resolve_enrich(config.enrich)
     pattern = pattern or PatternSpec(skip_past_last=True, suppress_turns=0)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:

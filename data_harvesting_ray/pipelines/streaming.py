@@ -50,6 +50,7 @@ import ray
 import ray.data as rd
 
 from ..config import EngineConfig
+from ..enrich import resolve_enrich
 from ..schema import DEFAULT_SESSION_GAP_S, DEFAULT_WATERMARK_DELAY_S
 from ..sinks.exactly_once import EpochSink
 from ..sources.epochs import discover_epochs
@@ -454,7 +455,7 @@ class StreamingEngine:
                 self.num_shards,
                 current_wm,
                 barriers,
-                enrich=self.config.enrich if self.config else None,
+                enrich=resolve_enrich(self.config.enrich if self.config else None),
             )
             # batch_size=None: route whole blocks — one ingest RPC per
             # (block, shard) instead of per 1024-row micro-batch

@@ -508,7 +508,7 @@ class ShardState:
             # session ids: base = merged carry id, else per-conv counter
             base = np.where(
                 m,
-                isl["o_session_id"].fillna(0).to_numpy(),
+                isl["o_session_id"].astype("float64").fillna(0.0).to_numpy(),
                 np.array([self.sess_next.get(c, 0) for c in isl["conv_id"]], dtype=np.int64),
             ).astype(np.int64)
             # base is only meaningful at ord==0; ids = base(conv) + ord
