@@ -696,6 +696,32 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
+        # Exact 5-gram Jaccard in integer milli-units — the LSH path
+        # must find every pair >= threshold with the same floor-divided
+        # score (char shingles == byte shingles on the ASCII corpus;
+        # docs shorter than k collapse to one whole-text shingle on
+        # both sides).
+        "d_minhash_near_dups": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(length(text) - 4, 1))) AS i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (m * 1000) // (sa.n + sb.n - m) AS jaccard_milli
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE (m * 1000) // (sa.n + sb.n - m) >= 700
+            ORDER BY doc_a, doc_b
+        """,
     }
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).

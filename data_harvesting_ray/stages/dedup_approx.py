@@ -76,6 +76,15 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def jaccard_milli(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact Jaccard in integer milli-units (floor division) — matches
+    SQL ``(m * 1000) // (na + nb - m)`` bit-for-bit, so the DuckDB
+    5-gram oracle for ``d_minhash_near_dups`` can hash-compare."""
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return (inter * 1000) // union if union else 1000
+
+
 class MinHasher:
     """Actor-pool batch fn: permutation params generated once per actor
     (ST1 pattern); emits (doc_id, band, band_hash) rows."""
@@ -296,7 +305,7 @@ def verify_pairs_jaccard(
             da = df["doc_a"].to_numpy()
             db = df["doc_b"].to_numpy()
             for i in need:
-                jm[i] = int(jaccard(sh(int(da[i])), sh(int(db[i]))) * 1000)
+                jm[i] = jaccard_milli(sh(int(da[i])), sh(int(db[i])))
         return df.assign(jaccard_milli=jm)
 
     return pairs.map_batches(verify, batch_format="pandas")

@@ -31,7 +31,7 @@ def test_minhash_matches_bruteforce(docs_ds, docs_df):
     LSH path with the same (exact-verified) score."""
     from data_harvesting_ray.stages.dedup_approx import (
         char_shingles,
-        jaccard,
+        jaccard_milli,
         minhash_near_dups,
     )
 
@@ -41,9 +41,9 @@ def test_minhash_matches_bruteforce(docs_ds, docs_df):
     want = []
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            j = jaccard(sh[a], sh[b])
-            if j >= 0.7:
-                want.append((a, b, int(j * 1000)))
+            jm = jaccard_milli(sh[a], sh[b])
+            if jm >= 700:
+                want.append((a, b, jm))
     want_df = pd.DataFrame(want, columns=["doc_a", "doc_b", "jaccard_milli"])
     got_s = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     want_s = want_df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
