@@ -224,89 +224,30 @@ def _fetch_involved_map(
     return dict(zip(small[key], small[value]))
 
 
-_EST_PERM = 128  # estimator signature width (σ ≈ sqrt(J(1-J)/128) ≤ 0.045)
-
-
 def verify_pairs_jaccard(
-    docs: ray.data.Dataset,
-    pairs: ray.data.Dataset,
-    k: int = 5,
-    prefilter_milli: int | None = None,
+    docs: ray.data.Dataset, pairs: ray.data.Dataset, k: int = 5
 ) -> ray.data.Dataset:
     """Exact n-gram Jaccard for candidate pairs, computed inside
     map_batches over the pairs Dataset; texts of involved docs only
-    are broadcast (small side) — no full-corpus shuffle or scan.
-
-    ``prefilter_milli``: a vectorized minhash Jaccard ESTIMATE (an
-    independent permutation seed, so no selection-bias coupling with
-    the candidate bands) screens every pair first; only pairs whose
-    estimate clears ``prefilter_milli`` pay the exact shingle-set
-    intersection. Callers pass threshold − margin, where margin ≥ 250
-    milli puts a true ≥-threshold pair > 5σ above the cut — dense LSH
-    buckets (a templated corpus) otherwise make exact verification of
-    ~all-pairs-at-J≈0.2 the dominant cost. Screened-out pairs carry
-    the estimate (guaranteed below any threshold ≥ prefilter + 0)."""
+    are broadcast (small side) — no full-corpus shuffle or scan."""
     involved = _collect_involved(pairs)
-    est = MinHasher(num_perm=_EST_PERM, bands=_EST_PERM, k=k, seed=11)
-
-    # semi-join fetch of involved texts + estimator signatures, both
-    # computed distributed in the filter stage (signature cost is paid
-    # once per involved doc, not once per pair or per verify task)
-    ref_ids = ray.put(np.sort(involved))
-
-    def filt(df: pd.DataFrame) -> pd.DataFrame:
-        keep = np.isin(df["doc_id"].to_numpy(), ray.get(ref_ids))
-        kept = df[keep][["doc_id", "text"]]
-        sigs = np.stack(
-            [est.signature(t) for t in kept["text"]]
-        ) if len(kept) else np.empty((0, _EST_PERM), dtype=np.uint64)
-        out = kept[["doc_id", "text"]].copy()
-        out["sig"] = list(sigs)
-        return out
-
-    small = docs.select_columns(["doc_id", "text"]).map_batches(
-        filt, batch_format="pandas"
-    ).to_pandas()
-    texts = dict(zip(small["doc_id"], small["text"]))
-    ids = small["doc_id"].to_numpy().astype(np.int64)
-    sig_mat = (
-        np.stack(small["sig"].to_list())
-        if len(small)
-        else np.empty((0, _EST_PERM), dtype=np.uint64)
-    )
-    row_of = {int(d): i for i, d in enumerate(ids)}
-    ref = ray.put((texts, sig_mat, row_of))
+    texts = _fetch_involved_map(docs.select_columns(["doc_id", "text"]), involved, "doc_id", "text")
+    ref = ray.put(texts)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        tx, sm, rows = ray.get(ref)
-        ra = np.array([rows[int(d)] for d in df["doc_a"]], dtype=np.int64)
-        rb = np.array([rows[int(d)] for d in df["doc_b"]], dtype=np.int64)
-        # np.take, NOT sm[ra]: numpy's fancy indexing on uint64 takes a
-        # ~500x slower path (measured 3.4s vs 5ms for a 14k-row gather)
-        est_milli = (
-            (np.take(sm, ra, axis=0) == np.take(sm, rb, axis=0)).sum(axis=1)
-            * 1000
-            // _EST_PERM
-        ).astype(np.int64)
-        jm = est_milli.copy()
-        need = (
-            np.flatnonzero(est_milli >= prefilter_milli)
-            if prefilter_milli is not None
-            else np.arange(len(df))
-        )
-        if len(need):
-            cache: dict[int, np.ndarray] = {}
+        tx = ray.get(ref)
+        cache: dict[int, np.ndarray] = {}
 
-            def sh(i: int) -> np.ndarray:
-                if i not in cache:
-                    cache[i] = char_shingles(tx[i], k)
-                return cache[i]
+        def sh(i: int) -> np.ndarray:
+            if i not in cache:
+                cache[i] = char_shingles(tx[i], k)
+            return cache[i]
 
-            da = df["doc_a"].to_numpy()
-            db = df["doc_b"].to_numpy()
-            for i in need:
-                jm[i] = jaccard_milli(sh(int(da[i])), sh(int(db[i])))
-        return df.assign(jaccard_milli=jm)
+        jm = [
+            jaccard_milli(sh(a), sh(b))
+            for a, b in zip(df["doc_a"], df["doc_b"])
+        ]
+        return df.assign(jaccard_milli=np.array(jm, dtype=np.int64))
 
     return pairs.map_batches(verify, batch_format="pandas")
 
@@ -321,9 +262,7 @@ def minhash_near_dups(
     Candidates and verification stay distributed; only the final
     thresholded pair list (small by construction) lands on the driver."""
     cand = minhash_candidates(docs, k=k, num_buckets=num_buckets)
-    verified = verify_pairs_jaccard(
-        docs, cand, k=k, prefilter_milli=max(threshold_milli - 250, 0)
-    )
+    verified = verify_pairs_jaccard(docs, cand, k=k)
     out = verified.map_batches(
         lambda df: df[df["jaccard_milli"].to_numpy() >= threshold_milli],
         batch_format="pandas",
