@@ -222,6 +222,32 @@ def q_e_cep(sf_dir: str) -> Any:
     return cep_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_e_asof_attribution(sf_dir: str) -> Any:
+    """Purchase→click attribution: each purchase joins the latest click
+    at-or-before it by the same user (the as-of / point-in-time join).
+    Columns pruned at the read; sides filtered before the one shuffle."""
+    from ..stages.asof import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    purchases = ev.filter(
+        expr="event_type == 'purchase'"
+    ).drop_columns(["event_type"])
+    clicks = (
+        ev.filter(expr="event_type == 'click'")
+        .drop_columns(["event_type", "value"])
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["click_event_id" if c == "event_id" else c for c in t.column_names]
+            ).append_column("click_ts", t["ts"]),
+            batch_format="pyarrow",
+        )
+    )
+    return asof_join(purchases, clicks, by="user_id", on="ts", num_buckets=16)
+
+
 def q_t_translate_tools(sf_dir: str) -> Any:
     from ..stages.projection import translate_tools
 
@@ -389,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_tumbling": q_e_tumbling,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
+        "e_asof_attribution": q_e_asof_attribution,
         "d_fingerprint": q_d_fingerprint,
         "d_dedup_exact": q_d_dedup_exact,
         "d_token_stats": q_d_token_stats,
@@ -586,6 +613,13 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             )
             SELECT user_id, event_id AS start_event_id, id2 AS end_event_id
             FROM s WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+        """,
+        "e_asof_attribution": """
+            SELECT p.event_id, p.ts, p.user_id, p.value,
+                   c.event_id AS click_event_id, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "lineitem_rollup": """
             SELECT l_returnflag, l_linestatus,

@@ -73,6 +73,66 @@ def test_minhash_finds_constructed_near_dups(ray_session):
     assert not any(2 in p for p in pairs)
 
 
+def test_asof_join_matches_merge_asof(ray_session):
+    """The distributed as-of join must equal single-process
+    pandas.merge_asof on constructed data covering: exact-ts match,
+    no-prior-right-row (dropped, inner), keys with only one side, and
+    several matches taking the latest."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import asof_join
+
+    ts = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 2, 3, 4], dtype=np.int64),
+            # u1: before any click / exact match / after both clicks;
+            # u2: click only after -> dropped; u3: no clicks at all;
+            # u4: one prior click
+            "ts": [ts(5), ts(10), ts(30), ts(10), ts(10), ts(50)],
+            "value": np.arange(6, dtype=np.float64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "click_event_id": np.arange(100, 105, dtype=np.int64),
+            "user_id": np.array([1, 1, 2, 4, 4], dtype=np.int64),
+            "ts": [ts(10), ts(20), ts(99), ts(1), ts(40)],
+        }
+    )
+    right["click_ts"] = right["ts"]
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), by="user_id", on="ts", num_buckets=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="user_id"
+    ).dropna(subset=["click_event_id"])
+    want["click_event_id"] = want["click_event_id"].astype(np.int64)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    # semantics spot-checks
+    assert set(got["event_id"]) == {1, 2, 5}  # 0 (too early), 3, 4 dropped
+    assert got.set_index("event_id").loc[1, "click_event_id"] == 100  # exact ts
+    assert got.set_index("event_id").loc[2, "click_event_id"] == 101  # latest
+    assert got.set_index("event_id").loc[5, "click_event_id"] == 104
+
+
+def test_asof_join_rejects_column_collision(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import asof_join
+
+    df = pd.DataFrame({"user_id": [1], "ts": [pd.Timestamp("2024-01-01")], "value": [1.0]})
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(rd.from_pandas(df), rd.from_pandas(df), by="user_id", on="ts")
+
+
 def test_simhash_near_dups(ray_session):
     import ray.data as rd
 
