@@ -152,6 +152,12 @@ def q_t_turn_stats(sf_dir: str) -> Any:
     return turn_stats(_t(sf_dir, _META_RT))
 
 
+def q_t_gap_quantiles(sf_dir: str) -> Any:
+    from ..stages.aggregates import gap_quantiles
+
+    return gap_quantiles(_t(sf_dir, _META))
+
+
 def q_t_role_mode(sf_dir: str) -> Any:
     from ..stages.aggregates import role_mode
 
@@ -402,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_cep_suppressed": q_t_cep_suppressed,
         "t_stride_sample": q_t_stride_sample,
         "t_turn_stats": q_t_turn_stats,
+        "t_gap_quantiles": q_t_gap_quantiles,
         "t_role_mode": q_t_role_mode,
         "t_topk_tools": q_t_topk_tools,
         "t_translate_tools": q_t_translate_tools,
@@ -565,6 +572,18 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(sum(CASE WHEN tool <> '' AND role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
                    min(ts) AS first_ts, max(ts) AS last_ts
             FROM {T} GROUP BY 1
+        """,
+        "t_gap_quantiles": f"""
+            WITH g AS (
+              SELECT conv_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+              FROM {T}
+            )
+            SELECT conv_id, count(gap_us) AS n_gaps,
+                   CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_gap_us,
+                   CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_gap_us
+            FROM g WHERE gap_us IS NOT NULL GROUP BY 1
         """,
         "t_role_mode": f"""
             SELECT conv_id, role AS top_role, role_count FROM (

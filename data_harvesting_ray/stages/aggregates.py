@@ -113,6 +113,56 @@ def topk_tools(ds: ray.data.Dataset, k: int = 3, num_buckets: int | None = None)
     return counts.head(k).reset_index(drop=True)
 
 
+def gap_quantiles(
+    ds: ray.data.Dataset,
+    q_milli: tuple[int, ...] = (500, 900),
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-conversation discrete quantiles of the inter-turn gap (µs
+    between consecutive turn_idx) — the grouped-quantile aggregate a
+    latency/quality pipeline needs. Exact, not sketched: gaps of one
+    conversation co-locate under the standard hash(conv_id) shuffle,
+    and the kernel computes order statistics vectorized across every
+    conversation in the bucket (one lexsort, no per-conv Python).
+
+    Quantile semantics match DuckDB ``quantile_disc``: the element at
+    index ``ceil(q*n) - 1`` of the sorted gaps. The index is computed
+    in integer milli-arithmetic — ``ceil(0.9*10)`` in floats is 10,
+    not 9. Input pruned to (conv_id, turn_idx, ts); conversations with
+    a single turn have no gap and emit no row."""
+    from .dedup import prepare_bucket
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # dedup + contiguous conv groups with ascending turn_idx
+        g = prepare_bucket(g)
+        conv = g["conv_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "conv_id": np.array([], dtype=object),
+                    "n_gaps": np.array([], dtype=np.int64),
+                    **{
+                        f"p{qm // 10}_gap_us": np.array([], dtype=np.int64)
+                        for qm in q_milli
+                    },
+                }
+            )
+        same = conv[1:] == conv[:-1]
+        gc, gv = conv[1:][same], (ts[1:] - ts[:-1])[same]
+        order = np.lexsort((gv, gc))
+        gc, gv = gc[order], gv[order]
+        starts = np.flatnonzero(np.concatenate([[True], gc[1:] != gc[:-1]]))
+        cnts = np.diff(np.concatenate([starts, [len(gc)]])).astype(np.int64)
+        out = {"conv_id": gc[starts], "n_gaps": cnts}
+        for qm in q_milli:
+            idx = -((-qm * cnts) // 1000) - 1  # ceil(q*n) - 1, exact
+            out[f"p{qm // 10}_gap_us"] = gv[starts + idx]
+        return pd.DataFrame(out)
+
+    return apply_per_bucket(ds, kernel, num_buckets=num_buckets)
+
+
 def lineitem_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
     """TPC-H-Q1-style rollup over lineitem: integral quantity sums and
     row counts per (returnflag, linestatus) via per-batch partials."""

@@ -123,6 +123,56 @@ def test_asof_join_matches_merge_asof(ray_session):
     assert got.set_index("event_id").loc[5, "click_event_id"] == 104
 
 
+def test_gap_quantiles_matches_duckdb(ray_session):
+    """Per-conv discrete gap quantiles must equal DuckDB quantile_disc
+    (ceil(q*n)-1 order statistic) on data covering: tied gaps, a
+    single-turn conv (no row), duplicate rows, and n where float
+    ceil(q*n) would round wrong (n=10, q=0.9)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import gap_quantiles
+
+    base = pd.Timestamp("2024-01-01").value // 1000
+    rows = []
+    # conv a: 11 turns -> 10 gaps of 1..10 s (float-ceil hazard at p90)
+    t = base
+    for i, gap in enumerate([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]):
+        t += gap * 1_000_000
+        rows.append(("a", i, t))
+    # conv b: tied gaps (3 turns, both gaps 5 s); duplicate row
+    rows += [("b", 0, base), ("b", 1, base + 5_000_000), ("b", 1, base + 5_000_000), ("b", 2, base + 10_000_000)]
+    # conv c: single turn -> no output row
+    rows += [("c", 0, base)]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = (
+        gap_quantiles(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df.drop_duplicates())
+    want = con.execute(
+        """
+        WITH g AS (
+          SELECT conv_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+          FROM t)
+        SELECT conv_id, count(gap_us) AS n_gaps,
+               CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_gap_us,
+               CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_gap_us
+        FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert list(got["conv_id"]) == ["a", "b"]
+    a = got.set_index("conv_id").loc["a"]
+    assert a["p90_gap_us"] == 9_000_000  # ceil(0.9*10)-1 = index 8
+
+
 def test_asof_join_rejects_column_collision(ray_session):
     import ray.data as rd
 
