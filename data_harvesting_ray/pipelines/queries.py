@@ -254,6 +254,28 @@ def q_e_asof_attribution(sf_dir: str) -> Any:
     return asof_join(purchases, clicks, by="user_id", on="ts", num_buckets=16)
 
 
+def q_e_session_assign(sf_dir: str) -> Any:
+    """Range join: assign every event to the session window containing
+    it (start <= ts <= end, per user) — the generic interval join over
+    the windows the session operator itself produced."""
+    from ..stages.asof import interval_join
+    from ..stages.events import session_events
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    wins = session_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return interval_join(
+        ev,
+        wins,
+        by="user_id",
+        on="ts",
+        start="window_start",
+        end="window_end",
+        num_buckets=16,
+    )
+
+
 def q_t_translate_tools(sf_dir: str) -> Any:
     from ..stages.projection import translate_tools
 
@@ -423,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_session": q_e_session,
         "e_cep": q_e_cep,
         "e_asof_attribution": q_e_asof_attribution,
+        "e_session_assign": q_e_session_assign,
         "d_fingerprint": q_d_fingerprint,
         "d_dedup_exact": q_d_dedup_exact,
         "d_token_stats": q_d_token_stats,
@@ -639,6 +662,27 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "e_session_assign": f"""
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {EVENT_GAP_US}
+                     THEN 1 ELSE 0 END AS news
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, CAST(sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+              FROM o
+            ), w AS (
+              SELECT user_id, session_id, min(ts) AS window_start,
+                     max(ts) AS window_end, count(*) AS n_events
+              FROM s GROUP BY 1, 2
+            )
+            SELECT s.event_id, s.ts, s.user_id, w.session_id,
+                   w.window_start, w.window_end, w.n_events
+            FROM s JOIN w USING (user_id, session_id)
         """,
         "lineitem_rollup": """
             SELECT l_returnflag, l_linestatus,

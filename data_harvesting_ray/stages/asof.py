@@ -104,3 +104,42 @@ def asof_join(
         return out.reset_index(drop=True)
 
     return apply_per_bucket(u, kernel, key=by, num_buckets=num_buckets)
+
+
+def interval_join(
+    points: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    by: str,
+    on: str,
+    start: str,
+    end: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Range join: each point row matches the interval containing its
+    ``on`` value (``start <= on <= end``) per ``by`` key — sessionize /
+    point-in-window assignment.
+
+    Composition, not a new shuffle pattern: an as-of join on ``start``
+    (latest interval starting at-or-before the point) followed by an
+    ``end >= on`` containment filter. Exact for NON-OVERLAPPING
+    intervals per key (session/tumbling windows); with overlapping
+    intervals only the latest-starting container matches — callers
+    needing all-overlaps semantics must explode intervals first.
+    Inner: points in no interval are dropped."""
+    if on in intervals.schema().names:
+        raise ValueError(
+            f"intervals side already has a column named {on!r}; rename it"
+        )
+
+    def add_on(t: pa.Table) -> pa.Table:
+        return t.append_column(on, t[start])
+
+    iv = intervals.map_batches(add_on, batch_format="pyarrow")
+    j = asof_join(points, iv, by=by, on=on, num_buckets=num_buckets)
+
+    def contained(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t[end], t[on]))
+
+    return j.map_batches(contained, batch_format="pyarrow")

@@ -173,6 +173,45 @@ def test_gap_quantiles_matches_duckdb(ray_session):
     assert a["p90_gap_us"] == 9_000_000  # ceil(0.9*10)-1 = index 8
 
 
+def test_interval_join_containment(ray_session):
+    """Points match the interval containing them per key: boundaries
+    inclusive on both ends, points outside every interval dropped,
+    keys with no intervals dropped."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import interval_join
+
+    ts = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+    pts = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 1, 2], dtype=np.int64),
+            "ts": [ts(0), ts(10), ts(20), ts(25), ts(10)],
+        }
+    )
+    iv = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1], dtype=np.int64),
+            "window_start": [ts(10), ts(22)],
+            "window_end": [ts(20), ts(30)],
+            "win_id": np.array([7, 8], dtype=np.int64),
+        }
+    )
+    got = (
+        interval_join(
+            rd.from_pandas(pts), rd.from_pandas(iv),
+            by="user_id", on="ts", start="window_start", end="window_end",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 0 (before first window) and 4 (user 2, no windows) dropped
+    assert list(got["event_id"]) == [1, 2, 3]
+    assert list(got["win_id"]) == [7, 7, 8]  # both boundaries inclusive
+
+
 def test_asof_join_rejects_column_collision(ray_session):
     import ray.data as rd
 
