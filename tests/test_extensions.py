@@ -173,6 +173,59 @@ def test_gap_quantiles_matches_duckdb(ray_session):
     assert a["p90_gap_us"] == 9_000_000  # ceil(0.9*10)-1 = index 8
 
 
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_asof_join_randomized_vs_merge_asof(ray_session, seed):
+    """Randomized conformance: many users, coarse timestamps (forcing
+    exact-ts ties between sides), right rows unique per (by, on)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01")
+    nl, nr = 400, 300
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(nl, dtype=np.int64),
+            "user_id": rng.integers(0, 25, nl),
+            "ts": base + pd.to_timedelta(rng.integers(0, 50, nl), unit="s"),
+            "value": rng.random(nl),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 30, nr),
+                "ts": base + pd.to_timedelta(rng.integers(0, 50, nr), unit="s"),
+            }
+        )
+        .drop_duplicates(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    right["click_event_id"] = np.arange(1000, 1000 + len(right), dtype=np.int64)
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), by="user_id", on="ts", num_buckets=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts",
+            by="user_id",
+        )
+        .dropna(subset=["click_event_id"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want["click_event_id"] = want["click_event_id"].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
 def test_interval_join_containment(ray_session):
     """Points match the interval containing them per key: boundaries
     inclusive on both ends, points outside every interval dropped,
