@@ -26,6 +26,7 @@ TUMBLE_US = 600 * 1_000_000
 SLIDE_SIZE_US = 600 * 1_000_000
 SLIDE_STEP_US = 300 * 1_000_000
 EVENT_TUMBLE_US = 3600 * 1_000_000
+EVENT_SLIDE_US = 1800 * 1_000_000
 EVENT_GAP_US = 1800 * 1_000_000
 
 # The driver compares at sf0.01; oracle SQL must point at that fixture.
@@ -226,6 +227,12 @@ def q_e_cep(sf_dir: str) -> Any:
     from ..stages.events import cep_events
 
     return cep_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_e_sliding(sf_dir: str) -> Any:
+    from ..stages.events import sliding_events
+
+    return sliding_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
 def q_e_asof_attribution(sf_dir: str) -> Any:
@@ -444,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_tumbling": q_e_tumbling,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
+        "e_sliding": q_e_sliding,
         "e_asof_attribution": q_e_asof_attribution,
         "e_session_assign": q_e_session_assign,
         "d_fingerprint": q_d_fingerprint,
@@ -627,6 +635,21 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "e_sliding": f"""
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), w AS (
+              SELECT user_id, cents,
+                     unnest(range((us - {EVENT_TUMBLE_US}) // {EVENT_SLIDE_US} + 1,
+                                  us // {EVENT_SLIDE_US} + 1)) AS k
+              FROM e
+            )
+            SELECT user_id, make_timestamp(k * {EVENT_SLIDE_US}) AS window_start,
+                   count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM w GROUP BY 1, 2
         """,
         "e_session": f"""
             WITH o AS (

@@ -55,6 +55,48 @@ def tumbling_events(ds: ray.data.Dataset, size_s: int = 3600) -> ray.data.Datase
     )
 
 
+def sliding_events(
+    ds: ray.data.Dataset, size_s: int = 3600, slide_s: int = 1800
+) -> ray.data.Dataset:
+    """Per-user sliding windows over events — same decomposable
+    partial-agg plan as ``tumbling_events``; the size/slide× window
+    expansion happens inside the per-batch partial, so the shuffle
+    still moves pre-aggregated (user, window) partial rows only."""
+    size_us, slide_us = size_s * US, slide_s * US
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["user_id", "ts", "value"]).to_pandas()
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        k_lo = (us - size_us) // slide_us + 1
+        reps = (us // slide_us + 1 - k_lo).astype(np.int64)
+        total = int(reps.sum())
+        offs = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        ws = (np.repeat(k_lo, reps) + offs) * slide_us
+        part = (
+            pd.DataFrame(
+                {
+                    "user_id": np.repeat(df["user_id"].to_numpy(), reps),
+                    "window_start": ws,
+                    "n_events": np.int64(1),
+                    "sum_cents": np.repeat(
+                        np.rint(df["value"].to_numpy() * 100).astype(np.int64), reps
+                    ),
+                }
+            )
+            .groupby(["user_id", "window_start"], sort=False, as_index=False)
+            .sum()
+        )
+        part["window_start"] = part["window_start"].astype("datetime64[us]")
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["user_id", "window_start"]
+    ).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+    )
+
+
 def session_events_kernel(g: pd.DataFrame, gap_s: int = 1800) -> pd.DataFrame:
     g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
     ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
