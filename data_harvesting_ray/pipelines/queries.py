@@ -412,6 +412,12 @@ def q_m_features(sf_dir: str) -> Any:
     return extract_features(_docs(sf_dir)).select_columns(["doc_id", "feat_checksum"])
 
 
+def q_m_frame_sample(sf_dir: str) -> Any:
+    from ..stages.multimodal import sample_frames
+
+    return sample_frames(_docs(sf_dir))
+
+
 def q_lineitem_rollup(sf_dir: str) -> Any:
     from ..stages.aggregates import lineitem_rollup
 
@@ -466,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_near_dups": q_v_near_dups,
         "m_binary_meta": q_m_binary_meta,
         "m_features": q_m_features,
+        "m_frame_sample": q_m_frame_sample,
         "lineitem_rollup": q_lineitem_rollup,
     }
 
@@ -810,6 +817,19 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                         i -> CAST('0x' || substr(md5(text), CAST(i * 2 + 1 AS INT), 2) AS BIGINT)))
                         AS BIGINT) AS feat_checksum
             FROM documents
+        """,
+        # frame-sampling witness: every 2nd 64-byte frame of the
+        # (ASCII) payload; byte slicing == substr on this corpus
+        "m_frame_sample": """
+            WITH f AS (
+              SELECT doc_id, text, length(text) AS n,
+                     unnest(range(0, (length(text) + 63) // 64, 2)) AS frame_idx
+              FROM documents
+            )
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(least(64, n - frame_idx * 64) AS BIGINT) AS frame_bytes,
+                   md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_fp
+            FROM f
         """,
         "v_near_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -99,6 +99,61 @@ class FeatureExtractor:
         )
 
 
+class FrameSampler:
+    """Actor-pool frame-sampling stage — the media-level analogue of
+    the reference's CLASSIFICATION_FPS stride gate (M1,
+    services/harvest_service.py:156-157) applied inside a decoded
+    blob: the payload is treated as fixed-size frames and every
+    ``stride``-th frame is emitted with an exact witness (byte length
+    + md5), so the driver's DuckDB oracle can recompute every output
+    from ``substr(text, ...)`` (payloads are ASCII text stand-ins).
+    A real deployment replaces the chunker with a codec's keyframe
+    iterator loaded once per actor in ``__init__``."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 2):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        fb, st = self.frame_bytes, self.stride
+        doc_ids, idxs, nbytes, fps = [], [], [], []
+        for doc_id, payload in zip(df["doc_id"], df["payload"]):
+            n = len(payload)
+            for i in range(0, (n + fb - 1) // fb, st):
+                frame = payload[i * fb : (i + 1) * fb]
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                nbytes.append(len(frame))
+                fps.append(hashlib.md5(frame).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(doc_ids, dtype=np.int64),
+                "frame_idx": np.array(idxs, dtype=np.int64),
+                "frame_bytes": np.array(nbytes, dtype=np.int64),
+                "frame_fp": pd.Series(fps, dtype=object),
+            }
+        )
+
+
+def sample_frames(
+    docs: ray.data.Dataset,
+    frame_bytes: int = 64,
+    stride: int = 2,
+    batch_size: int = 256,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """Binary payloads → sampled frame records (doc_id, frame_idx,
+    frame_bytes, frame_fp). Small batch_size: wide binary rows."""
+    binary = docs.map_batches(to_binary_batch, batch_format="pyarrow")
+    return binary.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def extract_features(
     docs: ray.data.Dataset, batch_size: int = 256, concurrency: int = 2
 ) -> ray.data.Dataset:

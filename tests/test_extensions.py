@@ -123,6 +123,32 @@ def test_asof_join_matches_merge_asof(ray_session):
     assert got.set_index("event_id").loc[5, "click_event_id"] == 104
 
 
+def test_frame_sampler_stride_and_witness(ray_session):
+    """Frame sampling: every stride-th fixed-size frame, exact length
+    + md5 witness; short tail frame kept, empty payload yields none."""
+    import hashlib
+
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.multimodal import sample_frames
+
+    docs = pd.DataFrame(
+        {"doc_id": np.array([1, 2], dtype=np.int64), "text": ["a" * 150, ""]}
+    )
+    got = (
+        sample_frames(rd.from_pandas(docs), frame_bytes=64, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 1: frames 0,1,2 (150 bytes -> 64,64,22); stride 2 keeps 0 and 2
+    assert list(got["doc_id"]) == [1, 1]
+    assert list(got["frame_idx"]) == [0, 2]
+    assert list(got["frame_bytes"]) == [64, 22]
+    assert got["frame_fp"].iloc[0] == hashlib.md5(b"a" * 64).hexdigest()
+    assert got["frame_fp"].iloc[1] == hashlib.md5(b"a" * 22).hexdigest()
+
+
 def test_gap_quantiles_matches_duckdb(ray_session):
     """Per-conv discrete gap quantiles must equal DuckDB quantile_disc
     (ceil(q*n)-1 order statistic) on data covering: tied gaps, a
