@@ -418,6 +418,12 @@ def q_m_frame_sample(sf_dir: str) -> Any:
     return sample_frames(_docs(sf_dir))
 
 
+def q_m_resize(sf_dir: str) -> Any:
+    from ..stages.multimodal import resize_frames
+
+    return resize_frames(_docs(sf_dir))
+
+
 def q_lineitem_rollup(sf_dir: str) -> Any:
     from ..stages.aggregates import lineitem_rollup
 
@@ -473,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_binary_meta": q_m_binary_meta,
         "m_features": q_m_features,
         "m_frame_sample": q_m_frame_sample,
+        "m_resize": q_m_resize,
         "lineitem_rollup": q_lineitem_rollup,
     }
 
@@ -829,6 +836,18 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                    CAST(least(64, n - frame_idx * 64) AS BIGINT) AS frame_bytes,
                    md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_fp
+            FROM f
+        """,
+        # crop-resize witness: first 32 bytes of every sampled frame
+        "m_resize": """
+            WITH f AS (
+              SELECT doc_id, text, length(text) AS n,
+                     unnest(range(0, (length(text) + 63) // 64, 2)) AS frame_idx
+              FROM documents
+            )
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(least(32, n - frame_idx * 64) AS BIGINT) AS out_bytes,
+                   md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 32)) AS resized_fp
             FROM f
         """,
         "v_near_dups": """

@@ -154,6 +154,61 @@ def sample_frames(
     )
 
 
+class FrameResizer(FrameSampler):
+    """Actor-pool resize stage, fused with frame sampling (raw frames
+    never cross stages — decode → sample → resize happens inside one
+    actor, as a real media pipeline would). The stub "resize" is a
+    deterministic byte crop to ``out_bytes`` (codecs are unavailable;
+    a real deployment swaps in e.g. ``cv2.resize`` behind the same
+    actor signature); the md5 witness stays SQL-recomputable."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 2, out_bytes: int = 32):
+        super().__init__(frame_bytes=frame_bytes, stride=stride)
+        self.out_bytes = out_bytes
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        fb, st, ob = self.frame_bytes, self.stride, self.out_bytes
+        doc_ids, idxs, outs, fps = [], [], [], []
+        for doc_id, payload in zip(df["doc_id"], df["payload"]):
+            n = len(payload)
+            for i in range(0, (n + fb - 1) // fb, st):
+                resized = payload[i * fb : (i + 1) * fb][:ob]
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                outs.append(len(resized))
+                fps.append(hashlib.md5(resized).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(doc_ids, dtype=np.int64),
+                "frame_idx": np.array(idxs, dtype=np.int64),
+                "out_bytes": np.array(outs, dtype=np.int64),
+                "resized_fp": pd.Series(fps, dtype=object),
+            }
+        )
+
+
+def resize_frames(
+    docs: ray.data.Dataset,
+    frame_bytes: int = 64,
+    stride: int = 2,
+    out_bytes: int = 32,
+    batch_size: int = 256,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    binary = docs.map_batches(to_binary_batch, batch_format="pyarrow")
+    return binary.map_batches(
+        FrameResizer,
+        fn_constructor_kwargs={
+            "frame_bytes": frame_bytes,
+            "stride": stride,
+            "out_bytes": out_bytes,
+        },
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def extract_features(
     docs: ray.data.Dataset, batch_size: int = 256, concurrency: int = 2
 ) -> ray.data.Dataset:
