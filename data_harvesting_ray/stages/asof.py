@@ -62,7 +62,9 @@ def asof_join(
     all_fields = lf + r_value
     # remember integer columns: nulls from the union widen them to
     # float in pandas; the kernel casts back after the inner match
-    int_cols = [n for n, t in all_fields if pa.types.is_integer(t)]
+    int_cols = {
+        n: t.to_pandas_dtype() for n, t in all_fields if pa.types.is_integer(t)
+    }
     r_value_names = [n for n, _ in r_value]
 
     def widen(side: int):
@@ -98,9 +100,9 @@ def asof_join(
             # inner join: the first right value column marks a match
             # (callers must pick a non-nullable right column first)
             out = out.dropna(subset=[r_value_names[0]])
-        for c in int_cols:
+        for c, dt in int_cols.items():
             # nulls from the union widened ints to float; restore
-            out[c] = out[c].astype(np.int64)
+            out[c] = out[c].astype(dt)
         return out.reset_index(drop=True)
 
     return apply_per_bucket(u, kernel, key=by, num_buckets=num_buckets)
