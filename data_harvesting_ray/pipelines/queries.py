@@ -261,6 +261,31 @@ def q_e_asof_attribution(sf_dir: str) -> Any:
     return asof_join(purchases, clicks, by="user_id", on="ts", num_buckets=16)
 
 
+def q_e_asof_salted(sf_dir: str) -> Any:
+    """Salted as-of join (hot-user-safe): must be output-identical to
+    q_e_asof_attribution — same SQL oracle."""
+    from ..stages.asof import asof_join_salted
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    clicks = (
+        ev.filter(expr="event_type == 'click'")
+        .drop_columns(["event_type", "value"])
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["click_event_id" if c == "event_id" else c for c in t.column_names]
+            ).append_column("click_ts", t["ts"]),
+            batch_format="pyarrow",
+        )
+    )
+    return asof_join_salted(
+        purchases, clicks, by="user_id", on="ts", chunk_s=86400, num_buckets=16
+    )
+
+
 def q_e_session_assign(sf_dir: str) -> Any:
     """Range join: assign every event to the session window containing
     it (start <= ts <= end, per user) — the generic interval join over
@@ -465,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cep": q_e_cep,
         "e_sliding": q_e_sliding,
         "e_asof_attribution": q_e_asof_attribution,
+        "e_asof_salted": q_e_asof_salted,
         "e_session_assign": q_e_session_assign,
         "d_fingerprint": q_d_fingerprint,
         "d_dedup_exact": q_d_dedup_exact,
@@ -887,6 +913,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sqls["t_session_windows_salted"] = sqls["t_session_windows"]
     sqls["t_streaming_sessions"] = sqls["t_session_windows"]
     sqls["t_streaming_pairs"] = sqls["t_tool_join"]
+    sqls["e_asof_salted"] = sqls["e_asof_attribution"]
     sqls["t_streaming_tumbling"] = sqls["t_tumbling_windows"]
     sqls["t_streaming_sliding"] = sqls["t_sliding_windows"]
     return sqls

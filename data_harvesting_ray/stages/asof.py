@@ -12,10 +12,10 @@ sides are tagged and unioned, then co-located with ONE hash shuffle on
 ``by`` via the shared bucket primitive; within a bucket the match is
 ``pandas.merge_asof`` (a vectorized C merge over both sides sorted by
 ``on``). Nothing crosses buckets: correctness only needs all rows of a
-``by`` key in one bucket. Skew note: a hot key stays in one bucket —
-as-of semantics are inherently per-key-ordered, so the salting escape
-is range-chunking ``on`` with boundary carry (same recipe as
-``windows.session_windows_salted``), not implemented here.
+``by`` key in one bucket. Skew: ``asof_join_salted`` range-chunks
+``on`` with boundary carry (same recipe as
+``windows.session_windows_salted``) so a hot key spreads over many
+buckets; output is identical (metamorphic-tested).
 """
 
 from __future__ import annotations
@@ -36,22 +36,14 @@ def _arrow_fields(ds: ray.data.Dataset) -> list[tuple[str, pa.DataType]]:
     return list(zip(sch.names, sch.types))
 
 
-def asof_join(
-    left: ray.data.Dataset,
-    right: ray.data.Dataset,
-    by: str,
-    on: str,
-    num_buckets: int | None = None,
-) -> ray.data.Dataset:
-    """Inner as-of join (direction=backward, exact matches allowed —
-    DuckDB's ``ASOF JOIN ... ON l.by = r.by AND l.on >= r.on``).
-
-    Non-key columns of the two sides must be disjoint (pre-rename the
-    right side); every left column plus every right non-key column
-    appears in the output. Ties on (by, on) pick the right row with
-    the greatest position after a stable (on,)-sort — deterministic
-    only if right keys are unique per (by, on), which callers should
-    guarantee (dedup first)."""
+def _widened_union(
+    left: ray.data.Dataset, right: ray.data.Dataset, by: str, on: str
+) -> tuple[ray.data.Dataset, list[str], list[str], dict]:
+    """Tag each side, widen both to the union schema (typed nulls for
+    the other side's value columns), and union. Returns (dataset,
+    left column names, right value column names, {int col: original
+    numpy dtype} for post-join restore — nulls widen ints to float in
+    pandas)."""
     lf = _arrow_fields(left)
     rf = _arrow_fields(right)
     l_names = [n for n, _ in lf]
@@ -60,12 +52,9 @@ def asof_join(
     if overlap:
         raise ValueError(f"right columns collide with left: {sorted(overlap)}")
     all_fields = lf + r_value
-    # remember integer columns: nulls from the union widen them to
-    # float in pandas; the kernel casts back after the inner match
     int_cols = {
         n: t.to_pandas_dtype() for n, t in all_fields if pa.types.is_integer(t)
     }
-    r_value_names = [n for n, _ in r_value]
 
     def widen(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -84,6 +73,26 @@ def asof_join(
     u = left.map_batches(widen(0), batch_format="pyarrow").union(
         right.map_batches(widen(1), batch_format="pyarrow")
     )
+    return u, l_names, [n for n, _ in r_value], int_cols
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Inner as-of join (direction=backward, exact matches allowed —
+    DuckDB's ``ASOF JOIN ... ON l.by = r.by AND l.on >= r.on``).
+
+    Non-key columns of the two sides must be disjoint (pre-rename the
+    right side); every left column plus every right non-key column
+    appears in the output. Ties on (by, on) pick the right row with
+    the greatest position after a stable (on,)-sort — deterministic
+    only if right keys are unique per (by, on), which callers should
+    guarantee (dedup first)."""
+    u, l_names, r_value_names, int_cols = _widened_union(left, right, by, on)
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         lmask = g[_SIDE].to_numpy() == 0
@@ -106,6 +115,122 @@ def asof_join(
         return out.reset_index(drop=True)
 
     return apply_per_bucket(u, kernel, key=by, num_buckets=num_buckets)
+
+
+def asof_join_salted(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    chunk_s: int = 86400,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """As-of join with HOT-KEY SALTING: the pass-A partition key is
+    (by, on // chunk), so a mega-key's rows spread over one bucket per
+    time chunk instead of pinning a straggler partition.
+
+    Pass A joins within each (key, chunk) bucket and emits three row
+    kinds: locally matched rows (a same-chunk right at-or-before the
+    left always beats any earlier-chunk right), unmatched left rows,
+    and one CARRY per key — the latest right row of the chunk. Pass B
+    is a plain ``asof_join`` of the unmatched lefts against the
+    carries (≤ one row per (key, chunk): boundary-carry-sized, never
+    input-sized), which is exact because an unmatched left's true
+    match, if any, is the latest right row of some earlier chunk —
+    i.e. a carry. Output identical to ``asof_join`` (metamorphic test
+    in tests/test_salting.py)."""
+    u, l_names, r_value_names, int_cols = _widened_union(left, right, by, on)
+    chunk_us = chunk_s * 1_000_000
+    out_cols = l_names + r_value_names
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        us = (
+            t[on]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return t.append_column("__chunk", pa.array(us // chunk_us))
+
+    def kernel_a(g: pd.DataFrame) -> pd.DataFrame:
+        # A bucket holds MANY (key, chunk) groups (hash % B): local
+        # matching and carries must both be per (key, chunk) — a
+        # bucket-wide by=key match could pair a left with a stale
+        # right from an older chunk that happened to share the bucket,
+        # shadowing the true match (a later chunk's carry elsewhere).
+        lmask = g[_SIDE].to_numpy() == 0
+        l = g[lmask][l_names + ["__chunk"]].sort_values(on, kind="stable")
+        r = g[~lmask][[by, "__chunk", on] + r_value_names].sort_values(
+            on, kind="stable"
+        )
+        frames = []
+        if len(l) and len(r):
+            m = pd.merge_asof(
+                l,
+                r,
+                on=on,
+                by=[by, "__chunk"],
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            hit = m[r_value_names[0]].notna()
+            matched = m[hit].copy()
+            matched["__kind"] = np.int8(0)
+            frames.append(matched)
+            miss = l[(~hit).to_numpy()].copy()
+        else:
+            miss = l.copy()
+        if len(miss):
+            for c in r_value_names:
+                miss[c] = None
+            miss["__kind"] = np.int8(1)
+            frames.append(miss)
+        if len(r):
+            # last ROW per (key, chunk) (max `on`; r is on-sorted) —
+            # not groupby().last(), which takes last non-null per col
+            carry = r.drop_duplicates(subset=[by, "__chunk"], keep="last").copy()
+            for c in l_names:
+                if c not in (by, on):
+                    carry[c] = None
+            carry["__kind"] = np.int8(2)
+            frames.append(carry)
+        if not frames:
+            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in out_cols}).assign(
+                __kind=pd.Series(dtype=np.int8)
+            )
+        out = pd.concat(frames, ignore_index=True)[out_cols + ["__kind"]]
+        # normalize dtypes across kinds/buckets: int-origin cols ride
+        # as float64 (nullable) until final restore
+        for c in int_cols:
+            out[c] = out[c].astype(np.float64)
+        return out
+
+    pass_a = apply_per_bucket(
+        u.map_batches(add_chunk, batch_format="pyarrow"),
+        kernel_a,
+        key=[by, "__chunk"],
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def restore_ints(df: pd.DataFrame) -> pd.DataFrame:
+        for c, dt in int_cols.items():
+            if c in df.columns:
+                df[c] = df[c].astype(dt)
+        return df
+
+    def pick(kind: int, cols: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return restore_ints(df[df["__kind"].to_numpy() == kind][cols].copy())
+
+        return fn
+
+    matched = pass_a.map_batches(pick(0, out_cols), batch_format="pandas")
+    red_left = pass_a.map_batches(pick(1, l_names), batch_format="pandas")
+    carries = pass_a.map_batches(
+        pick(2, [by, on] + r_value_names), batch_format="pandas"
+    )
+    late = asof_join(red_left, carries, by=by, on=on, num_buckets=num_buckets)
+    return matched.union(late)
 
 
 def interval_join(

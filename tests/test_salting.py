@@ -66,3 +66,60 @@ def test_join_buckets_on_composite_key_spreads_hot_conv(ray_session, hot_fixture
     got = tool_join(ds).to_pandas()
     want = R.tool_join(pq.read_table(hot_fixture).to_pandas())
     assert_frames_equal(got, want, ["conv_id", "call_turn_idx"])
+
+
+def test_asof_salted_metamorphic_hot_user(ray_session):
+    """Salted as-of join output must equal the unsalted one on data
+    where one hot user owns half the rows and matches frequently cross
+    chunk boundaries (chunk_s smaller than the event span)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import asof_join, asof_join_salted
+
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2024-01-01")
+    n = 4000
+    # user 0 is hot (half the stream); 20 cold users share the rest
+    users = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 21, n))
+    ts = base + pd.to_timedelta(rng.integers(0, 7 * 86400, n), unit="s")
+    is_left = rng.random(n) < 0.6
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(is_left.sum(), dtype=np.int64),
+            "user_id": users[is_left],
+            "ts": ts[is_left],
+            "value": rng.random(is_left.sum()),
+        }
+    )
+    right = (
+        pd.DataFrame({"user_id": users[~is_left], "ts": ts[~is_left]})
+        .drop_duplicates(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    right["click_event_id"] = np.arange(10_000, 10_000 + len(right), dtype=np.int64)
+    right["click_ts"] = right["ts"]
+    kw = dict(by="user_id", on="ts", num_buckets=8)
+    basej = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), **kw)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # chunk_s = 6h: the week-long stream splits into ~28 chunks
+    salted = (
+        asof_join_salted(
+            rd.from_pandas(left), rd.from_pandas(right), chunk_s=6 * 3600, **kw
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        salted[sorted(salted.columns)], basej[sorted(basej.columns)], check_dtype=False
+    )
+    # the test is only meaningful if many matches DO cross chunks
+    crossed = (
+        basej["ts"].astype("datetime64[us]").astype(np.int64) // (6 * 3600 * 1_000_000)
+        != basej["click_ts"].astype("datetime64[us]").astype(np.int64) // (6 * 3600 * 1_000_000)
+    )
+    assert crossed.sum() > 100
