@@ -369,6 +369,12 @@ def q_d_lang_id(sf_dir: str) -> Any:
     return lang_id(_docs(sf_dir))
 
 
+def q_d_bpe_tokens(sf_dir: str) -> Any:
+    from ..stages.text import bpe_token_count
+
+    return bpe_token_count(_docs(sf_dir))
+
+
 def q_d_minhash_near_dups(sf_dir: str) -> Any:
     # num_buckets sized to the (small) candidate shuffle, not the CPU
     # count — partition count tracks data volume
@@ -495,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_fingerprint": q_d_fingerprint,
         "d_dedup_exact": q_d_dedup_exact,
         "d_token_stats": q_d_token_stats,
+        "d_bpe_tokens": q_d_bpe_tokens,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
         "d_minhash_near_dups": q_d_minhash_near_dups,
@@ -757,6 +764,13 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         "d_dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "d_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+')) AS BIGINT)
+                        AS n_bpe_tokens
+            FROM documents
         """,
         "d_token_stats": r"""
             WITH t AS (

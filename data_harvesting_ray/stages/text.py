@@ -63,6 +63,26 @@ def token_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(token_stats_batch, batch_format="pandas")
 
 
+# BPE-ish pre-tokenizer: word pieces / digit runs / punctuation runs,
+# each optionally absorbing one leading space (the GPT-2 convention,
+# minus RE2-unsupported lookaheads). RE2 semantics are identical in
+# Arrow (pc.count_substring_regex) and DuckDB (regexp_extract_all),
+# so the count is exactly SQL-checkable.
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+"
+
+
+def bpe_token_count_batch(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    n = pc.count_substring_regex(t["text"], BPE_ISH_PATTERN)
+    return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+
+def bpe_token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Regex (BPE-ish) token counts — zero-copy Arrow, no Python rows."""
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
 def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
     toks = df["text"].str.strip().str.split()
     n_tokens = toks.map(len).to_numpy(dtype=np.int64)
