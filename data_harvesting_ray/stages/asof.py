@@ -229,6 +229,11 @@ def asof_join_salted(
     carries = pass_a.map_batches(
         pick(2, [by, on] + r_value_names), batch_format="pandas"
     )
+    # inner semantics: with no unmatched lefts or no carries, pass B
+    # is empty by construction (and schema inference on an empty
+    # dataset is undefined) — skip it
+    if red_left.count() == 0 or carries.count() == 0:
+        return matched
     late = asof_join(red_left, carries, by=by, on=on, num_buckets=num_buckets)
     return matched.union(late)
 
