@@ -383,6 +383,17 @@ def q_d_minhash_near_dups(sf_dir: str) -> Any:
     return minhash_near_dups(_docs(sf_dir), threshold_milli=700, num_buckets=16)
 
 
+def q_d_dedup_groups(sf_dir: str) -> Any:
+    """Near-dup GROUPS: verified minhash pairs clustered into connected
+    components (keep-one-per-group is then a trivial filter). The pair
+    list is output-scale by construction; components run distributed."""
+    from ..stages.components import connected_components
+    from ..stages.dedup_approx import minhash_near_dups
+
+    pairs = minhash_near_dups(_docs(sf_dir), threshold_milli=700, num_buckets=16)
+    return connected_components(rd.from_pandas(pairs), num_buckets=8)
+
+
 def q_d_simhash_near_dups(sf_dir: str) -> Any:
     from ..stages.dedup_approx import simhash_near_dups
 
@@ -505,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
         "d_minhash_near_dups": q_d_minhash_near_dups,
+        "d_dedup_groups": q_d_dedup_groups,
         "d_simhash_near_dups": q_d_simhash_near_dups,
         "v_knn": q_v_knn,
         "v_knn_ivf": q_v_knn_ivf,
@@ -864,6 +876,41 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                         i -> CAST('0x' || substr(md5(text), CAST(i * 2 + 1 AS INT), 2) AS BIGINT)))
                         AS BIGINT) AS feat_checksum
             FROM documents
+        """,
+        # transitive closure of the verified near-dup pairs; group id
+        # = min doc id of the connected component
+        "d_dedup_groups": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(length(text) - 4, 1))) AS i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE (m * 1000) // (sa.n + sb.n - m) >= 700
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM p
+                UNION
+                SELECT doc_b, doc_a FROM p
+            ),
+            reach(x, y) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.x, e.v FROM reach r JOIN edges e ON r.y = e.u
+            )
+            SELECT x AS doc_id, least(x, min(y)) AS group_id
+            FROM reach GROUP BY x
         """,
         # frame-sampling witness: every 2nd 64-byte frame of the
         # (ASCII) payload; byte slicing == substr on this corpus

@@ -1,0 +1,126 @@
+"""Distributed connected components over a pair/edge Dataset.
+
+The end-game of near-dup detection is GROUPS, not pairs: cluster the
+verified pairs and keep one representative per cluster (the reference's
+pairwise suppression, ``condition.py:66-77``, generalized transitively).
+Exact min-label propagation: every node's label converges to the
+smallest node id in its component.
+
+Physical plan: edges are materialized once (both directions); each
+iteration is two key-only shuffles over edge/label rows — labels
+co-partitioned with edge sources to attach ``label(u)`` to each (u, v),
+then a groupby-min over destinations — never anything corpus-sized on
+the driver. Convergence in O(component diameter) iterations; near-dup
+clusters are near-cliques, so 2-3 in practice. The per-iteration
+convergence check is a single small aggregate (count of changed
+labels).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from .partition import apply_per_bucket
+
+
+def _min_label_per_key(ds: ray.data.Dataset, key: str, val: str, num_buckets) -> ray.data.Dataset:
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, sort=False, as_index=False)[val].min()
+
+    return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    num_buckets: int | None = 16,
+    max_iter: int = 50,
+) -> ray.data.Dataset:
+    """(node, group_id) for every node appearing in ``pairs``, where
+    group_id = min node id of its connected component. Exact."""
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[a].to_numpy().astype(np.int64)
+        v = df[b].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "u": np.concatenate([u, v]),
+                "v": np.concatenate([v, u]),
+            }
+        ).drop_duplicates()
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    # label(x) := min(x, min over neighbors) — seeded from the edges
+    labels = _min_label_per_key(
+        edges.map_batches(
+            lambda df: pd.DataFrame(
+                {"u": df["u"], "label": np.minimum(df["u"], df["v"])}
+            ),
+            batch_format="pandas",
+        ),
+        "u",
+        "label",
+        num_buckets,
+    ).materialize()
+
+    for _ in range(max_iter):
+        # attach label(u) to each edge (u, v): labels and edges share
+        # the hash(u) partitioning — one key-only shuffle
+        def join_labels(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["v"].isna()][["u", "label"]]
+            e = g[g["v"].notna()][["u", "v"]]
+            m = e.merge(lab, on="u", how="left")
+            return pd.DataFrame(
+                {"u": m["v"].astype(np.int64), "label": m["label"].astype(np.int64)}
+            )
+
+        tagged = edges.map_batches(
+            # v as float64: the label rows carry v=NaN, and union
+            # blocks must agree on dtype
+            lambda df: pd.DataFrame(
+                {
+                    "u": df["u"],
+                    "v": df["v"].astype(np.float64),
+                    "label": np.int64(0),
+                }
+            ),
+            batch_format="pandas",
+        ).union(
+            labels.map_batches(
+                lambda df: pd.DataFrame(
+                    {"u": df["u"], "v": np.nan, "label": df["label"]}
+                ),
+                batch_format="pandas",
+            )
+        )
+        prop = apply_per_bucket(tagged, join_labels, key="u", num_buckets=num_buckets)
+        # new label(x) = min(old label(x), min incoming label)
+        new_labels = _min_label_per_key(
+            prop.union(labels), "u", "label", num_buckets
+        ).materialize()
+
+        # convergence: did any label change? (small aggregate, no
+        # driver-side label tables)
+        def pair_min_sum(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"s": [df["label"].astype(np.int64).sum()], "n": [len(df)]}
+            )
+
+        old_sig = labels.map_batches(pair_min_sum, batch_format="pandas").to_pandas()
+        new_sig = new_labels.map_batches(pair_min_sum, batch_format="pandas").to_pandas()
+        labels = new_labels
+        # labels only decrease; equal sums <=> fixpoint
+        if int(old_sig["s"].sum()) == int(new_sig["s"].sum()) and int(
+            old_sig["n"].sum()
+        ) == int(new_sig["n"].sum()):
+            break
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"u": "doc_id", "label": "group_id"}),
+        batch_format="pandas",
+    )

@@ -149,6 +149,35 @@ def test_frame_sampler_stride_and_witness(ray_session):
     assert got["frame_fp"].iloc[1] == hashlib.md5(b"a" * 22).hexdigest()
 
 
+def test_connected_components_multihop(ray_session):
+    """Min-label propagation must cross multiple hops (a 6-node chain
+    needs several iterations) and keep disjoint components separate."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.components import connected_components
+
+    pairs = pd.DataFrame(
+        {
+            # chain 10-11-12-13-14-15 (diameter 5) + pair (20, 21)
+            "doc_a": np.array([11, 12, 13, 14, 15, 21], dtype=np.int64),
+            "doc_b": np.array([10, 11, 12, 13, 14, 20], dtype=np.int64),
+        }
+    )
+    got = (
+        connected_components(rd.from_pandas(pairs), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, 16, dtype=np.int64).tolist() + [20, 21],
+            "group_id": [10] * 6 + [20, 20],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_gap_quantiles_matches_duckdb(ray_session):
     """Per-conv discrete gap quantiles must equal DuckDB quantile_disc
     (ceil(q*n)-1 order statistic) on data covering: tied gaps, a
