@@ -54,6 +54,12 @@ def connected_components(
         ).drop_duplicates()
 
     edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    if edges.count() == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())})
+        )
 
     # label(x) := min(x, min over neighbors) — seeded from the edges
     labels = _min_label_per_key(
