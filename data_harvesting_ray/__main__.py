@@ -1,0 +1,57 @@
+"""CLI entry point: run the streaming engine over an epoched Parquet
+log — the analogue of the reference's service main
+(``queue_harvesting.py``: consume → process → export loop), minus the
+broker: epochs arrive as ``epoch=NNNNNN/`` directories of parquet
+part-files (see sources/epochs.py).
+
+    python -m data_harvesting_ray --epochs-root DIR --out DIR \
+        [--config engine.yaml] [--num-shards N] [--no-flush] \
+        [--no-checkpoint]
+
+Re-running over the same output directory is an exactly-once resume:
+committed epochs are skipped, shard state restores from the last
+committed checkpoint. ``--no-flush`` keeps windows open for a later
+run (a continuously-fed log).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="data_harvesting_ray", description=__doc__)
+    p.add_argument("--epochs-root", required=True, help="directory of epoch=*/ dirs")
+    p.add_argument("--out", required=True, help="output directory (channels + manifests)")
+    p.add_argument("--config", default=None, help="EngineConfig YAML path")
+    p.add_argument("--num-shards", type=int, default=None)
+    p.add_argument("--no-flush", action="store_true", help="keep windows open for a later run")
+    p.add_argument("--no-checkpoint", action="store_true")
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    from .config import EngineConfig
+    from .pipelines.streaming import StreamingEngine
+
+    cfg = EngineConfig.from_yaml(args.config) if args.config else EngineConfig()
+    if args.no_checkpoint:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, checkpoint=False)
+    eng = StreamingEngine(args.out, num_shards=args.num_shards, config=cfg)
+    summary = eng.run(epochs_root=args.epochs_root, flush_at_end=not args.no_flush)
+    print(json.dumps(summary))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -129,6 +129,27 @@ def test_unknown_enrich_name_rejected():
         EngineConfig(enrich="no_such_udf").validate()
 
 
+def test_cli_main_runs_and_resumes(ray_session, tmp_path, capsys):
+    """python -m data_harvesting_ray: end-to-end run then exactly-once
+    no-op rerun over the same output directory."""
+    import json
+
+    from data_harvesting_ray.__main__ import main
+    from data_harvesting_ray.fixtures.generator import epochs_root
+
+    argv = [
+        "--epochs-root", epochs_root("sf0.001"),
+        "--out", str(tmp_path / "out"),
+        "--num-shards", "4",
+    ]
+    assert main(argv) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["epochs"] == 4 and first["rows"] > 0
+    assert main(argv) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second == {"epochs": 0, "skipped": 4, "rows": 0, "wall_s": 0.0}
+
+
 def test_user_registered_enrich_resolves():
     from data_harvesting_ray.enrich import register_enrich, resolve_enrich
 
