@@ -150,6 +150,30 @@ def test_cli_main_runs_and_resumes(ray_session, tmp_path, capsys):
     assert second == {"epochs": 0, "skipped": 4, "rows": 0, "wall_s": 0.0}
 
 
+def test_cli_yaml_config_with_named_enrich(ray_session, tmp_path, capsys):
+    """The full user story: a YAML config selects a registered enrich
+    UDF by name; the CLI runs it and the derived column lands on the
+    committed turns channel."""
+    from data_harvesting_ray.__main__ import main
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.sinks.exactly_once import EpochSink
+
+    cfg = tmp_path / "engine.yaml"
+    cfg.write_text("enrich: token_count\nemit_turns: true\nnum_shards: 4\n")
+    out = tmp_path / "out"
+    assert main([
+        "--epochs-root", epochs_root("sf0.001"),
+        "--out", str(out),
+        "--config", str(cfg),
+    ]) == 0
+    capsys.readouterr()
+    sink = EpochSink(str(out))
+    files = sink.committed_files("turns")
+    assert files
+    turns = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    assert "n_tokens" in turns.columns and (turns["n_tokens"] > 0).any()
+
+
 def test_user_registered_enrich_resolves():
     from data_harvesting_ray.enrich import register_enrich, resolve_enrich
 
