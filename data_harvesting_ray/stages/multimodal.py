@@ -140,7 +140,7 @@ def sample_frames(
     frame_bytes: int = 64,
     stride: int = 2,
     batch_size: int = 256,
-    concurrency: int = 2,
+    concurrency: int | tuple = (1, 2),
 ) -> ray.data.Dataset:
     """Binary payloads → sampled frame records (doc_id, frame_idx,
     frame_bytes, frame_fp). Small batch_size: wide binary rows."""
@@ -193,7 +193,7 @@ def resize_frames(
     stride: int = 2,
     out_bytes: int = 32,
     batch_size: int = 256,
-    concurrency: int = 2,
+    concurrency: int | tuple = (1, 2),
 ) -> ray.data.Dataset:
     binary = docs.map_batches(to_binary_batch, batch_format="pyarrow")
     return binary.map_batches(
@@ -210,7 +210,7 @@ def resize_frames(
 
 
 def extract_features(
-    docs: ray.data.Dataset, batch_size: int = 256, concurrency: int = 2
+    docs: ray.data.Dataset, batch_size: int = 256, concurrency: int | tuple = (1, 2)
 ) -> ray.data.Dataset:
     """Binary payloads → feature vectors. Small batch_size: wide binary
     rows must not blow a worker's heap (batch × concurrency sizing)."""

@@ -132,7 +132,7 @@ class LangId:
 
 
 def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
 
 
 def doc_dedup_exact(ds: ray.data.Dataset) -> ray.data.Dataset:
