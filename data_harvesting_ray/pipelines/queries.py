@@ -214,25 +214,38 @@ def q_t_streaming_sliding(sf_dir: str) -> Any:
 def q_e_tumbling(sf_dir: str) -> Any:
     from ..stages.events import tumbling_events
 
-    return tumbling_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return tumbling_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    )
 
 
 def q_e_session(sf_dir: str) -> Any:
     from ..stages.events import session_events
 
-    return session_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return session_events(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+        )
+    )
 
 
 def q_e_cep(sf_dir: str) -> Any:
     from ..stages.events import cep_events
 
-    return cep_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return cep_events(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "event_type", "ts"],
+        )
+    )
 
 
 def q_e_sliding(sf_dir: str) -> Any:
     from ..stages.events import sliding_events
 
-    return sliding_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return sliding_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    )
 
 
 def q_e_asof_attribution(sf_dir: str) -> Any:
@@ -296,7 +309,11 @@ def q_e_session_assign(sf_dir: str) -> Any:
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
-    wins = session_events(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    wins = session_events(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+        )
+    )
     return interval_join(
         ev,
         wins,
