@@ -386,6 +386,12 @@ def q_d_lang_id(sf_dir: str) -> Any:
     return lang_id(_docs(sf_dir))
 
 
+def q_d_train_split(sf_dir: str) -> Any:
+    from ..stages.projection import train_split
+
+    return train_split(_docs(sf_dir), key="doc_id", pct=(90, 5))
+
+
 def q_d_bpe_tokens(sf_dir: str) -> Any:
     from ..stages.text import bpe_token_count
 
@@ -530,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_dedup_exact": q_d_dedup_exact,
         "d_token_stats": q_d_token_stats,
         "d_bpe_tokens": q_d_bpe_tokens,
+        "d_train_split": q_d_train_split,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
         "d_minhash_near_dups": q_d_minhash_near_dups,
@@ -793,6 +800,13 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         "d_dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "d_train_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "d_bpe_tokens": r"""
             SELECT doc_id,

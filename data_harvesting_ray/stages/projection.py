@@ -101,6 +101,29 @@ def head_per_conv(ds: ray.data.Dataset, n: int = 3, num_buckets: int | None = No
     return apply_per_bucket(local, kernel, num_buckets=num_buckets)
 
 
+def train_split(
+    ds: ray.data.Dataset,
+    key: str = "doc_id",
+    pct: tuple[int, int] = (90, 5),
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment — the split step of a
+    training-data pipeline. Pure integer hash on the id (golden-ratio
+    multiply mod 1000), so the assignment is reproducible across runs,
+    machines, and the SQL oracle, and rows never need co-location
+    (embarrassingly parallel map_batches). ``pct=(train, val)``; the
+    remainder is test."""
+    train_p, val_p = pct
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df[key].astype(np.int64) * 2654435761) % 1000
+        split = np.where(
+            h < train_p * 10, "train", np.where(h < (train_p + val_p) * 10, "val", "test")
+        )
+        return pd.DataFrame({key: df[key], "split": split})
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
 def systematic_sample(ds: ray.data.Dataset, pct: int = 10) -> ray.data.Dataset:
     """SO3: deterministic pseudo-random sample — hash-mod on
     (conv number, turn_idx) with exact integer arithmetic, so the same
