@@ -17,6 +17,9 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
 import ray.data as rd
 
 from ..fixtures.generator import transcripts_path
@@ -246,6 +249,25 @@ def q_e_sliding(sf_dir: str) -> Any:
     return sliding_events(
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     )
+
+
+def q_e_value_quantiles(sf_dir: str) -> Any:
+    """Exact global p50/p90/p99 of the event value (integer cents) —
+    histogram partials, no row shuffle."""
+    from ..stages.aggregates import global_value_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    cents = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return global_value_quantiles(cents)
 
 
 def q_e_asof_attribution(sf_dir: str) -> Any:
@@ -529,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_session": q_e_session,
         "e_cep": q_e_cep,
         "e_sliding": q_e_sliding,
+        "e_value_quantiles": q_e_value_quantiles,
         "e_asof_attribution": q_e_asof_attribution,
         "e_asof_salted": q_e_asof_salted,
         "e_session_assign": q_e_session_assign,
@@ -761,6 +784,12 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             )
             SELECT user_id, event_id AS start_event_id, id2 AS end_event_id
             FROM s WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+        """,
+        "e_value_quantiles": """
+            SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_cents,
+                   CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_cents,
+                   CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_cents
+            FROM (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events)
         """,
         "e_asof_attribution": """
             SELECT p.event_id, p.ts, p.user_id, p.value,

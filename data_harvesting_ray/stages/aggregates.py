@@ -163,6 +163,43 @@ def gap_quantiles(
     return apply_per_bucket(ds, kernel, num_buckets=num_buckets)
 
 
+def global_value_quantiles(
+    ds: ray.data.Dataset,
+    q_milli: tuple[int, ...] = (500, 900, 990),
+) -> pd.DataFrame:
+    """Exact GLOBAL discrete quantiles of an integer-domain column
+    (``cents``) — the shuffle-free order statistic: one streaming pass
+    emits per-batch (value, count) partials, a small groupby merges
+    them (the shuffle moves at most |distinct values| rows, never
+    data), and the quantiles fall out of the cumulative counts with
+    the same integer ``ceil(q*n) - 1`` indexing as DuckDB
+    ``quantile_disc``. For unbounded/continuous domains the same plan
+    runs on binned values with a second pass inside the winning bin;
+    the integer-cents domain here needs no second pass."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnt = np.unique(v, return_counts=True)
+        return pa.table({"cents": vals, "n": cnt.astype(np.int64)})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |distinct values| rows — small by construction
+        .sort_values("cents", kind="stable")
+        .reset_index(drop=True)
+    )
+    cum = hist["n"].to_numpy().cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for qm in q_milli:
+        k = -((-qm * total) // 1000)  # ceil(q*n), exact integer
+        idx = int(np.searchsorted(cum, k, side="left"))
+        out[f"p{qm // 10}_cents"] = np.int64(hist["cents"].iloc[idx]) if total else np.int64(0)
+    return pd.DataFrame([out])
+
+
 def lineitem_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
     """TPC-H-Q1-style rollup over lineitem: integral quantity sums and
     row counts per (returnflag, linestatus) via per-batch partials."""
