@@ -149,6 +149,25 @@ def test_frame_sampler_stride_and_witness(ray_session):
     assert got["frame_fp"].iloc[1] == hashlib.md5(b"a" * 22).hexdigest()
 
 
+def test_global_value_quantiles_exact(ray_session):
+    """Histogram-partial global quantiles equal numpy order statistics
+    (ceil(q*n)-1) on a skewed integer distribution across many blocks."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import global_value_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = np.concatenate(
+        [rng.integers(0, 100, 5000), rng.integers(100, 10_000, 200)]
+    ).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"cents": vals})).repartition(8)
+    got = global_value_quantiles(ds, q_milli=(500, 900, 990))
+    s = np.sort(vals)
+    for qm, col in ((500, "p50_cents"), (900, "p90_cents"), (990, "p99_cents")):
+        k = -((-qm * len(s)) // 1000)
+        assert got[col].iloc[0] == s[k - 1]
+
+
 def test_connected_components_multihop(ray_session):
     """Min-label propagation must cross multiple hops (a 6-node chain
     needs several iterations) and keep disjoint components separate."""
