@@ -45,15 +45,14 @@ def _restore_us(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _write_jsonl(df: pd.DataFrame, path: str) -> None:
-    df.to_json(path, orient="records", lines=True, date_format="iso", date_unit="us")
-
-
-def _read_jsonl(path: str) -> pd.DataFrame:
+def _parse_iso_datetimes(df: pd.DataFrame) -> pd.DataFrame:
+    """Detect ISO-formatted datetime string columns (as written by the
+    jsonl/csv writers) and restore datetime64[us] dtype, so
+    ``StreamingEngine.results()`` returns identical dtypes regardless
+    of the configured sink format."""
     import re
 
-    df = pd.read_json(path, lines=True, convert_dates=True)
-    iso = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}")
+    iso = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}")
     for c in df.columns:
         if df[c].dtype == object and len(df):
             head = df[c].dropna()
@@ -65,12 +64,20 @@ def _read_jsonl(path: str) -> pd.DataFrame:
     return _restore_us(df)
 
 
+def _write_jsonl(df: pd.DataFrame, path: str) -> None:
+    df.to_json(path, orient="records", lines=True, date_format="iso", date_unit="us")
+
+
+def _read_jsonl(path: str) -> pd.DataFrame:
+    return _parse_iso_datetimes(pd.read_json(path, lines=True, convert_dates=True))
+
+
 def _write_csv(df: pd.DataFrame, path: str) -> None:
     df.to_csv(path, index=False)
 
 
 def _read_csv(path: str) -> pd.DataFrame:
-    return pd.read_csv(path)
+    return _parse_iso_datetimes(pd.read_csv(path))
 
 
 _FORMATS: dict[str, SinkFormat] = {}

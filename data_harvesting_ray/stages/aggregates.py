@@ -137,7 +137,14 @@ def gap_quantiles(
         g = prepare_bucket(g)
         conv = g["conv_id"].to_numpy()
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        if len(g) < 2:
+        if len(g) >= 2:
+            same = conv[1:] == conv[:-1]
+            gc, gv = conv[1:][same], (ts[1:] - ts[:-1])[same]
+        else:
+            gc = gv = np.array([], dtype=np.int64)
+        if not len(gc):
+            # a bucket can hold >= 2 rows yet zero gaps (every conv
+            # single-turn): guard on the GAP count, not the row count
             return pd.DataFrame(
                 {
                     "conv_id": np.array([], dtype=object),
@@ -148,8 +155,6 @@ def gap_quantiles(
                     },
                 }
             )
-        same = conv[1:] == conv[:-1]
-        gc, gv = conv[1:][same], (ts[1:] - ts[:-1])[same]
         order = np.lexsort((gv, gc))
         gc, gv = gc[order], gv[order]
         starts = np.flatnonzero(np.concatenate([[True], gc[1:] != gc[:-1]]))

@@ -29,21 +29,52 @@ import ray.data
 from .partition import apply_per_bucket
 
 _SIDE = "__asof_side"
+_MATCH = "__asof_match"
+
+
+def _nullable_int_name(dt) -> str:
+    """numpy int dtype → pandas nullable extension name (int64 →
+    'Int64', uint32 → 'UInt32')."""
+    return np.dtype(dt).name.replace("uint", "UInt").replace("int", "Int")
+
+
+def _arrow_type(t) -> pa.DataType:
+    """Normalize a Ray schema entry to a pyarrow DataType. Pandas-block
+    datasets (e.g. ``from_pandas`` with an object column) report numpy
+    dtypes / Python types instead of Arrow types."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t is object or np.dtype(t) == np.dtype("O"):
+        return pa.string()
+    return pa.from_numpy_dtype(np.dtype(t))
 
 
 def _arrow_fields(ds: ray.data.Dataset) -> list[tuple[str, pa.DataType]]:
     sch = ds.schema()
-    return list(zip(sch.names, sch.types))
+    return [(n, _arrow_type(t)) for n, t in zip(sch.names, sch.types)]
 
 
 def _widened_union(
     left: ray.data.Dataset, right: ray.data.Dataset, by: str, on: str
 ) -> tuple[ray.data.Dataset, list[str], list[str], dict]:
-    """Tag each side, widen both to the union schema (typed nulls for
-    the other side's value columns), and union. Returns (dataset,
-    left column names, right value column names, {int col: original
-    numpy dtype} for post-join restore — nulls widen ints to float in
-    pandas)."""
+    """Tag each side, widen both to the union schema, and union.
+    Returns (dataset, left column names, right value column names,
+    {int col: original numpy dtype} for post-join restore).
+
+    Two precision/correctness guards live here:
+
+    - Synthetic nulls for the OTHER side's integer columns are filled
+      with 0 instead of typed nulls: an Arrow int column with nulls
+      lands in pandas as float64, silently corrupting int64 values
+      above 2^53 (snowflake-style ids). The fills are never observed —
+      each kernel selects only the columns belonging to a row's own
+      side. Non-integer columns keep typed nulls.
+    - Every right row carries ``_MATCH = 1`` (left rows 0): inner-match
+      detection after ``merge_asof`` filters on this guaranteed
+      non-null marker instead of ``dropna`` on the first right value
+      column, which crashed when the right side had only (by, on)
+      columns and silently dropped matches whose first value column
+      held legitimate nulls."""
     lf = _arrow_fields(left)
     rf = _arrow_fields(right)
     l_names = [n for n, _ in lf]
@@ -63,9 +94,12 @@ def _widened_union(
             for name, typ in all_fields:
                 if name in t.column_names:
                     cols[name] = t[name]
+                elif pa.types.is_integer(typ):
+                    cols[name] = pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()))
                 else:
                     cols[name] = pa.nulls(n, typ)
             cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+            cols[_MATCH] = pa.array(np.full(n, side, dtype=np.int8))
             return pa.table(cols)
 
         return fn
@@ -97,20 +131,29 @@ def asof_join(
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         lmask = g[_SIDE].to_numpy() == 0
         l = g[lmask][l_names].sort_values(on, kind="stable")
-        r = g[~lmask][[by, on] + r_value_names].sort_values(on, kind="stable")
+        r = g[~lmask][[by, on] + r_value_names + [_MATCH]].sort_values(
+            on, kind="stable"
+        )
         if not len(l) or not len(r):
             out = l.iloc[0:0].copy()
             for c in r_value_names:
                 out[c] = pd.Series(dtype=g[c].dtype)
         else:
+            # right int value columns ride as nullable Int* through the
+            # merge: unmatched lefts produce NA, and a plain int64
+            # column with any NaN widens the WHOLE column to float64,
+            # corrupting matched values above 2^53
+            for c in r_value_names:
+                if c in int_cols:
+                    r[c] = r[c].astype(_nullable_int_name(int_cols[c]))
             out = pd.merge_asof(
                 l, r, on=on, by=by, direction="backward", allow_exact_matches=True
             )
-            # inner join: the first right value column marks a match
-            # (callers must pick a non-nullable right column first)
-            out = out.dropna(subset=[r_value_names[0]])
+            # inner join: the guaranteed non-null right marker column
+            # identifies matches (robust to null right values and to
+            # right sides with zero value columns)
+            out = out[out[_MATCH].notna()].drop(columns=[_MATCH])
         for c, dt in int_cols.items():
-            # nulls from the union widened ints to float; restore
             out[c] = out[c].astype(dt)
         return out.reset_index(drop=True)
 
@@ -160,9 +203,12 @@ def asof_join_salted(
         # shadowing the true match (a later chunk's carry elsewhere).
         lmask = g[_SIDE].to_numpy() == 0
         l = g[lmask][l_names + ["__chunk"]].sort_values(on, kind="stable")
-        r = g[~lmask][[by, "__chunk", on] + r_value_names].sort_values(
+        r = g[~lmask][[by, "__chunk", on] + r_value_names + [_MATCH]].sort_values(
             on, kind="stable"
         )
+        for c in r_value_names:
+            if c in int_cols:
+                r[c] = r[c].astype(_nullable_int_name(int_cols[c]))
         frames = []
         if len(l) and len(r):
             m = pd.merge_asof(
@@ -173,8 +219,8 @@ def asof_join_salted(
                 direction="backward",
                 allow_exact_matches=True,
             )
-            hit = m[r_value_names[0]].notna()
-            matched = m[hit].copy()
+            hit = m[_MATCH].notna()
+            matched = m[hit].drop(columns=[_MATCH]).copy()
             matched["__kind"] = np.int8(0)
             frames.append(matched)
             miss = l[(~hit).to_numpy()].copy()
@@ -182,16 +228,23 @@ def asof_join_salted(
             miss = l.copy()
         if len(miss):
             for c in r_value_names:
-                miss[c] = None
+                # int fills are 0, never observed (pick(1) selects
+                # l_names only); a null would float64-widen the column
+                # and corrupt int64 values above 2^53
+                miss[c] = np.int64(0) if c in int_cols else None
             miss["__kind"] = np.int8(1)
             frames.append(miss)
         if len(r):
             # last ROW per (key, chunk) (max `on`; r is on-sorted) —
             # not groupby().last(), which takes last non-null per col
-            carry = r.drop_duplicates(subset=[by, "__chunk"], keep="last").copy()
+            carry = (
+                r.drop_duplicates(subset=[by, "__chunk"], keep="last")
+                .drop(columns=[_MATCH])
+                .copy()
+            )
             for c in l_names:
                 if c not in (by, on):
-                    carry[c] = None
+                    carry[c] = np.int64(0) if c in int_cols else None
             carry["__kind"] = np.int8(2)
             frames.append(carry)
         if not frames:
@@ -199,10 +252,11 @@ def asof_join_salted(
                 __kind=pd.Series(dtype=np.int8)
             )
         out = pd.concat(frames, ignore_index=True)[out_cols + ["__kind"]]
-        # normalize dtypes across kinds/buckets: int-origin cols ride
-        # as float64 (nullable) until final restore
-        for c in int_cols:
-            out[c] = out[c].astype(np.float64)
+        # int-origin cols hold only real values or 0-fills (never NA):
+        # pin the exact integer dtype so every bucket's block agrees
+        # and no float64 round-trip ever happens
+        for c, dt in int_cols.items():
+            out[c] = out[c].astype(dt)
         return out
 
     pass_a = apply_per_bucket(

@@ -74,6 +74,7 @@ def connected_components(
         num_buckets,
     ).materialize()
 
+    converged = False
     for _ in range(max_iter):
         # attach label(u) to each edge (u, v): labels and edges share
         # the hash(u) partitioning — one key-only shuffle
@@ -124,7 +125,16 @@ def connected_components(
         if int(old_sig["s"].sum()) == int(new_sig["s"].sum()) and int(
             old_sig["n"].sum()
         ) == int(new_sig["n"].sum()):
+            converged = True
             break
+
+    if not converged:
+        # emitting partially-propagated labels would be SILENTLY wrong
+        # (nodes of one component with different group ids)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations (component diameter exceeds max_iter); raise max_iter"
+        )
 
     return labels.map_batches(
         lambda df: df.rename(columns={"u": "doc_id", "label": "group_id"}),

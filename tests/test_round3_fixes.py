@@ -1,0 +1,210 @@
+"""Round-3 regression tests for the ADVICE.md findings.
+
+- gap_quantiles: a bucket with >= 2 rows but ZERO gaps (every conv
+  single-turn) crashed with IndexError,
+- asof_join / asof_join_salted: int64 values above 2^53 were silently
+  corrupted by a float64 round-trip; match detection crashed when the
+  right side had only (by, on) columns and dropped matched rows whose
+  first right value column held legitimate nulls,
+- csv sink format: timestamps read back as strings (no dtype
+  restoration, unlike parquet/jsonl),
+- connected_components: exhausting max_iter silently emitted
+  partially-propagated (wrong) labels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_gap_quantiles_zero_gap_bucket(ray_session):
+    """Single-turn-only conversations produce zero gaps: no crash,
+    no rows; a conv with real gaps still aggregates."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import gap_quantiles
+
+    ts0 = pd.Timestamp("2024-01-01")
+    single = pd.DataFrame(
+        {
+            "conv_id": [f"solo-{i}" for i in range(4)],
+            "turn_idx": np.zeros(4, dtype=np.int32),
+            "ts": [ts0] * 4,
+        }
+    )
+    out = gap_quantiles(rd.from_pandas(single), num_buckets=2).to_pandas()
+    assert len(out) == 0
+
+    mixed = pd.concat(
+        [
+            single,
+            pd.DataFrame(
+                {
+                    "conv_id": ["talky"] * 3,
+                    "turn_idx": np.arange(3, dtype=np.int32),
+                    "ts": [ts0, ts0 + pd.Timedelta(seconds=10), ts0 + pd.Timedelta(seconds=40)],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    out = gap_quantiles(rd.from_pandas(mixed), num_buckets=2).to_pandas()
+    assert list(out["conv_id"]) == ["talky"]
+    assert int(out["n_gaps"].iloc[0]) == 2
+    # quantile_disc semantics: p50 of [10s, 30s] is the first element
+    assert int(out["p50_gap_us"].iloc[0]) == 10_000_000
+
+
+def _ts(s: float) -> pd.Timestamp:
+    return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+
+
+@pytest.mark.parametrize("salted", [False, True])
+def test_asof_join_preserves_int64_beyond_2_53(ray_session, salted):
+    """Snowflake-style ids (> 2^53, not float64-representable) must
+    survive the join exactly on BOTH sides."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import asof_join, asof_join_salted
+
+    big = np.int64(1 << 60)
+    left = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            "ts": [_ts(10), _ts(30), _ts(10)],
+            "event_id": np.array([big + 1, big + 3, big + 5], dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2, 3], dtype=np.int64),
+            "ts": [_ts(5), _ts(20), _ts(99), _ts(1)],
+            "click_id": np.array([big + 11, big + 13, big + 15, big + 17], dtype=np.int64),
+        }
+    )
+    fn = asof_join_salted if salted else asof_join
+    kwargs = {"chunk_s": 15} if salted else {}
+    got = (
+        fn(rd.from_pandas(left), rd.from_pandas(right), by="user_id", on="ts", num_buckets=4, **kwargs)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].dtype == np.int64 and got["click_id"].dtype == np.int64
+    assert list(got["event_id"]) == [big + 1, big + 3]
+    # big+1 matched click at ts=5 (click_id big+11); big+3 the ts=20 one
+    assert list(got["click_id"]) == [big + 11, big + 13]
+
+
+def test_asof_join_right_side_without_value_columns(ray_session):
+    """A right side with only (by, on) is a pure existence as-of
+    (semi-join): crashed before (IndexError on r_value_names[0])."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import asof_join
+
+    left = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            "ts": [_ts(10), _ts(1), _ts(10)],
+            "v": np.array([100, 200, 300], dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {"user_id": np.array([1], dtype=np.int64), "ts": [_ts(5)]}
+    )
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), by="user_id", on="ts", num_buckets=2)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    # only the user-1 row at ts=10 has a prior right row
+    assert list(got["v"]) == [100]
+    assert got["v"].dtype == np.int64
+
+
+def test_asof_join_keeps_matches_with_null_right_values(ray_session):
+    """A matched row whose first right value column is null must be
+    KEPT (the old dropna-based detection silently dropped it)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import asof_join
+
+    left = pd.DataFrame(
+        {
+            "user_id": np.array([1, 2], dtype=np.int64),
+            "ts": [_ts(10), _ts(10)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": np.array([1, 2], dtype=np.int64),
+            "ts": [_ts(5), _ts(5)],
+            "label": [None, "ok"],
+        }
+    )
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), by="user_id", on="ts", num_buckets=2)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["user_id"]) == [1, 2]
+    assert got["label"].iloc[0] is None or pd.isna(got["label"].iloc[0])
+    assert got["label"].iloc[1] == "ok"
+
+
+def test_sink_format_registry_csv_roundtrip(ray_session, tmp_path, df_small):
+    """X2 csv format: committed channels read back with restored
+    datetime64[us] dtypes, matching the oracle rows exactly (the old
+    reader returned string timestamps)."""
+    from .conftest import assert_frames_equal
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    eng = StreamingEngine(
+        str(tmp_path / "csv"), num_shards=4, config=EngineConfig(sink_format="csv")
+    )
+    eng.run(discover_epochs(epochs_root("sf0.001")))
+    files = eng.sink.committed_files("sessions")
+    assert files and all(f.endswith(".csv") for f in files)
+    got = eng.results_pandas("sessions")
+    ts_cols = [c for c in got.columns if "ts" in c or "start" in c or "end" in c]
+    assert ts_cols and all(str(got[c].dtype) == "datetime64[us]" for c in ts_cols)
+    assert_frames_equal(got, R.session_windows(df_small), ["conv_id", "session_id"])
+
+
+def test_connected_components_raises_when_not_converged(ray_session):
+    """A path graph with diameter > max_iter must raise, not emit
+    partially-propagated labels."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.components import connected_components
+
+    n = 12
+    chain = pd.DataFrame(
+        {
+            "doc_a": np.arange(n - 1, dtype=np.int64)[::-1] + 1,
+            "doc_b": np.arange(1, n, dtype=np.int64)[::-1] + 1,
+        }
+    )
+    # edges i -> i+1 reversed so min-label needs ~n iterations
+    chain = pd.DataFrame(
+        {
+            "doc_a": np.arange(1, n, dtype=np.int64),
+            "doc_b": np.arange(0, n - 1, dtype=np.int64),
+        }
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            rd.from_pandas(chain), num_buckets=2, max_iter=2
+        ).to_pandas()
+    # and with enough iterations the same graph converges to one group
+    out = connected_components(rd.from_pandas(chain), num_buckets=2, max_iter=30).to_pandas()
+    assert set(out["group_id"]) == {0} and len(out) == n
