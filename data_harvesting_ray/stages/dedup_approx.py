@@ -20,11 +20,11 @@ shingle→minhash→band→bucket pipeline, kept distributed end-to-end:
   inside ``map_batches``. The final thresholded pair list — small by
   construction — is returned as pandas.
 
-If the involved-document set ever outgrew driver memory (pathological
-candidate volume), the fallback is the exploded two-sided join: pairs
-→ (pair_id, doc_id) rows co-partitioned with the docs by hash(doc_id),
-then regrouped by pair_id — two key-only shuffles, still no driver
-materialization.
+When the involved-document set outgrows the driver
+(``involved_cap``), verification switches to the exploded two-sided
+hash join (``attach_value_distributed``): involved payload rows are
+co-partitioned with the pair rows by hash(doc_a) and then hash(doc_b)
+— two key-only shuffles, no driver staging of any payload.
 
 Determinism: all hashing is fixed-coefficient polynomial / siphash
 with pandas' fixed key (no PYTHONHASHSEED dependence), so signatures
@@ -49,8 +49,12 @@ _POLY_P = np.uint64(1_099_511_628_211)  # FNV-ish odd multiplier, mod 2^64
 def _poly_powers(k: int) -> np.ndarray:
     out = np.empty(k, dtype=np.uint64)
     out[0] = np.uint64(1)
-    for i in range(1, k):
-        out[i] = out[i - 1] * _POLY_P
+    # uint64 wraparound (mod 2^64) is the DESIGN here, not an accident —
+    # suppress numpy's overflow RuntimeWarning so real warnings stay
+    # visible in bench/pytest output
+    with np.errstate(over="ignore"):
+        for i in range(1, k):
+            out[i] = out[i - 1] * _POLY_P
     return out
 
 
@@ -60,13 +64,14 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     by uint64 wraparound), no per-shingle Python."""
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     pw = _poly_powers(k)
-    if len(b) < k:
-        if not len(b):
-            return np.array([np.uint64(0)], dtype=np.uint64)
-        h = (b.astype(np.uint64) * pw[: len(b)]).sum(dtype=np.uint64)
-        return np.array([h], dtype=np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    h = win @ pw  # uint64 wraparound == mod 2^64
+    with np.errstate(over="ignore"):  # deliberate mod-2^64 wraparound
+        if len(b) < k:
+            if not len(b):
+                return np.array([np.uint64(0)], dtype=np.uint64)
+            h = (b.astype(np.uint64) * pw[: len(b)]).sum(dtype=np.uint64)
+            return np.array([h], dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        h = win @ pw  # uint64 wraparound == mod 2^64
     return np.unique(h)
 
 
@@ -87,9 +92,25 @@ def jaccard_milli(a: np.ndarray, b: np.ndarray) -> int:
 
 class MinHasher:
     """Actor-pool batch fn: permutation params generated once per actor
-    (ST1 pattern); emits (doc_id, band, band_hash) rows."""
+    (ST1 pattern); emits (doc_id, band, band_hash) rows.
 
-    def __init__(self, num_perm: int = 128, bands: int = 32, k: int = 5, seed: int = 7):
+    The signature kernel is vectorized ACROSS documents: all docs'
+    shingle arrays are concatenated and the (num_perm, total_shingles)
+    universal hash is segmented per doc with ``np.minimum.reduceat`` —
+    bit-identical to the per-doc form (elementwise uint64 arithmetic is
+    layout-independent) with one numpy dispatch per shingle-bounded
+    group instead of one per document. ``group_shingles`` bounds the
+    temp to num_perm × group_shingles × 8 B (~34 MB at the default) so
+    the kernel stays cache/heap-friendly at any batch size."""
+
+    def __init__(
+        self,
+        num_perm: int = 128,
+        bands: int = 32,
+        k: int = 5,
+        seed: int = 7,
+        group_shingles: int = 1 << 15,
+    ):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
@@ -97,23 +118,45 @@ class MinHasher:
         self.bands = bands
         self.rows = num_perm // bands
         self.k = k
+        self.group_shingles = group_shingles
 
     def signature(self, text: str) -> np.ndarray:
         sh = char_shingles(text, self.k)
         # (num_perm, |S|) universal hash, min over shingles
-        v = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
+        with np.errstate(over="ignore"):  # deliberate mod-2^64 product
+            v = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
         return v.min(axis=1)
+
+    def _band_hashes(self, shingle_arrays: list[np.ndarray]) -> np.ndarray:
+        """(n_docs, bands) band bucket hashes for a group of documents,
+        one vectorized pass over the concatenated shingles."""
+        counts = np.array([len(s) for s in shingle_arrays], dtype=np.int64)
+        allsh = np.concatenate(shingle_arrays)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        with np.errstate(over="ignore"):  # deliberate mod-2^64 product
+            v = (self.a[:, None] * allsh[None, :] + self.b[:, None]) % MERSENNE
+            mins = np.minimum.reduceat(v, starts, axis=1)  # (num_perm, n)
+            # fold each band's rows into one deterministic bucket hash
+            s3 = mins.reshape(self.bands, self.rows, -1)
+            bh = s3[:, 0, :].copy()
+            for r in range(1, self.rows):
+                bh = (bh * np.uint64(1_000_003) + s3[:, r, :]) % np.uint64(MERSENNE)
+        return bh.T  # (n_docs, bands)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
+        shingles = [char_shingles(t, self.k) for t in df["text"]]
         sig = np.empty((n, self.bands), dtype=np.uint64)
-        for i, text in enumerate(df["text"]):
-            s = self.signature(text).reshape(self.bands, self.rows)
-            # fold each band's rows into one deterministic bucket hash
-            bh = s[:, 0].copy()
-            for r in range(1, self.rows):
-                bh = (bh * np.uint64(1_000_003) + s[:, r]) % np.uint64(MERSENNE)
-            sig[i] = bh
+        # greedy shingle-count-bounded groups keep the vectorized temp
+        # small while amortizing numpy dispatch over ~dozens of docs
+        start = 0
+        while start < n:
+            end, total = start, 0
+            while end < n and (end == start or total + len(shingles[end]) <= self.group_shingles):
+                total += len(shingles[end])
+                end += 1
+            sig[start:end] = self._band_hashes(shingles[start:end])
+            start = end
         return pd.DataFrame(
             {
                 "doc_id": np.repeat(df["doc_id"].to_numpy().astype(np.int64), self.bands),
@@ -143,14 +186,14 @@ def band_candidate_pairs(
     num_buckets: int | None = None,
     bucket_cap: int | None = 5000,
 ) -> ray.data.Dataset:
-    """Candidate pairs from (band, band_hash) rows, as a Dataset: hash
-    repartition on band_hash co-locates buckets (the same plan as every
-    other stateful stage — stages/partition.py); pairs are emitted per
-    exact (band, band_hash) group and deduped within the partition.
-    A pair sharing several bands can still appear once per band (≤
-    #bands copies) — verification is idempotent per pair, so callers
-    drop the few cross-band duplicates from the FINAL (thresholded,
-    small) result instead of paying a second pair-keyed shuffle here."""
+    """DISTINCT candidate pairs from (band, band_hash) rows, as a
+    Dataset: hash repartition on band_hash co-locates buckets (the same
+    plan as every other stateful stage — stages/partition.py) and pairs
+    are emitted per exact (band, band_hash) group; then a SECOND
+    key-only shuffle of the candidate-scale pair table (keyed on doc_a,
+    so equal pairs always co-locate) keeps the first copy of each pair.
+    A true near-dup typically matches in MANY of the bands — without
+    this pass exact verification ran up to #bands times per pair."""
     from .partition import apply_per_bucket
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
@@ -165,11 +208,17 @@ def band_candidate_pairs(
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
     pairs = apply_per_bucket(sig, kernel, key="band_hash", num_buckets=num_buckets)
+    distinct = apply_per_bucket(
+        pairs,
+        lambda df: df.drop_duplicates(),
+        key="doc_a",
+        num_buckets=num_buckets,
+    )
     # candidate pairs are consumed twice (involved-id collection, then
-    # verification); materialize so the sketch + shuffle don't
+    # verification); materialize so the sketch + shuffles don't
     # re-execute per consumer. Candidate-scale (≪ corpus) by design —
     # the hot-bucket cap bounds the degenerate case.
-    return pairs.materialize()
+    return distinct.materialize()
 
 
 def minhash_candidates(
@@ -224,14 +273,101 @@ def _fetch_involved_map(
     return dict(zip(small[key], small[value]))
 
 
+def _involved_docs(
+    ds: ray.data.Dataset, involved: np.ndarray, key: str, value: str
+) -> ray.data.Dataset:
+    """Distributed broadcast-id semi-join: the involved-ID set (8 B per
+    candidate doc — driver-safe at any realistic scale) is broadcast
+    via ``ray.put`` and the corpus filtered in parallel; the surviving
+    rows STAY a Dataset (payloads never visit the driver)."""
+    ref = ray.put(np.sort(involved))
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(df[key].to_numpy(), ray.get(ref))
+        return df[keep][[key, value]]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
+def attach_value_distributed(
+    pairs: ray.data.Dataset,
+    kv: ray.data.Dataset,
+    join_col: str,
+    out_col: str,
+    key: str = "doc_id",
+    value: str = "text",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Attach ``kv``'s value column to each pair row with Ray Data's
+    native hash join on ``join_col`` — ONE key-only shuffle co-locating
+    pair rows with the (involved-only) payload rows; no driver staging.
+    Inner join: every pair id has its payload row by construction."""
+    from .partition import _ensure_hash_shuffle, default_num_buckets
+
+    _ensure_hash_shuffle()
+    b = num_buckets or default_num_buckets()
+    rhs = kv.map_batches(
+        lambda df: df.rename(columns={key: "__jk", value: out_col})[
+            ["__jk", out_col]
+        ],
+        batch_format="pandas",
+    )
+    # the join drops the right key column (merged into ``join_col``)
+    return pairs.join(
+        rhs, join_type="inner", num_partitions=b, on=(join_col,), right_on=("__jk",)
+    )
+
+
+# Above this many involved docs the broadcast verify path would stage
+# that many payloads on the driver — switch to the exploded hash-join.
+INVOLVED_BROADCAST_CAP = 500_000
+
+
 def verify_pairs_jaccard(
-    docs: ray.data.Dataset, pairs: ray.data.Dataset, k: int = 5
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    k: int = 5,
+    involved_cap: int = INVOLVED_BROADCAST_CAP,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Exact n-gram Jaccard for candidate pairs, computed inside
-    map_batches over the pairs Dataset; texts of involved docs only
-    are broadcast (small side) — no full-corpus shuffle or scan."""
+    map_batches over the pairs Dataset. Small involved sets (≤
+    ``involved_cap`` docs) broadcast the involved texts once via
+    ``ray.put``; past the cap the texts are attached by two key-only
+    hash-join shuffles (doc_a then doc_b) and scored in place — the
+    driver never holds a payload on that path."""
     involved = _collect_involved(pairs)
-    texts = _fetch_involved_map(docs.select_columns(["doc_id", "text"]), involved, "doc_id", "text")
+    kv = docs.select_columns(["doc_id", "text"])
+    if len(involved) > involved_cap:
+        inv = _involved_docs(kv, involved, "doc_id", "text")
+        with_a = attach_value_distributed(
+            pairs, inv, "doc_a", "__text_a", num_buckets=num_buckets
+        )
+        with_b = attach_value_distributed(
+            with_a, inv, "doc_b", "__text_b", num_buckets=num_buckets
+        )
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            cache: dict[int, np.ndarray] = {}
+
+            def sh(i: int, t: str) -> np.ndarray:
+                if i not in cache:
+                    cache[i] = char_shingles(t, k)
+                return cache[i]
+
+            jm = [
+                jaccard_milli(sh(a, ta), sh(b, tb))
+                for a, b, ta, tb in zip(
+                    df["doc_a"], df["doc_b"], df["__text_a"], df["__text_b"]
+                )
+            ]
+            return df.drop(columns=["__text_a", "__text_b"]).assign(
+                jaccard_milli=np.array(jm, dtype=np.int64)
+            )
+
+        return with_b.map_batches(score, batch_format="pandas")
+
+    texts = _fetch_involved_map(kv, involved, "doc_id", "text")
     ref = ray.put(texts)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -257,12 +393,15 @@ def minhash_near_dups(
     threshold_milli: int = 700,
     k: int = 5,
     num_buckets: int | None = None,
+    involved_cap: int = INVOLVED_BROADCAST_CAP,
 ) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
     Candidates and verification stay distributed; only the final
     thresholded pair list (small by construction) lands on the driver."""
     cand = minhash_candidates(docs, k=k, num_buckets=num_buckets)
-    verified = verify_pairs_jaccard(docs, cand, k=k)
+    verified = verify_pairs_jaccard(
+        docs, cand, k=k, involved_cap=involved_cap, num_buckets=num_buckets
+    )
     out = verified.map_batches(
         lambda df: df[df["jaccard_milli"].to_numpy() >= threshold_milli],
         batch_format="pandas",

@@ -151,6 +151,8 @@ def embedding_near_dups(
     n_bands: int = 8,
     band_bits: int = 8,
     seed: int = 23,
+    involved_cap: int | None = None,
+    num_buckets: int | None = None,
 ) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs via multi-band hyperplane LSH —
     the SCALE path. ``n_bands`` bands of ``band_bits`` sign bits each:
@@ -187,9 +189,19 @@ def embedding_near_dups(
             )
         return pd.concat(outs, ignore_index=True)
 
-    from .dedup_approx import _collect_involved, band_candidate_pairs
+    from .dedup_approx import (
+        INVOLVED_BROADCAST_CAP,
+        _collect_involved,
+        _involved_docs,
+        attach_value_distributed,
+        band_candidate_pairs,
+    )
 
-    pairs = band_candidate_pairs(ds.map_batches(sketch, batch_format="pandas"))
+    if involved_cap is None:
+        involved_cap = INVOLVED_BROADCAST_CAP
+    pairs = band_candidate_pairs(
+        ds.map_batches(sketch, batch_format="pandas"), num_buckets=num_buckets
+    )
     involved = _collect_involved(pairs)
     empty = pd.DataFrame(
         {
@@ -200,24 +212,75 @@ def embedding_near_dups(
     )
     if not len(involved):
         return empty
+    thr = int(threshold * 1000)
+    kv = ds.select_columns(["vec_id", "embedding"])
+
+    if len(involved) > involved_cap:
+        # exploded hash-join fallback: involved vectors co-partitioned
+        # with pair rows by hash(id), twice — no driver staging. The
+        # embedding rides as raw float64 BYTES (Acero joins reject any
+        # nested/tensor payload type; binary is supported).
+        def as_bytes(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["embedding"] = [
+                np.asarray(v, dtype=np.float64).tobytes() for v in df["embedding"]
+            ]
+            return df
+
+        inv = _involved_docs(kv, involved, "vec_id", "embedding").map_batches(
+            as_bytes, batch_format="pandas"
+        )
+        wa = attach_value_distributed(
+            pairs, inv, "doc_a", "__va", key="vec_id", value="embedding",
+            num_buckets=num_buckets,
+        )
+        wb = attach_value_distributed(
+            wa, inv, "doc_b", "__vb", key="vec_id", value="embedding",
+            num_buckets=num_buckets,
+        )
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return empty.copy()
+            va = _normalize_rows(
+                np.stack([np.frombuffer(v, dtype=np.float64) for v in df["__va"]])
+            )
+            vb = _normalize_rows(
+                np.stack([np.frombuffer(v, dtype=np.float64) for v in df["__vb"]])
+            )
+            sims = np.einsum("ij,ij->i", va, vb)
+            out = pd.DataFrame(
+                {
+                    "vec_a": df["doc_a"].to_numpy().astype(np.int64),
+                    "vec_b": df["doc_b"].to_numpy().astype(np.int64),
+                    "sim_milli": (sims * 1000).astype(np.int64),
+                }
+            )
+            return out[out["sim_milli"].to_numpy() >= thr]
+
+        out = wb.map_batches(score, batch_format="pandas").to_pandas()
+        if out.empty:
+            return empty
+        out = out.drop_duplicates()
+        return out.sort_values(["vec_a", "vec_b"], kind="stable").reset_index(drop=True)
+
     iref = ray.put(np.sort(involved))
 
     def filt(df: pd.DataFrame) -> pd.DataFrame:
         keep = np.isin(df["vec_id"].to_numpy(), ray.get(iref))
         return df[keep][["vec_id", "embedding"]]
 
-    small = ds.map_batches(filt, batch_format="pandas").to_pandas()
+    small = kv.map_batches(filt, batch_format="pandas").to_pandas()
     vec_ids = small["vec_id"].to_numpy().astype(np.int64)
     mat = _normalize_rows(_stack(small["embedding"]))
     vref = ray.put((vec_ids, mat))
-    thr = int(threshold * 1000)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         ids, m = ray.get(vref)
         pos = {int(v): i for i, v in enumerate(ids)}
         ia = np.fromiter((pos[int(x)] for x in df["doc_a"]), dtype=np.int64, count=len(df))
         ib = np.fromiter((pos[int(x)] for x in df["doc_b"]), dtype=np.int64, count=len(df))
-        sims = np.einsum("ij,ij->i", m[ia], m[ib])
+        sims = np.einsum("ij,ij->i", np.take(m, ia, axis=0), np.take(m, ib, axis=0))
         out = pd.DataFrame(
             {
                 "vec_a": df["doc_a"].to_numpy(),

