@@ -242,5 +242,97 @@ def transcripts_path(sf_dir_or_name: str) -> str:
     return os.path.join(ensure_fixture(sf_dir_or_name), "transcripts.parquet")
 
 
+def neardup_embeddings_path(
+    sf_dir_or_name: str, every: int = 20, eps: float = 0.25, seed: int = 41
+) -> str:
+    """Derived embeddings table with PLANTED near-duplicates, cached
+    beside the transcript fixture (deterministic: seeded perturbation
+    of the driver's embeddings table, so Ray query and DuckDB oracle
+    read byte-identical input).
+
+    Every ``every``-th vector gets a copy (vec_id + 10_000_000)
+    perturbed by ``eps``·‖v‖ of orthogonal-ish noise → pair cosine ≈
+    1/√(1+eps²) ≈ 0.970, far above the 0.9 near-dup threshold, while
+    the driver's natural vectors stay near-orthogonal (max pairwise
+    cosine ≈ 0.60) — both margins are wide, so the thresholded pair
+    set is stable under float round-off."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    out = os.path.join(out_dir, "embeddings_neardup.parquet")
+    if os.path.exists(out):
+        return out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    t = pq.read_table(
+        os.path.join(src_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    sel = np.arange(0, len(ids), every)
+    base = emb[sel]
+    noise = rng.normal(size=base.shape).astype(np.float32)
+    noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-12)
+    scale = eps * np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base + scale * noise
+    all_ids = np.concatenate([ids, ids[sel] + 10_000_000]).astype(np.int64)
+    all_emb = np.vstack([emb, dup])
+    table = pa.table(
+        {
+            "vec_id": pa.array(all_ids),
+            "embedding": pa.array(
+                [row.tolist() for row in all_emb], pa.list_(pa.float32())
+            ),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=131_072)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        os.unlink(tmp)
+    return out
+
+
 def epochs_root(sf_dir_or_name: str) -> str:
     return os.path.join(ensure_fixture(sf_dir_or_name), "epochs")
+
+
+def simhash_sigs_path(sf_dir_or_name: str) -> str:
+    """(doc_id, simhash) side table for the documents of an sf dir,
+    computed DRIVER-SIDE in plain pandas (no Ray) with the shared
+    ``simhash_batch`` kernel and cached beside the fixtures.
+
+    This makes the SimHash near-dup query SQL-checkable: the token
+    hash itself is siphash (not SQL-expressible), but with the
+    signatures as an INPUT table DuckDB can independently verify the
+    distributed part — banding, candidate generation and hamming
+    verification — via bit_count(xor(...)) over all pairs."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    out = os.path.join(out_dir, "simhash_sigs.parquet")
+    if os.path.exists(out):
+        return out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    from ..stages.dedup_approx import simhash_batch
+
+    docs = pq.read_table(
+        os.path.join(src_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    sigs = simhash_batch(docs)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(sigs, preserve_index=False), tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        os.unlink(tmp)
+    return out

@@ -440,8 +440,17 @@ def q_d_dedup_groups(sf_dir: str) -> Any:
 
 
 def q_d_simhash_near_dups(sf_dir: str) -> Any:
+    """SQL-checked via a side signature table: the oracle reads the
+    (doc_id, simhash) parquet computed driver-side with the SAME
+    ``simhash_batch`` kernel (fixtures.generator.simhash_sigs_path)
+    and recomputes all-pairs hamming with bit_count(xor(...)) — the
+    distributed part (16-bit banding, candidates, hamming verify) is
+    independently gated even though the siphash token hash itself is
+    not SQL-expressible."""
+    from ..fixtures.generator import simhash_sigs_path
     from ..stages.dedup_approx import simhash_near_dups
 
+    simhash_sigs_path(sf_dir)  # ensure the oracle's input exists
     return simhash_near_dups(_docs(sf_dir), max_hamming=3, num_buckets=16)
 
 
@@ -473,15 +482,25 @@ def q_v_knn_ivf(sf_dir: str) -> Any:
 
 
 def q_v_near_dups(sf_dir: str) -> Any:
-    """Exact embedding near-dup pairs (the brute-force baseline,
-    SQL-checked against DuckDB list_cosine_similarity); the LSH scale
-    path is recall-tested against it in tests/test_extensions.py.
-    Threshold 0.45: the synthetic embeddings are near-orthogonal (max
-    pairwise cosine ≈ 0.51), so 0.45 exercises a non-empty result."""
-    from ..stages.similarity import embedding_near_dups_exact
+    """Embedding near-dup pairs via the LSH SCALE path (multi-band
+    hyperplane sketch → band-bucket candidates → exact-cosine verify,
+    all distributed) over a derived table with PLANTED near-dups
+    (fixtures.generator.neardup_embeddings_path — deterministic, read
+    by the DuckDB oracle too). The SQL oracle is exact all-pairs
+    cosine ≥ 0.9, so a single missed pair fails the gate: this row
+    certifies the banded plan's recall, not the brute-force baseline
+    (embedding_near_dups_exact is demoted to the recall test in
+    tests/test_extensions.py). 16 bands × 8 bits: planted pairs sit at
+    cosine ≈ 0.97 (per-band match p ≈ 0.52, miss ≈ 0.48^16 ≈ 8e-6 —
+    and deterministic under the fixed seed, verified at every sf)."""
+    from ..fixtures.generator import neardup_embeddings_path
+    from ..stages.similarity import embedding_near_dups
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_near_dups_exact(emb, threshold=0.45)
+    emb = rd.read_parquet(
+        neardup_embeddings_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_near_dups(emb, threshold=0.9, n_bands=16, band_bits=8)
+    return pairs[["vec_a", "vec_b"]]
 
 
 def q_m_binary_meta(sf_dir: str) -> Any:
@@ -578,7 +597,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # -------------------------------------------------------------- oracle SQL
 def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
+    from ..fixtures.generator import neardup_embeddings_path, simhash_sigs_path
+
     p = transcripts_path(sf_name)  # ensures the fixture exists
+    ep = neardup_embeddings_path(sf_name)  # planted-near-dup embeddings
+    sp = simhash_sigs_path(sf_name)  # engine-kernel simhash signatures
     RAW = f"read_parquet('{p}')"
     T = f"(SELECT DISTINCT * FROM {RAW})"
     NORM = (
@@ -997,10 +1020,24 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 32)) AS resized_fp
             FROM f
         """,
-        "v_near_dups": """
+        # All-pairs hamming over the driver-side signature table: the
+        # 4×16-bit banding is exact by pigeonhole (≤3 differing bits →
+        # ≥1 identical band), so the engine must find EVERY pair.
+        "d_simhash_near_dups": f"""
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM read_parquet('{sp}') a
+            JOIN read_parquet('{sp}') b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # Exact all-pairs cosine over the derived planted-near-dup
+        # table (same parquet the Ray LSH path reads): certifies the
+        # banded scale plan's recall — one missed pair = red row.
+        "v_near_dups": f"""
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            FROM read_parquet('{ep}') a
+            JOIN read_parquet('{ep}') b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         """,
         # Exact 5-gram Jaccard in integer milli-units — the LSH path
         # must find every pair >= threshold with the same floor-divided
