@@ -78,6 +78,10 @@ class StateShardActor:
         self.state = ShardState(**state_kwargs)
         self.fmt = get_format(sink_format)
         self.epoch_late: list[pd.DataFrame] = []
+        # rows ingested since the last close — the driver's ingest
+        # FENCE polls this to establish ingest(E) happened-before
+        # close(E) without route tasks blocking on per-batch acks
+        self.ingested_since_close = 0
 
     def ingest(self, table: pa.Table, barrier=None) -> tuple[int, int]:
         # `barrier` is the previous epoch's resolved snapshot/close ref
@@ -85,6 +89,7 @@ class StateShardActor:
         late = self.state.ingest(table.to_pandas())
         if len(late):
             self.epoch_late.append(late)
+        self.ingested_since_close += len(table)
         return len(table), self.state.max_ts
 
     def ingest_late(self, table: pa.Table, barrier=None) -> tuple[int, int]:
@@ -95,15 +100,20 @@ class StateShardActor:
         self.epoch_late.append(
             df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].reset_index(drop=True)
         )
+        self.ingested_since_close += len(df)
         return len(df), self.state.max_ts
 
     def max_ts(self) -> int:
         return self.state.max_ts
 
+    def ingested_count(self) -> int:
+        return self.ingested_since_close
+
     def close_and_stage(
         self, wm: int, staging_dir: str, flush: bool
     ) -> dict:
         t0 = time.time()
+        self.ingested_since_close = 0
         out = self.state.close(wm, flush=flush)
         out["late"] = (
             pd.concat(self.epoch_late, ignore_index=True)
@@ -138,6 +148,26 @@ class StateShardActor:
 
     def load_blob(self, blob: bytes) -> None:
         self.state = ShardState.restore(blob)
+
+
+# Per-worker-process registry of outstanding ingest refs: a route task
+# submits its ingests, bounds the in-flight set with ray.wait, and
+# RETURNS without waiting for every ack — the happened-before fence for
+# close is the driver's ingest-counter poll (StreamingEngine._fence),
+# so a slow/hot shard no longer stalls every route task on each batch.
+# Module-level because map_batches tasks reuse worker processes; the
+# refs must outlive the task that submitted them (the worker owns the
+# in-flight calls — if a worker died here the fence would time out
+# loudly rather than lose rows silently).
+_INFLIGHT: list = []
+
+
+def _bound_inflight(window: int) -> None:
+    if len(_INFLIGHT) > window:
+        done, rest = ray.wait(
+            _INFLIGHT, num_returns=len(_INFLIGHT) - window, fetch_local=False
+        )
+        _INFLIGHT[:] = rest
 
 
 class _Router:
@@ -182,42 +212,53 @@ class _Router:
             _stable_hash(t["conv_id"].to_numpy(zero_copy_only=False)) % self.num_shards
         ).astype(np.int64)
         late_mask = ts < self.wm
-        refs, ids, counts = [], [], []
+        ids, counts, maxes = [], [], []
         if late_mask.any():
             late_t = t.filter(pa.array(late_mask))
             late_shards = shards[late_mask]
+            late_ts = ts[late_mask]
             for sid in np.unique(late_shards):
-                sub = late_t.filter(pa.array(late_shards == sid))
-                refs.append(
+                m = late_shards == sid
+                sub = late_t.filter(pa.array(m))
+                _INFLIGHT.append(
                     self.actors[int(sid)].ingest_late.remote(sub, self.barriers[int(sid)])
                 )
                 ids.append(int(sid))
                 counts.append(len(sub))
+                maxes.append(int(late_ts[m].max()))
             t = t.filter(pa.array(~late_mask))
             shards = shards[~late_mask]
+            ts = ts[~late_mask]
         t = t.drop_columns(["text"])
         if len(t):
             order = np.argsort(shards, kind="stable")
             sorted_t = t.take(pa.array(order))
             sorted_shards = shards[order]
+            sorted_ts = ts[order]
             bounds = np.flatnonzero(np.diff(sorted_shards)) + 1
             starts = np.concatenate([[0], bounds])
             stops = np.concatenate([bounds, [len(sorted_shards)]])
             for lo, hi in zip(starts, stops):
                 sid = int(sorted_shards[lo])
-                refs.append(
+                _INFLIGHT.append(
                     self.actors[sid].ingest.remote(
                         sorted_t.slice(lo, hi - lo), self.barriers[sid]
                     )
                 )
                 ids.append(sid)
                 counts.append(hi - lo)
-        acks = ray.get(refs)  # backpressure: ingest before next batch
+                maxes.append(int(sorted_ts[lo:hi].max()))
+        # windowed backpressure: allow ≤ 2×shards ingests in flight per
+        # route worker instead of a full per-batch ack barrier — a hot
+        # shard no longer serializes every route task on its latency.
+        # max_ts comes from the batch itself (identical global max; the
+        # driver folds it monotonically into the watermark).
+        _bound_inflight(2 * self.num_shards)
         return pa.table(
             {
                 "shard": pa.array(ids, pa.int64()),
                 "rows": pa.array(counts, pa.int64()),
-                "max_ts": pa.array([a[1] for a in acks], pa.int64()),
+                "max_ts": pa.array(maxes, pa.int64()),
             }
         )
 
@@ -368,6 +409,27 @@ class StreamingEngine:
         finally:
             self._teardown()
 
+    def _fence_ingests(self, expected: np.ndarray, timeout_s: float = 300.0) -> None:
+        """Ingest fence: poll each shard's rows-since-close counter
+        until it reaches the routed row count for this epoch. Counter
+        queries interleave with any still-queued ingest calls in the
+        actor mailboxes, so the poll converges without deadlock; ``>=``
+        because a Ray-level task retry could over-count (the retry
+        itself would already have made the epoch suspect). A lost
+        in-flight ingest (route worker death) times out LOUDLY here
+        instead of silently dropping rows."""
+        deadline = time.time() + timeout_s
+        while True:
+            got = ray.get([a.ingested_count.remote() for a in self.actors])
+            if all(g >= e for g, e in zip(got, expected.tolist())):
+                return
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"ingest fence timed out: expected {expected.tolist()}, "
+                    f"shards report {got} — an in-flight ingest was lost"
+                )
+            time.sleep(0.02)
+
     def _run_epochs(
         self,
         epochs: list[tuple[int, list[str]]],
@@ -467,13 +529,22 @@ class StreamingEngine:
             )
             rows = 0
             max_ts = NEG_INF
+            expected = np.zeros(self.num_shards, dtype=np.int64)
             for b in acks.iter_batches(batch_format="pyarrow"):
                 rows += int(pc.sum(b["rows"]).as_py() or 0)
+                np.add.at(
+                    expected,
+                    b["shard"].to_numpy(zero_copy_only=False),
+                    b["rows"].to_numpy(zero_copy_only=False),
+                )
                 mt = pc.max(b["max_ts"]).as_py()
                 if mt is not None:
                     max_ts = max(max_ts, mt)
-            # the ingest acks already carry each shard's running max event
-            # ts (monotone), so the global max needs no extra RPC round
+            # route tasks return without waiting for every ingest ack
+            # (windowed in-flight instead) — establish ingest(E)
+            # happened-before close(E) by polling each shard's ingest
+            # counter up to the routed row counts the acks reported
+            self._fence_ingests(expected)
             global_max = max_ts
             flush = flush_at_end and epoch == last_epoch
             wm = global_max - self.delay_us if global_max > NEG_INF else NEG_INF
