@@ -294,3 +294,26 @@ def test_embedding_near_dup_fallback_matches_broadcast(ray_session):
     dist = embedding_near_dups(ds, threshold=0.9, n_bands=16, involved_cap=0)
     pd.testing.assert_frame_equal(broad, dist)
     assert len(broad) >= 8  # planted dups recovered
+
+
+def test_debug_render_sampled_transcripts(ray_session, sf_small, df_small):
+    """M12 analogue: bounded sample, deterministic, session boundaries
+    agree with the session-window oracle."""
+    import ray.data as rd
+
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.stages.render import debug_render
+
+    ds = rd.read_parquet(sf_small)
+    out = debug_render(ds, n=3)
+    assert list(out["conv_id"]) == sorted(df_small["conv_id"].unique())[:3]
+    # n_sessions must match the oracle's session windows per conv
+    sessions = R.session_windows(R.dedup_keep_first(df_small))
+    for _, r in out.iterrows():
+        want = (sessions["conv_id"] == r["conv_id"]).sum()
+        assert r["n_sessions"] == want
+        assert f"=== conversation {r['conv_id']} ===" in r["rendered"]
+        assert "-- session 0 --" in r["rendered"]
+    # deterministic across calls
+    again = debug_render(ds, n=3)
+    assert list(out["rendered"]) == list(again["rendered"])
