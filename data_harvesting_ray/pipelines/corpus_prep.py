@@ -1,0 +1,150 @@
+"""End-to-end corpus-prep composite: the "switch your whole prep flow
+to this engine" showcase.
+
+The reference's harvesting loop chains its gates the same way in one
+pass over the stream (``main.py:86-178``: conf/class filter -> non-empty
+gate -> dup suppression -> projection -> sink); the training-data
+analogue chains language id -> quality gate -> near-dup-group
+suppression -> token metrics -> train/val/test split over the
+``documents`` table.
+
+Scale plan (100 TB):
+
+- ONE pass over the payload computes every per-doc metric fused
+  (``CorpusMetrics``: lang id + quality + BPE-ish token count share the
+  tokenization work); the gates then filter INSIDE the stream, so
+  rejected docs never reach the expensive sketch stage.
+- near-dup suppression runs the banded MinHash-LSH plan
+  (``stages.dedup_approx``) over the *survivors only* — candidates,
+  verification and connected components all stay distributed; only the
+  final loser-id set (near-dup-scale, small by construction) lands on
+  the driver and is broadcast back via ``ray.put`` for the filter.
+  Exact duplicates need no separate pass: identical texts share every
+  shingle (Jaccard = 1000 >= any threshold), so the component's
+  min-id keep-one subsumes exact dedup.
+- the output projection drops the payload; everything after the metric
+  pass ships metadata only.
+
+The whole chain is SQL-checkable bit-for-bit (driver query
+``d_corpus_prep``): every metric is integer milli-units, the split is
+the golden-ratio integer hash, and the near-dup closure has the exact
+5-gram-Jaccard recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..stages.text import BPE_ISH_PATTERN, LangId, quality_batch
+
+
+class CorpusMetrics:
+    """Fused one-pass per-doc metrics (ST1-style: profile tables built
+    once per actor in ``__init__``). Keeps the payload column — the
+    downstream near-dup sketcher still needs it; the final projection
+    drops it."""
+
+    def __init__(self) -> None:
+        self._lang = LangId()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_batch(df)  # doc_id, n_chars, n_tokens, stop_ratio_milli
+        out["lang_pred"] = self._lang(df)["lang_pred"].to_numpy()
+        out["n_bpe_tokens"] = (
+            pc.count_substring_regex(
+                pa.array(df["text"], pa.string()), BPE_ISH_PATTERN
+            )
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        out["text"] = df["text"].to_numpy()
+        return out
+
+
+def _gate(df: pd.DataFrame, lang: str, min_tokens: int, min_stop_milli: int) -> pd.DataFrame:
+    keep = (
+        (df["lang_pred"].to_numpy() == lang)
+        & (df["n_tokens"].to_numpy() >= min_tokens)
+        & (df["stop_ratio_milli"].to_numpy() >= min_stop_milli)
+    )
+    return df[keep]
+
+
+def corpus_prep(
+    docs: ray.data.Dataset,
+    *,
+    lang: str = "en",
+    min_tokens: int = 20,
+    min_stop_milli: int = 30,
+    neardup_threshold_milli: int = 700,
+    split_pct: tuple[int, int] = (90, 5),
+    num_buckets: int | None = 16,
+) -> ray.data.Dataset:
+    """documents (doc_id, text) -> curated corpus manifest
+    (doc_id, lang_pred, n_tokens, stop_ratio_milli, n_bpe_tokens, split).
+
+    Lineage note: ``survivors`` is consumed twice (sketch pass +
+    verify's involved-doc semi-join) — the same documented re-read
+    trade as ``stages.dedup`` (recompute beats materializing the
+    payload at 100 TB).
+    """
+    from ..stages.components import connected_components
+    from ..stages.dedup_approx import minhash_near_dups
+
+    survivors = docs.map_batches(
+        CorpusMetrics,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        # fractional reservation: a whole-CPU autoscaling pool can grab
+        # every core of a small session and starve the upstream read
+        # task (observed livelock at 4 CPUs) — same rationale as the
+        # streaming shard actors
+        num_cpus=0.25,
+    ).map_batches(
+        _gate,
+        fn_args=(lang, min_tokens, min_stop_milli),
+        batch_format="pandas",
+    )
+
+    pairs = minhash_near_dups(
+        survivors.select_columns(["doc_id", "text"]),
+        threshold_milli=neardup_threshold_milli,
+        num_buckets=num_buckets,
+    )
+    groups = connected_components(
+        ray.data.from_pandas(pairs), num_buckets=8
+    ).to_pandas()
+    losers = groups.loc[
+        groups["doc_id"].to_numpy() != groups["group_id"].to_numpy(), "doc_id"
+    ].to_numpy(dtype=np.int64)
+    losers_ref = ray.put(losers)  # near-dup-loser-scale: broadcast once
+
+    train_p, val_p = split_pct
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(losers_ref)
+        df = df[~df["doc_id"].isin(drop)]
+        h = (df["doc_id"].to_numpy(dtype=np.int64) * 2654435761) % 1000
+        split = np.where(
+            h < train_p * 10,
+            "train",
+            np.where(h < (train_p + val_p) * 10, "val", "test"),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang_pred": df["lang_pred"].to_numpy(),
+                "n_tokens": df["n_tokens"].to_numpy(),
+                "stop_ratio_milli": df["stop_ratio_milli"].to_numpy(),
+                "n_bpe_tokens": df["n_bpe_tokens"].to_numpy(),
+                "split": split,
+            }
+        )
+
+    return survivors.map_batches(finalize, batch_format="pandas")

@@ -503,6 +503,16 @@ def q_v_near_dups(sf_dir: str) -> Any:
     return pairs[["vec_a", "vec_b"]]
 
 
+def q_d_corpus_prep(sf_dir: str) -> Any:
+    """Composite corpus-prep flow (lang gate -> quality gate ->
+    near-dup-group keep-one -> token metrics -> train/val/test split)
+    as ONE streamed pipeline — the end-to-end showcase; every stage is
+    the already-gated operator, chained."""
+    from .corpus_prep import corpus_prep
+
+    return corpus_prep(_docs(sf_dir))
+
+
 def q_m_binary_meta(sf_dir: str) -> Any:
     from ..stages.multimodal import binary_meta
 
@@ -584,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_near_dups": q_d_minhash_near_dups,
         "d_dedup_groups": q_d_dedup_groups,
         "d_simhash_near_dups": q_d_simhash_near_dups,
+        "d_corpus_prep": q_d_corpus_prep,
         "v_knn": q_v_knn,
         "v_knn_ivf": q_v_knn_ivf,
         "v_near_dups": q_v_near_dups,
@@ -1066,6 +1077,83 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
     }
+    # Composite corpus-prep: the per-stage oracles chained — metrics
+    # CTE (d_lang_id + d_quality + d_bpe_tokens expressions verbatim),
+    # gates, exact-Jaccard near-dup transitive closure over the
+    # SURVIVORS (d_dedup_groups structure), keep-one-per-group, split
+    # hash (d_train_split). Engine and oracle must agree end-to-end.
+    sqls["d_corpus_prep"] = r"""
+        WITH RECURSIVE m AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, text,
+            CAST(length(toks) AS BIGINT) AS n_tokens,
+            CAST((list_sum(list_transform(toks,
+                   x -> CASE WHEN list_contains(
+                          ['the','a','of','to','and','in','is','for','on','with'],
+                          lower(x)) THEN 1 ELSE 0 END)) * 1000)
+                 // greatest(length(toks), 1) AS BIGINT) AS stop_ratio_milli,
+            CAST(len(regexp_extract_all(text,
+                 ' ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+')) AS BIGINT) AS n_bpe_tokens,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['the','and','of','a','is','to'], x) THEN 1 ELSE 0 END)) AS n_en,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['der','die','das','und','ist','ein'], x) THEN 1 ELSE 0 END)) AS n_de,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['le','la','et','les','des','est'], x) THEN 1 ELSE 0 END)) AS n_fr,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['el','la','los','las','es','una'], x) THEN 1 ELSE 0 END)) AS n_es
+          FROM m
+        ), langed AS (
+          SELECT *, CASE
+            WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+            WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+            WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+            WHEN n_es > 0 THEN 'es'
+            ELSE 'unknown' END AS lang_pred
+          FROM c
+        ), s AS (
+          SELECT * FROM langed
+          WHERE lang_pred = 'en' AND n_tokens >= 20 AND stop_ratio_milli >= 30
+        ), sh AS (
+          SELECT DISTINCT s.doc_id, substr(s.text, i, 5) AS g
+          FROM s, LATERAL (SELECT unnest(generate_series(
+              1, greatest(length(s.text) - 4, 1))) AS i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS mm
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE (mm * 1000) // (sa.n + sb.n - mm) >= 700
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM p
+            UNION
+            SELECT doc_b, doc_a FROM p
+        ),
+        reach(x, y) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.x, e.v FROM reach r JOIN edges e ON r.y = e.u
+        ),
+        grp AS (
+            SELECT x AS doc_id, least(x, min(y)) AS gid
+            FROM reach GROUP BY x
+        )
+        SELECT s.doc_id, s.lang_pred, s.n_tokens, s.stop_ratio_milli,
+               s.n_bpe_tokens,
+               CASE WHEN (s.doc_id * 2654435761) % 1000 < 900 THEN 'train'
+                    WHEN (s.doc_id * 2654435761) % 1000 < 950 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM s LEFT JOIN grp ON grp.doc_id = s.doc_id
+        WHERE grp.doc_id IS NULL OR grp.gid = s.doc_id
+    """
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).
     sqls["t_session_windows_salted"] = sqls["t_session_windows"]

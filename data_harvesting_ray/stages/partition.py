@@ -133,6 +133,10 @@ def _ensure_hash_shuffle() -> None:
     # session or the aggregator pool starves the map tasks (observed
     # livelock at 4 CPUs with 64 partitions × 0.05 = 3.2 CPUs reserved)
     ctx.max_hash_shuffle_aggregators = max(4, min(cpus, 16))
-    ov = 0.05 if cpus >= 16 else 0.02
+    # Reservation must leave >= 1 whole CPU for map tasks even in a
+    # 2-CPU session with a 64-partition shuffle (64 x 0.02 = 1.28 CPUs
+    # reserved out of 2 deadlocked the 2-CPU scaling probe: no 1-CPU
+    # task could ever schedule).
+    ov = 0.05 if cpus >= 16 else (0.02 if cpus >= 4 else 0.005)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = ov
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = ov

@@ -482,3 +482,78 @@ def test_doc_dedup_exact_counts(docs_ds):
     out = doc_dedup_exact(docs_ds).to_pandas()
     # sf0.001 documents are unique → one group per doc
     assert len(out) == 500 and (out["n_dups"] == 1).all()
+
+
+def test_corpus_prep_end_to_end(docs_ds, docs_df):
+    """The composite must equal the stage-by-stage pandas recompute:
+    gates applied, near-dup losers gone, metrics and split attached."""
+    import ray.data as rd
+
+    from data_harvesting_ray.pipelines.corpus_prep import corpus_prep
+    from data_harvesting_ray.stages.dedup_approx import char_shingles
+
+    out = corpus_prep(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # independent pandas recompute of the chain
+    df = docs_df.copy()
+    toks = df["text"].str.strip().str.split()
+    ltoks = df["text"].str.lower().str.split()
+    stop = {"the", "a", "of", "to", "and", "in", "is", "for", "on", "with"}
+    profiles = {
+        "en": {"the", "and", "of", "a", "is", "to"},
+        "de": {"der", "die", "das", "und", "ist", "ein"},
+        "fr": {"le", "la", "et", "les", "des", "est"},
+        "es": {"el", "la", "los", "las", "es", "una"},
+    }
+
+    def guess(ws):
+        best, best_n = "unknown", 0
+        for lang, prof in profiles.items():
+            n = sum(1 for w in ws if w in prof)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    df["n_tokens"] = toks.map(len)
+    df["stop_ratio_milli"] = [
+        (sum(1 for w in ws if w.lower() in stop) * 1000) // max(len(ws), 1)
+        for ws in toks
+    ]
+    df["lang_pred"] = ltoks.map(guess)
+    surv = df[
+        (df["lang_pred"] == "en")
+        & (df["n_tokens"] >= 20)
+        & (df["stop_ratio_milli"] >= 30)
+    ]
+    # near-dup losers among survivors (exact 5-gram Jaccard closure)
+    sh = {r.doc_id: char_shingles(r.text) for r in surv.itertuples()}
+    ids = sorted(sh)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        sa = set(sh[a].tolist())
+        for b in ids[i + 1 :]:
+            sb = set(sh[b].tolist())
+            inter = len(sa & sb)
+            if (inter * 1000) // max(len(sa | sb), 1) >= 700:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    losers = {i for i in ids if find(i) != i}
+    want = surv[~surv["doc_id"].isin(losers)].sort_values("doc_id")
+
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
+    assert out["n_tokens"].tolist() == want["n_tokens"].tolist()
+    assert out["stop_ratio_milli"].tolist() == want["stop_ratio_milli"].tolist()
+    assert (out["lang_pred"] == "en").all()
+    # split is the golden-ratio hash, and all three classes appear
+    h = (out["doc_id"].to_numpy(np.int64) * 2654435761) % 1000
+    want_split = np.where(h < 900, "train", np.where(h < 950, "val", "test"))
+    assert (out["split"].to_numpy() == want_split).all()
+    assert set(out["split"]) == {"train", "val", "test"}
