@@ -86,6 +86,7 @@ def run_bench() -> dict:
     timed("cep_matches", lambda: Q.q_t_cep_matches(SF_DIR))
     timed("turn_stats", lambda: Q.q_t_turn_stats(SF_DIR))
     timed("minhash_near_dups", lambda: Q.q_d_minhash_near_dups(SF_DIR))
+    timed("corpus_prep", lambda: Q.q_d_corpus_prep(SF_DIR))
     timed("knn", lambda: Q.q_v_knn(SF_DIR))
 
     total = round(sum(timings.values()), 3)

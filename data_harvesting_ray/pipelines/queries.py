@@ -513,6 +513,22 @@ def q_d_corpus_prep(sf_dir: str) -> Any:
     return corpus_prep(_docs(sf_dir))
 
 
+def q_d_topk_per_lang(sf_dir: str) -> Any:
+    """Grouped top-k: the 3 longest (BPE-token) docs per predicted
+    language — partial per-batch top-k before the shuffle, exact per
+    key after it."""
+    from ..stages.aggregates import topk_per_key
+    from .corpus_prep import CorpusMetrics
+
+    m = _docs(sf_dir).map_batches(
+        CorpusMetrics, batch_format="pandas", concurrency=(1, 8), num_cpus=0.25
+    )
+    m = m.select_columns(["doc_id", "lang_pred", "n_bpe_tokens"])
+    return topk_per_key(
+        m, key="lang_pred", value="n_bpe_tokens", k=3, tie="doc_id", num_buckets=8
+    )
+
+
 def q_m_binary_meta(sf_dir: str) -> Any:
     from ..stages.multimodal import binary_meta
 
@@ -595,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_dedup_groups": q_d_dedup_groups,
         "d_simhash_near_dups": q_d_simhash_near_dups,
         "d_corpus_prep": q_d_corpus_prep,
+        "d_topk_per_lang": q_d_topk_per_lang,
         "v_knn": q_v_knn,
         "v_knn_ivf": q_v_knn_ivf,
         "v_near_dups": q_v_near_dups,
@@ -1153,6 +1170,41 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                     ELSE 'test' END AS split
         FROM s LEFT JOIN grp ON grp.doc_id = s.doc_id
         WHERE grp.doc_id IS NULL OR grp.gid = s.doc_id
+    """
+    # Grouped top-k: row_number window over the lang-id CTE (the
+    # engine's rank column uses the same (value DESC, doc_id ASC)
+    # deterministic ordering).
+    sqls["d_topk_per_lang"] = r"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text,
+                 ' ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+')) AS BIGINT) AS n_bpe_tokens,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['the','and','of','a','is','to'], x) THEN 1 ELSE 0 END)) AS n_en,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['der','die','das','und','ist','ein'], x) THEN 1 ELSE 0 END)) AS n_de,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['le','la','et','les','des','est'], x) THEN 1 ELSE 0 END)) AS n_fr,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['el','la','los','las','es','una'], x) THEN 1 ELSE 0 END)) AS n_es
+          FROM m
+        ), langed AS (
+          SELECT doc_id, n_bpe_tokens, CASE
+            WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+            WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+            WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+            WHEN n_es > 0 THEN 'es'
+            ELSE 'unknown' END AS lang_pred
+          FROM c
+        )
+        SELECT doc_id, lang_pred, n_bpe_tokens, CAST(rn AS BIGINT) AS rank
+        FROM (
+          SELECT doc_id, lang_pred, n_bpe_tokens,
+                 row_number() OVER (
+                   PARTITION BY lang_pred
+                   ORDER BY n_bpe_tokens DESC, doc_id) AS rn
+          FROM langed
+        ) WHERE rn <= 3
     """
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).

@@ -113,6 +113,50 @@ def topk_tools(ds: ray.data.Dataset, k: int = 3, num_buckets: int | None = None)
     return counts.head(k).reset_index(drop=True)
 
 
+def topk_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    k: int,
+    ascending: bool = False,
+    tie: str | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact top-k rows per key by value, deterministic tie-break on
+    ``tie`` asc — the training-data curation op "keep the best k
+    documents per group" (e.g. highest-token docs per language /
+    best-quality per domain). Per-key variant of A8's global top-k
+    (reference sorts then caps per class — ``condition.py:57-64``).
+
+    Scale plan: a per-batch PARTIAL top-k prunes every input block to
+    <= k rows per key BEFORE the shuffle (the partial-before-wide
+    discipline), so the hash shuffle moves at most k rows per (key,
+    block) — never the corpus. The bucket kernel computes the exact
+    top-k vectorized across all keys in the bucket (one stable sort +
+    groupby head, no per-key Python) and adds a 1-based int64 ``rank``
+    within each key."""
+    sort_cols = [key, value] + ([tie] if tie else [])
+    asc = [True, ascending] + ([True] if tie else [])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (
+            df.sort_values(sort_cols, ascending=asc, kind="stable")
+            .groupby(key, sort=False)
+            .head(k)
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=asc, kind="stable")
+        out = g.groupby(key, sort=False).head(k).copy()
+        out["rank"] = out.groupby(key, sort=False).cumcount().to_numpy() + np.int64(1)
+        return out
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return apply_per_bucket(pruned, kernel, key=key, num_buckets=num_buckets)
+
+
 def gap_quantiles(
     ds: ray.data.Dataset,
     q_milli: tuple[int, ...] = (500, 900),

@@ -557,3 +557,38 @@ def test_corpus_prep_end_to_end(docs_ds, docs_df):
     want_split = np.where(h < 900, "train", np.where(h < 950, "val", "test"))
     assert (out["split"].to_numpy() == want_split).all()
     assert set(out["split"]) == {"train", "val", "test"}
+
+
+def test_topk_per_key_exact(ray_session):
+    """Grouped top-k must equal the pandas sort+head recompute, with a
+    correct 1-based rank per key, across multi-block inputs (the
+    per-batch partial prune must not lose cross-block winners)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import topk_per_key
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300).astype(np.int64),
+            "v": rng.integers(0, 50, 300).astype(np.int64),
+            "id": np.arange(300, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)  # partial prune runs per block
+    out = topk_per_key(ds, key="k", value="v", k=4, tie="id", num_buckets=4).to_pandas()
+
+    want = (
+        df.sort_values(["k", "v", "id"], ascending=[True, False, True], kind="stable")
+        .groupby("k")
+        .head(4)
+        .reset_index(drop=True)
+    )
+    got = out.sort_values(["k", "v", "id"], ascending=[True, False, True]).reset_index(
+        drop=True
+    )
+    assert got[["k", "v", "id"]].astype(np.int64).equals(want[["k", "v", "id"]])
+    ranks_ok = got.groupby("k")["rank"].apply(
+        lambda s: s.tolist() == list(range(1, len(s) + 1))
+    )
+    assert ranks_ok.all()
