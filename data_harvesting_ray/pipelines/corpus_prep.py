@@ -89,10 +89,14 @@ def corpus_prep(
     """documents (doc_id, text) -> curated corpus manifest
     (doc_id, lang_pred, n_tokens, stop_ratio_milli, n_bpe_tokens, split).
 
-    Lineage note: ``survivors`` is consumed twice (sketch pass +
-    verify's involved-doc semi-join) — the same documented re-read
-    trade as ``stages.dedup`` (recompute beats materializing the
-    payload at 100 TB).
+    Lineage note: ``survivors`` is consumed by FOUR downstream passes
+    (sketch, verify's involved-doc semi-join, finalize, plus the
+    caller); it is materialized once rather than recomputed per
+    consumer. The gate output is also the natural checkpoint of a prep
+    flow (the resume point before the expensive dedup phase) — at
+    100 TB this materialization is the spill-backed equivalent of
+    writing the gated corpus to parquet and reading it back, traded
+    against 4x re-read + re-compute of the fused metric pass.
     """
     from ..stages.components import connected_components
     from ..stages.dedup_approx import minhash_near_dups
@@ -110,7 +114,7 @@ def corpus_prep(
         _gate,
         fn_args=(lang, min_tokens, min_stop_milli),
         batch_format="pandas",
-    )
+    ).materialize()
 
     pairs = minhash_near_dups(
         survivors.select_columns(["doc_id", "text"]),
