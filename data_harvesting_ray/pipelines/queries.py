@@ -347,6 +347,19 @@ def q_e_session_assign(sf_dir: str) -> Any:
     )
 
 
+def q_t_stats_join(sf_dir: str) -> Any:
+    """Generic big-to-big equi-join: deduped turn rows joined with the
+    per-conversation aggregate (every turn annotated with its
+    conversation's stats) — exercises ``stages.join.equi_join``."""
+    from ..stages.aggregates import turn_stats
+    from ..stages.dedup import dedup_exact
+    from ..stages.join import equi_join
+
+    left = dedup_exact(_t(sf_dir, ["conv_id", "turn_idx", "role"]))
+    stats = turn_stats(_t(sf_dir, _META_RT))
+    return equi_join(left, stats, on="conv_id", how="inner")
+
+
 def q_t_translate_tools(sf_dir: str) -> Any:
     from ..stages.projection import translate_tools
 
@@ -585,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_role_mode": q_t_role_mode,
         "t_topk_tools": q_t_topk_tools,
         "t_translate_tools": q_t_translate_tools,
+        "t_stats_join": q_t_stats_join,
         "t_call_spans": q_t_call_spans,
         "t_head_per_conv": q_t_head_per_conv,
         "t_systematic_sample": q_t_systematic_sample,
@@ -1170,6 +1184,19 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                     ELSE 'test' END AS split
         FROM s LEFT JOIN grp ON grp.doc_id = s.doc_id
         WHERE grp.doc_id IS NULL OR grp.gid = s.doc_id
+    """
+    # Generic equi-join: deduped turn rows x per-conv aggregate.
+    sqls["t_stats_join"] = f"""
+        WITH d AS (SELECT DISTINCT conv_id, turn_idx, role FROM {RAW}),
+        s AS (
+            SELECT conv_id, count(*) AS n_turns,
+                   CAST(sum(CASE WHEN tool <> '' AND role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM {T} GROUP BY 1
+        )
+        SELECT d.conv_id, d.turn_idx, d.role,
+               s.n_turns, s.n_tool_calls, s.first_ts, s.last_ts
+        FROM d JOIN s USING (conv_id)
     """
     # Grouped top-k: row_number window over the lang-id CTE (the
     # engine's rank column uses the same (value DESC, doc_id ASC)

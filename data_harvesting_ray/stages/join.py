@@ -12,6 +12,7 @@ hash join. Orphan calls (no response) are the anti-join complement
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -93,6 +94,103 @@ def orphan_kernel(g: pd.DataFrame, prepared: bool = False) -> pd.DataFrame:
     return orphans.rename(columns={"turn_idx": "call_turn_idx"})[
         ["conv_id", "call_id", "call_turn_idx"]
     ]
+
+
+_JSIDE = "__join_side"
+
+
+def equi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str | list[str],
+    how: str = "inner",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Generic distributed equi-join — the user-facing form of the J3
+    correlation machinery (``tool_join`` is this plan specialized to
+    call/response pairing).
+
+    Physical plan: both sides are tagged and widened to the union
+    schema, co-located with ONE hash shuffle on the join key(s) via the
+    shared bucket primitive, and each bucket runs a vectorized pandas
+    merge. Nothing crosses buckets: correctness only needs all rows of
+    a key in one bucket. Broadcast-join the small side manually
+    (``ray.put`` + lookup in ``map_batches``) when one side fits in
+    memory — this operator is for two BIG sides.
+
+    ``how``: "inner" | "left" | "semi" | "anti" (semi/anti return left
+    columns only — the A3/A4 existential/universal quantifier as a
+    generic operator). Non-key columns of the two sides must be
+    disjoint (pre-rename the right side). Precision guard (same as
+    ``stages.asof``): synthetic widening fills for integer columns are
+    zeros, never typed nulls (which would land in pandas as float64 and
+    corrupt int64 ids above 2^53) — the fills are never observed, each
+    kernel selects only the columns belonging to a row's own side; for
+    ``how="left"`` the unmatched right integer columns come back as
+    pandas nullable Int* for the same reason."""
+    from .asof import _arrow_fields, _nullable_int_name
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    on_keys = [on] if isinstance(on, str) else list(on)
+    lf = _arrow_fields(left)
+    rf = _arrow_fields(right)
+    l_names = [n for n, _ in lf]
+    r_names = [n for n, _ in rf]
+    missing = [k for k in on_keys if k not in l_names or k not in r_names]
+    if missing:
+        raise ValueError(f"join key(s) missing from a side: {missing}")
+    r_value = [(n, t) for n, t in rf if n not in on_keys]
+    overlap = {n for n, _ in r_value} & set(l_names)
+    if overlap:
+        raise ValueError(f"right columns collide with left: {sorted(overlap)}")
+    all_fields = lf + r_value
+    r_value_names = [n for n, _ in r_value]
+    r_int_value = {
+        n: _nullable_int_name(t.to_pandas_dtype())
+        for n, t in r_value
+        if pa.types.is_integer(t)
+    }
+
+    def widen(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for name, typ in all_fields:
+                if name in t.column_names:
+                    cols[name] = t[name]
+                elif pa.types.is_integer(typ):
+                    cols[name] = pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()))
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            cols[_JSIDE] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    u = left.map_batches(widen(0), batch_format="pyarrow").union(
+        right.map_batches(widen(1), batch_format="pyarrow")
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g[_JSIDE].to_numpy() == 0
+        l = g[lmask][l_names]
+        r = g[~lmask][on_keys + r_value_names]
+        if how == "inner":
+            return l.merge(r, on=on_keys, how="inner")
+        if how in ("semi", "anti"):
+            keys = r[on_keys].drop_duplicates()
+            m = l.merge(keys, on=on_keys, how="left", indicator=True)
+            keep = m["_merge"] == ("both" if how == "semi" else "left_only")
+            return m[keep].drop(columns=["_merge"])
+        # nullable Int* BEFORE the merge: converting after would let the
+        # unmatched-row NaNs widen the column to float64 first, rounding
+        # int64 values above 2^53 (the asof precision bug, same fix)
+        if r_int_value:
+            r = r.assign(**{n: r[n].astype(ext) for n, ext in r_int_value.items()})
+        return l.merge(r, on=on_keys, how="left")
+
+    return apply_per_bucket(u, kernel, key=on_keys, num_buckets=num_buckets)
 
 
 def tool_join(normalized: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:

@@ -592,3 +592,49 @@ def test_topk_per_key_exact(ray_session):
         lambda s: s.tolist() == list(range(1, len(s) + 1))
     )
     assert ranks_ok.all()
+
+
+def test_equi_join_modes(ray_session):
+    """Generic equi-join must equal pandas merge for inner/left and set
+    filters for semi/anti; int64 values above 2^53 must survive the
+    left join's null-widening (nullable Int64, no float64 round-trip)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 60).astype(np.int64),
+            "lv": np.arange(60, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, 25).astype(np.int64),
+            "rv": np.arange(25, dtype=np.int64) + 2**60,
+        }
+    )
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(3)
+    right_n = right.assign(rv=right["rv"].astype("Int64"))
+
+    for how in ("inner", "left", "semi", "anti"):
+        got = equi_join(lds, rds, on="k", how=how, num_buckets=4).to_pandas()
+        if how == "inner":
+            want = left.merge(right_n, on="k", how="inner")
+        elif how == "left":
+            want = left.merge(right_n, on="k", how="left")
+        elif how == "semi":
+            want = left[left["k"].isin(set(right["k"]))]
+        else:
+            want = left[~left["k"].isin(set(right["k"]))]
+        g = got.sort_values(["k", "lv"]).reset_index(drop=True)
+        w = want.sort_values(["k", "lv"]).reset_index(drop=True)
+        if how == "left":
+            assert str(g["rv"].dtype) == "Int64", g["rv"].dtype
+            matched = g["rv"].dropna().astype(np.uint64)
+            assert (matched >= 2**60).all()  # no 2^53 precision loss
+        pd.testing.assert_frame_equal(
+            g[sorted(g.columns)], w[sorted(w.columns)], check_dtype=False
+        )
