@@ -360,6 +360,19 @@ def q_t_stats_join(sf_dir: str) -> Any:
     return equi_join(left, stats, on="conv_id", how="inner")
 
 
+def q_t_stats_join_broadcast(sf_dir: str) -> Any:
+    """Same join as t_stats_join via the broadcast (no-shuffle) plan —
+    the small conversation-stats side ships once via ray.put; output
+    must be identical (shares the SQL oracle)."""
+    from ..stages.aggregates import turn_stats
+    from ..stages.dedup import dedup_exact
+    from ..stages.join import broadcast_join
+
+    left = dedup_exact(_t(sf_dir, ["conv_id", "turn_idx", "role"]))
+    stats = turn_stats(_t(sf_dir, _META_RT))
+    return broadcast_join(left, stats, on="conv_id", how="inner")
+
+
 def q_t_translate_tools(sf_dir: str) -> Any:
     from ..stages.projection import translate_tools
 
@@ -599,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_topk_tools": q_t_topk_tools,
         "t_translate_tools": q_t_translate_tools,
         "t_stats_join": q_t_stats_join,
+        "t_stats_join_broadcast": q_t_stats_join_broadcast,
         "t_call_spans": q_t_call_spans,
         "t_head_per_conv": q_t_head_per_conv,
         "t_systematic_sample": q_t_systematic_sample,
@@ -1241,4 +1255,6 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sqls["e_asof_salted"] = sqls["e_asof_attribution"]
     sqls["t_streaming_tumbling"] = sqls["t_tumbling_windows"]
     sqls["t_streaming_sliding"] = sqls["t_sliding_windows"]
+    # broadcast plan must be output-identical to the shuffle plan
+    sqls["t_stats_join_broadcast"] = sqls["t_stats_join"]
     return sqls

@@ -193,6 +193,50 @@ def equi_join(
     return apply_per_bucket(u, kernel, key=on_keys, num_buckets=num_buckets)
 
 
+def broadcast_join(
+    big: ray.data.Dataset,
+    small: "pd.DataFrame | ray.data.Dataset",
+    on: str | list[str],
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Equi-join where one side fits in memory: the small side is put
+    in the object store ONCE (``ray.put``) and every batch of the big
+    side merges against it inside ``map_batches`` — NO shuffle of the
+    big side at all (J1 class-map broadcast generalized; the plan to
+    prefer over ``equi_join`` whenever the small side fits a worker).
+    Same semantics and int64-safety as ``equi_join``; ``how`` in
+    {"inner", "left", "semi", "anti"}."""
+    from .asof import _nullable_int_name
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    if hasattr(small, "to_pandas"):
+        small = small.to_pandas()
+    on_keys = [on] if isinstance(on, str) else list(on)
+    small = small.reset_index(drop=True)
+    if how == "left":
+        ints = {
+            c: _nullable_int_name(small[c].dtype)
+            for c in small.columns
+            if c not in on_keys and small[c].dtype.kind in "iu"
+        }
+        if ints:
+            small = small.assign(**{c: small[c].astype(e) for c, e in ints.items()})
+    elif how in ("semi", "anti"):
+        small = small[on_keys].drop_duplicates()
+    ref = ray.put(small)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(ref)
+        if how in ("semi", "anti"):
+            m = df.merge(s, on=on_keys, how="left", indicator=True)
+            keep = m["_merge"] == ("both" if how == "semi" else "left_only")
+            return m[keep].drop(columns=["_merge"])
+        return df.merge(s, on=on_keys, how=how)
+
+    return big.map_batches(fn, batch_format="pandas")
+
+
 def tool_join(normalized: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
     """Bucketing on the TRUE join key (conv_id, call_id): a hot
     conversation's calls spread over many buckets instead of pinning

@@ -638,3 +638,48 @@ def test_equi_join_modes(ray_session):
         pd.testing.assert_frame_equal(
             g[sorted(g.columns)], w[sorted(w.columns)], check_dtype=False
         )
+
+
+def test_broadcast_join_matches_equi_join(ray_session):
+    """The no-shuffle broadcast plan must produce identical results to
+    the shuffle plan for every join mode (incl. Int64 left-join
+    nullability)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import broadcast_join, equi_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 60).astype(np.int64),
+            "lv": np.arange(60, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            # keys 0-5 only: left keys 6-7 stay unmatched, so semi AND
+            # anti are both non-trivial
+            "k": rng.integers(0, 6, 25).astype(np.int64),
+            "rv": np.arange(25, dtype=np.int64) + 2**60,
+        }
+    )
+    lds = rd.from_pandas(left).repartition(4)
+    for how in ("inner", "left", "semi", "anti"):
+        a = (
+            broadcast_join(lds, right, on="k", how=how)
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        b = (
+            equi_join(lds, rd.from_pandas(right), on="k", how=how, num_buckets=4)
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        if how == "left":
+            assert str(a["rv"].dtype) == "Int64"
+            assert (a["rv"].dropna().astype(np.uint64) >= 2**60).all()
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+        )
