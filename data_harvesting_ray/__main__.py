@@ -12,6 +12,15 @@ Re-running over the same output directory is an exactly-once resume:
 committed epochs are skipped, shard state restores from the last
 committed checkpoint. ``--no-flush`` keeps windows open for a later
 run (a continuously-fed log).
+
+The ``prep`` subcommand runs the corpus-prep composite over a
+documents table and writes the curated manifest as parquet
+partitioned by split (one directory per split — the resumable-output
+layout; a downstream trainer reads ``split=train/`` directly):
+
+    python -m data_harvesting_ray prep --docs documents.parquet \
+        --out DIR [--lang en] [--min-tokens 20] [--min-stop-milli 30] \
+        [--neardup-threshold-milli 700]
 """
 
 from __future__ import annotations
@@ -21,7 +30,46 @@ import json
 import sys
 
 
+def prep_main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="data_harvesting_ray prep")
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True, help="output dir (parquet, partitioned by split)")
+    p.add_argument("--lang", default="en")
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--min-stop-milli", type=int, default=30)
+    p.add_argument("--neardup-threshold-milli", type=int, default=700)
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+
+    from . import configure_session
+    from .pipelines.corpus_prep import corpus_prep
+
+    configure_session()
+    out = corpus_prep(
+        rd.read_parquet(args.docs, columns=["doc_id", "text"]),
+        lang=args.lang,
+        min_tokens=args.min_tokens,
+        min_stop_milli=args.min_stop_milli,
+        neardup_threshold_milli=args.neardup_threshold_milli,
+    )
+    out.write_parquet(args.out, partition_cols=["split"])
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"rows": n, "out": args.out}))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "prep":
+        return prep_main(argv[1:])
     p = argparse.ArgumentParser(prog="data_harvesting_ray", description=__doc__)
     p.add_argument("--epochs-root", required=True, help="directory of epoch=*/ dirs")
     p.add_argument("--out", required=True, help="output directory (channels + manifests)")

@@ -263,3 +263,24 @@ def test_state_ttl_bounds_per_conv_state(ray_session, tmp_path, n_epochs):
     # pre-flush checkpoint at epoch n-2 has processed n-2 epochs.)
     assert outs["huge"]["n_tracked"] >= 20 * (n_epochs - 2) * 2
     assert outs["small"]["n_tracked"] <= 20 * 2 * 2
+
+
+def test_cli_prep_writes_split_partitioned_manifest(ray_session, tmp_path, capsys):
+    """`python -m data_harvesting_ray prep` writes the curated corpus
+    manifest partitioned by split, matching the library result."""
+    import json
+
+    from data_harvesting_ray.__main__ import main
+
+    out = tmp_path / "prep"
+    assert main([
+        "prep",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out),
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 375  # deterministic at sf0.001
+    parts = sorted(d.name for d in out.iterdir() if d.is_dir())
+    assert parts == ["split=test", "split=train", "split=val"]
+    got = pd.read_parquet(out)
+    assert len(got) == 375 and set(got["split"]) == {"train", "val", "test"}

@@ -629,8 +629,9 @@ def test_equi_join_modes(ray_session):
             want = left[left["k"].isin(set(right["k"]))]
         else:
             want = left[~left["k"].isin(set(right["k"]))]
-        g = got.sort_values(["k", "lv"]).reset_index(drop=True)
-        w = want.sort_values(["k", "lv"]).reset_index(drop=True)
+        sort_cols = [c for c in ("k", "lv", "rv") if c in got.columns]
+        g = got.sort_values(sort_cols).reset_index(drop=True)
+        w = want.sort_values(sort_cols).reset_index(drop=True)
         if how == "left":
             assert str(g["rv"].dtype) == "Int64", g["rv"].dtype
             matched = g["rv"].dropna().astype(np.uint64)
@@ -665,18 +666,13 @@ def test_broadcast_join_matches_equi_join(ray_session):
     )
     lds = rd.from_pandas(left).repartition(4)
     for how in ("inner", "left", "semi", "anti"):
-        a = (
-            broadcast_join(lds, right, on="k", how=how)
-            .to_pandas()
-            .sort_values(["k", "lv"])
-            .reset_index(drop=True)
-        )
-        b = (
-            equi_join(lds, rd.from_pandas(right), on="k", how=how, num_buckets=4)
-            .to_pandas()
-            .sort_values(["k", "lv"])
-            .reset_index(drop=True)
-        )
+        a = broadcast_join(lds, right, on="k", how=how).to_pandas()
+        b = equi_join(
+            lds, rd.from_pandas(right), on="k", how=how, num_buckets=4
+        ).to_pandas()
+        sort_cols = [c for c in ("k", "lv", "rv") if c in a.columns]
+        a = a.sort_values(sort_cols).reset_index(drop=True)
+        b = b.sort_values(sort_cols).reset_index(drop=True)
         if how == "left":
             assert str(a["rv"].dtype) == "Int64"
             assert (a["rv"].dropna().astype(np.uint64) >= 2**60).all()
