@@ -555,6 +555,19 @@ def q_d_topk_per_lang(sf_dir: str) -> Any:
     )
 
 
+def q_d_sample_per_lang(sf_dir: str) -> Any:
+    """Per-key downsampling cap: at most 5 docs per predicted language,
+    picked by deterministic hash order (not arrival order)."""
+    from ..stages.aggregates import sample_per_key
+    from .corpus_prep import CorpusMetrics
+
+    m = _docs(sf_dir).map_batches(
+        CorpusMetrics, batch_format="pandas", concurrency=(1, 8), num_cpus=0.25
+    )
+    m = m.select_columns(["doc_id", "lang_pred"])
+    return sample_per_key(m, key="lang_pred", n=5, id_col="doc_id", num_buckets=8)
+
+
 def q_m_binary_meta(sf_dir: str) -> Any:
     from ..stages.multimodal import binary_meta
 
@@ -640,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_simhash_near_dups": q_d_simhash_near_dups,
         "d_corpus_prep": q_d_corpus_prep,
         "d_topk_per_lang": q_d_topk_per_lang,
+        "d_sample_per_lang": q_d_sample_per_lang,
         "v_knn": q_v_knn,
         "v_knn_ivf": q_v_knn_ivf,
         "v_near_dups": q_v_near_dups,
@@ -1246,6 +1260,37 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    ORDER BY n_bpe_tokens DESC, doc_id) AS rn
           FROM langed
         ) WHERE rn <= 3
+    """
+    # Per-key sampling cap: row_number over the deterministic hash
+    # order (same lang-id CTE as the top-k oracle).
+    sqls["d_sample_per_lang"] = r"""
+        WITH m AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['the','and','of','a','is','to'], x) THEN 1 ELSE 0 END)) AS n_en,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['der','die','das','und','ist','ein'], x) THEN 1 ELSE 0 END)) AS n_de,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['le','la','et','les','des','est'], x) THEN 1 ELSE 0 END)) AS n_fr,
+            list_sum(list_transform(ltoks, x -> CASE WHEN list_contains(['el','la','los','las','es','una'], x) THEN 1 ELSE 0 END)) AS n_es
+          FROM m
+        ), langed AS (
+          SELECT doc_id, CASE
+            WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+            WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+            WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+            WHEN n_es > 0 THEN 'es'
+            ELSE 'unknown' END AS lang_pred
+          FROM c
+        )
+        SELECT doc_id, lang_pred, CAST(rn AS BIGINT) AS rank
+        FROM (
+          SELECT doc_id, lang_pred,
+                 row_number() OVER (
+                   PARTITION BY lang_pred
+                   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+          FROM langed
+        ) WHERE rn <= 5
     """
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).

@@ -157,6 +157,40 @@ def topk_per_key(
     return apply_per_bucket(pruned, kernel, key=key, num_buckets=num_buckets)
 
 
+def sample_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    n: int,
+    id_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic per-key downsampling cap: keep at most ``n`` rows
+    per key, selected by golden-ratio integer-hash order of ``id_col``
+    (a reproducible uniform sample, independent of arrival order) —
+    the "at most n documents per domain/language" curation op, the
+    per-key blend of SO3 systematic sampling and A9's per-key output
+    cap. Same scale plan as ``topk_per_key`` (partial per-batch prune
+    before the shuffle): the hash is just another value column."""
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = (df[id_col].to_numpy().astype(np.int64) * 2654435761) % 1000000007
+        return df
+
+    out = topk_per_key(
+        ds.map_batches(add_h, batch_format="pandas"),
+        key=key,
+        value="__h",
+        k=n,
+        ascending=True,
+        tie=id_col,
+        num_buckets=num_buckets,
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns=["__h"]), batch_format="pandas"
+    )
+
+
 def gap_quantiles(
     ds: ray.data.Dataset,
     q_milli: tuple[int, ...] = (500, 900),

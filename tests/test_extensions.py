@@ -679,3 +679,44 @@ def test_broadcast_join_matches_equi_join(ray_session):
         pd.testing.assert_frame_equal(
             a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
         )
+
+
+def test_sample_per_key_cap_and_determinism(ray_session):
+    """Per-key sampling: cap respected, same rows across runs (hash
+    order, not arrival order), sampled rows are a subset of input."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import sample_per_key
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 200).astype(np.int64),
+            "id": np.arange(200, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    a = (
+        sample_per_key(ds, key="k", n=7, id_col="id", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    assert (a.groupby("k")["id"].count() <= 7).all()
+    assert set(a["id"]).issubset(set(df["id"]))
+    # every key with >= 7 members is fully capped
+    full = df.groupby("k")["id"].count()
+    want_sizes = full.clip(upper=7)
+    got_sizes = a.groupby("k")["id"].count()
+    assert got_sizes.sort_index().tolist() == want_sizes.sort_index().tolist()
+    # deterministic: a second run picks the identical rows
+    b = (
+        sample_per_key(ds, key="k", n=7, id_col="id", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # hash order, not id order: the sample is not simply the lowest ids
+    lowest = df.sort_values(["k", "id"]).groupby("k").head(7)
+    assert set(a["id"]) != set(lowest["id"])
