@@ -123,3 +123,42 @@ def test_asof_salted_metamorphic_hot_user(ray_session):
         != basej["click_ts"].astype("datetime64[us]").astype(np.int64) // (6 * 3600 * 1_000_000)
     )
     assert crossed.sum() > 100
+
+
+def test_equi_join_hot_key(ray_session):
+    """A single hot join key (most of both sides) must not break
+    correctness: the bucket kernel sees the whole key and the merge is
+    vectorized — output equals pandas merge exactly."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    hot_l = pd.DataFrame(
+        {"k": np.zeros(5000, np.int64), "lv": np.arange(5000, dtype=np.int64)}
+    )
+    cold_l = pd.DataFrame(
+        {"k": np.arange(1, 50, dtype=np.int64), "lv": np.arange(5000, 5049, dtype=np.int64)}
+    )
+    left = pd.concat([hot_l, cold_l], ignore_index=True)
+    right = pd.DataFrame(
+        {"k": np.array([0, 0, 1, 2, 99], np.int64), "rv": np.arange(5, dtype=np.int64)}
+    )
+    got = (
+        equi_join(
+            rd.from_pandas(left).repartition(8),
+            rd.from_pandas(right),
+            on="k",
+            how="inner",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="inner")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 5000 * 2 + 2  # hot key matched twice per left row
