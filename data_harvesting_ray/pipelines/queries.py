@@ -373,6 +373,19 @@ def q_t_stats_join_broadcast(sf_dir: str) -> Any:
     return broadcast_join(left, stats, on="conv_id", how="inner")
 
 
+def q_t_distinct_tools(sf_dir: str) -> Any:
+    """Exact distinct tools per conversation (COUNT(DISTINCT ...)):
+    the partial projects to distinct (conv, tool) pairs before the
+    shuffle — |distinct pairs| rows move, never the turns."""
+    from ..stages.aggregates import distinct_per_key
+
+    ds = _t(sf_dir, ["conv_id", "role", "tool"])
+    tool_rows = ds.filter(
+        expr="tool != '' and role == 'assistant'"
+    ).select_columns(["conv_id", "tool"])
+    return distinct_per_key(tool_rows, key="conv_id", value="tool", out_col="n_tools")
+
+
 def q_t_translate_tools(sf_dir: str) -> Any:
     from ..stages.projection import translate_tools
 
@@ -626,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_translate_tools": q_t_translate_tools,
         "t_stats_join": q_t_stats_join,
         "t_stats_join_broadcast": q_t_stats_join_broadcast,
+        "t_distinct_tools": q_t_distinct_tools,
         "t_call_spans": q_t_call_spans,
         "t_head_per_conv": q_t_head_per_conv,
         "t_systematic_sample": q_t_systematic_sample,
@@ -1212,6 +1226,12 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                     ELSE 'test' END AS split
         FROM s LEFT JOIN grp ON grp.doc_id = s.doc_id
         WHERE grp.doc_id IS NULL OR grp.gid = s.doc_id
+    """
+    # Exact per-key count-distinct over assistant tool calls.
+    sqls["t_distinct_tools"] = f"""
+        SELECT conv_id, CAST(count(DISTINCT tool) AS BIGINT) AS n_tools
+        FROM {T} WHERE tool <> '' AND role = 'assistant'
+        GROUP BY conv_id
     """
     # Generic equi-join: deduped turn rows x per-conv aggregate.
     sqls["t_stats_join"] = f"""

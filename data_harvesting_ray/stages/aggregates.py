@@ -157,6 +157,32 @@ def topk_per_key(
     return apply_per_bucket(pruned, kernel, key=key, num_buckets=num_buckets)
 
 
+def distinct_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    out_col: str = "n_distinct",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact per-key COUNT(DISTINCT value) — the distinct-aggregate
+    family member (e.g. distinct tools used per conversation). The
+    per-batch partial projects to DISTINCT (key, value) pairs before
+    the shuffle, so the exchange moves |distinct pairs| rows, never the
+    input; the bucket kernel counts uniques vectorized (one
+    drop_duplicates + groupby size across all keys in the bucket)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, value]].drop_duplicates()
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates()
+        out = u.groupby(key, sort=False, as_index=False).size()
+        return out.rename(columns={"size": out_col}).astype({out_col: np.int64})
+
+    pruned = ds.map_batches(partial, batch_format="pandas")
+    return apply_per_bucket(pruned, kernel, key=key, num_buckets=num_buckets)
+
+
 def sample_per_key(
     ds: ray.data.Dataset,
     key: str,

@@ -720,3 +720,31 @@ def test_sample_per_key_cap_and_determinism(ray_session):
     # hash order, not id order: the sample is not simply the lowest ids
     lowest = df.sort_values(["k", "id"]).groupby("k").head(7)
     assert set(a["id"]) != set(lowest["id"])
+
+
+def test_distinct_per_key_exact(ray_session):
+    """Per-key count-distinct equals pandas nunique across multi-block
+    inputs with duplicated (key, value) pairs in different blocks."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import distinct_per_key
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 400).astype(np.int64),
+            "v": rng.integers(0, 9, 400).astype(np.int64),
+        }
+    )
+    got = (
+        distinct_per_key(
+            rd.from_pandas(df).repartition(8), key="k", value="v", num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k")["v"].nunique().rename("n_distinct").reset_index()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
