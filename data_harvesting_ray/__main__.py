@@ -40,6 +40,18 @@ def prep_main(argv: list[str]) -> int:
     p.add_argument("--neardup-threshold-milli", type=int, default=700)
     args = p.parse_args(argv)
 
+    import os
+
+    # exactly-once at the job level: a completed run leaves a manifest;
+    # rerunning over the same --out is a no-op (same contract as the
+    # streaming engine's committed epochs)
+    manifest = os.path.join(args.out, "_prep_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            prior = json.load(f)
+        print(json.dumps({**prior, "skipped": True}))
+        return 0
+
     import ray
 
     owns_session = not ray.is_initialized()
@@ -60,7 +72,10 @@ def prep_main(argv: list[str]) -> int:
     )
     out.write_parquet(args.out, partition_cols=["split"])
     n = rd.read_parquet(args.out).count()
-    print(json.dumps({"rows": n, "out": args.out}))
+    summary = {"rows": n, "out": args.out}
+    with open(manifest, "w") as f:
+        json.dump(summary, f)  # written LAST: partial runs leave no manifest
+    print(json.dumps(summary))
     if owns_session:
         ray.shutdown()
     return 0

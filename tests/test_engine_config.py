@@ -284,3 +284,12 @@ def test_cli_prep_writes_split_partitioned_manifest(ray_session, tmp_path, capsy
     assert parts == ["split=test", "split=train", "split=val"]
     got = pd.read_parquet(out)
     assert len(got) == 375 and set(got["split"]) == {"train", "val", "test"}
+    # rerun over the same --out is an exactly-once no-op
+    assert main([
+        "prep",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out),
+    ]) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again == {"rows": 375, "out": str(out), "skipped": True}
+    assert len(pd.read_parquet(out)) == 375
