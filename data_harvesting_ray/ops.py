@@ -1,0 +1,99 @@
+"""Public operator surface — one import for every bounded operator.
+
+    from data_harvesting_ray import ops
+    deduped = ops.dedup_exact(turns)
+    joined  = ops.equi_join(deduped, stats, on="conv_id")
+
+Streaming lives behind ``pipelines.streaming.StreamingEngine`` and the
+``python -m data_harvesting_ray`` CLI; everything here is a
+Dataset -> Dataset (or small-result) transform safe to compose freely.
+Import is side-effect-free beyond the package's DataContext defaults;
+call ``data_harvesting_ray.configure_session()`` after ``ray.init``
+(each pipeline entry point also does it defensively).
+"""
+
+from __future__ import annotations
+
+# per-record / projection / sampling
+from .stages.normalize import normalize_turns  # noqa: F401
+from .stages.projection import (  # noqa: F401
+    call_spans,
+    head_per_conv,
+    systematic_sample,
+    train_split,
+    translate_tools,
+)
+
+# dedup / near-dup / similarity
+from .stages.dedup import dedup_exact  # noqa: F401
+from .stages.dedup_approx import (  # noqa: F401
+    minhash_candidates,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from .stages.components import connected_components  # noqa: F401
+from .stages.similarity import (  # noqa: F401
+    embedding_near_dups,
+    knn_bruteforce,
+    knn_ivf,
+)
+from .stages.text import (  # noqa: F401
+    bpe_token_count,
+    doc_dedup_exact,
+    fingerprint_docs,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+# windows / CEP / state
+from .stages.windows import (  # noqa: F401
+    session_windows,
+    session_windows_salted,
+    sliding_windows,
+    tumbling_windows,
+)
+from .stages.cep import PatternSpec, cep_matches  # noqa: F401
+
+# joins
+from .stages.join import (  # noqa: F401
+    broadcast_join,
+    equi_join,
+    orphan_calls,
+    tool_join,
+)
+from .stages.asof import asof_join, asof_join_salted, interval_join  # noqa: F401
+
+# aggregates
+from .stages.aggregates import (  # noqa: F401
+    distinct_per_key,
+    gap_quantiles,
+    global_value_quantiles,
+    lineitem_rollup,
+    role_mode,
+    sample_per_key,
+    stride_sample,
+    topk_per_key,
+    topk_tools,
+    turn_stats,
+)
+
+# event-stream variants
+from .stages.events import (  # noqa: F401
+    cep_events,
+    session_events,
+    sliding_events,
+    tumbling_events,
+)
+
+# multimodal / debug
+from .stages.multimodal import (  # noqa: F401
+    binary_meta,
+    extract_features,
+    resize_frames,
+    sample_frames,
+)
+from .stages.render import debug_render  # noqa: F401
+
+# composite pipelines
+from .pipelines.corpus_prep import corpus_prep  # noqa: F401

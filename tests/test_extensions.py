@@ -748,3 +748,25 @@ def test_distinct_per_key_exact(ray_session):
         df.groupby("k")["v"].nunique().rename("n_distinct").reset_index()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ops_facade_exports_all_operators():
+    """`from data_harvesting_ray import ops` is the one-import public
+    surface; every operator family must be present and callable."""
+    from data_harvesting_ray import ops
+
+    names = {n for n in dir(ops) if not n.startswith("_") and callable(getattr(ops, n))}
+    expected = {
+        "normalize_turns", "dedup_exact", "minhash_near_dups",
+        "simhash_near_dups", "embedding_near_dups", "connected_components",
+        "knn_bruteforce", "knn_ivf", "session_windows", "tumbling_windows",
+        "sliding_windows", "cep_matches", "tool_join", "orphan_calls",
+        "equi_join", "broadcast_join", "asof_join", "interval_join",
+        "turn_stats", "topk_per_key", "sample_per_key", "distinct_per_key",
+        "gap_quantiles", "global_value_quantiles", "train_split",
+        "lang_id", "quality_score", "token_stats", "bpe_token_count",
+        "sample_frames", "resize_frames", "extract_features",
+        "debug_render", "corpus_prep",
+    }
+    missing = expected - names
+    assert not missing, f"ops facade missing: {sorted(missing)}"
