@@ -770,3 +770,81 @@ def test_ops_facade_exports_all_operators():
     }
     missing = expected - names
     assert not missing, f"ops facade missing: {sorted(missing)}"
+
+
+def _rand_frames(seed):
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(0, 40)), int(rng.integers(0, 20))
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, nl).astype(np.int64),
+            "lv": rng.integers(-5, 5, nl).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, nr).astype(np.int64),
+            "rv": rng.integers(0, 100, nr).astype(np.int64),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_equi_join_randomized_conformance(ray_session, seed):
+    """Randomized conformance vs pandas merge across seeds covering
+    empty sides, keys on one side only, and duplicate keys both sides."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    left, right = _rand_frames(seed)
+    got = equi_join(
+        rd.from_pandas(left) if len(left) else rd.from_pandas(left),
+        rd.from_pandas(right) if len(right) else rd.from_pandas(right),
+        on="k",
+        how="inner",
+        num_buckets=4,
+    ).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    sort = ["k", "lv", "rv"]
+    if len(want):
+        g = got.sort_values(sort).reset_index(drop=True)
+        w = want.sort_values(sort).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g[sorted(g.columns)], w[sorted(w.columns)], check_dtype=False)
+    else:
+        assert len(got) == 0
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12, 13])
+def test_topk_per_key_randomized_conformance(ray_session, seed):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import topk_per_key
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 120))
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n).astype(np.int64),
+            "v": rng.integers(0, 10, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    k = int(rng.integers(1, 5))
+    got = (
+        topk_per_key(
+            rd.from_pandas(df).repartition(4), key="k", value="v", k=k, tie="id", num_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "v", "id"], ascending=[True, False, True], kind="stable")
+        .groupby("k")
+        .head(k)
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    assert got[["k", "v", "id"]].reset_index(drop=True).equals(want[["k", "v", "id"]])
