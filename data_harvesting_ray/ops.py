@@ -20,6 +20,7 @@ from .stages.projection import (  # noqa: F401
     call_spans,
     head_per_conv,
     systematic_sample,
+    stratified_split,
     train_split,
     translate_tools,
 )

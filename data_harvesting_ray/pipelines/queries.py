@@ -453,6 +453,17 @@ def q_d_train_split(sf_dir: str) -> Any:
     return train_split(_docs(sf_dir), key="doc_id", pct=(90, 5))
 
 
+def q_d_stratified_split(sf_dir: str) -> Any:
+    from ..stages.projection import stratified_split
+    import data_harvesting_ray
+
+    data_harvesting_ray.configure_session()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_split(ds, key="lang", id_col="doc_id", pct=(90, 5))
+
+
 def q_d_bpe_tokens(sf_dir: str) -> Any:
     from ..stages.text import bpe_token_count
 
@@ -660,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_token_stats": q_d_token_stats,
         "d_bpe_tokens": q_d_bpe_tokens,
         "d_train_split": q_d_train_split,
+        "d_stratified_split": q_d_stratified_split,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
         "d_minhash_near_dups": q_d_minhash_near_dups,
@@ -943,6 +955,22 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                         WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "d_stratified_split": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     count(*) OVER (PARTITION BY lang) AS sz,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                     ) AS rn
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN rn <= (sz * 90) // 100 THEN 'train'
+                        WHEN rn <= (sz * 95) // 100 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
         """,
         "d_bpe_tokens": r"""
             SELECT doc_id,

@@ -124,6 +124,57 @@ def train_split(
     return ds.map_batches(gate, batch_format="pandas")
 
 
+def stratified_split(
+    ds: ray.data.Dataset,
+    key: str,
+    id_col: str,
+    pct: tuple[int, int] = (90, 5),
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group proportional train/val/test assignment: every ``key``
+    group contributes floor(size*train%/100) rows to train, up to
+    floor(size*(train+val)%/100) to val, the rest to test — rows
+    picked by golden-ratio hash order of ``id_col`` (deterministic,
+    arrival-order independent). The stratified form of
+    ``train_split``: a plain global hash split can starve a small
+    group's val/test; this one cannot.
+
+    Scale plan: one hash(key) co-location shuffle (the shared bucket
+    primitive); rank and group size computed vectorized across all
+    groups in the bucket (one stable sort + groupby transform/cumcount
+    — no per-group Python, no driver stage). Pure integer arithmetic,
+    so the SQL window oracle matches bit-for-bit."""
+    from .partition import apply_per_bucket
+
+    train_p, val_p = pct
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = (df[id_col].to_numpy().astype(np.int64) * 2654435761) % 1000000007
+        return df
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "__h", id_col], kind="stable")
+        grp = g.groupby(key, sort=False)
+        sz = grp[id_col].transform("size").to_numpy()
+        rn = grp.cumcount().to_numpy() + 1
+        split = np.where(
+            rn <= (sz * train_p) // 100,
+            "train",
+            np.where(rn <= (sz * (train_p + val_p)) // 100, "val", "test"),
+        )
+        out = g.drop(columns=["__h"]).copy()
+        out["split"] = split
+        return out
+
+    return apply_per_bucket(
+        ds.map_batches(add_h, batch_format="pandas"),
+        kernel,
+        key=key,
+        num_buckets=num_buckets,
+    )
+
+
 def systematic_sample(ds: ray.data.Dataset, pct: int = 10) -> ray.data.Dataset:
     """SO3: deterministic pseudo-random sample — hash-mod on
     (conv number, turn_idx) with exact integer arithmetic, so the same

@@ -750,6 +750,52 @@ def test_distinct_per_key_exact(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_stratified_split_proportions_and_determinism(ray_session):
+    """Every group must hit its exact integer quota (floor(sz*90/100)
+    train, floor(sz*95/100) train+val) regardless of group size, and
+    the assignment must not depend on arrival order / partitioning."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.projection import stratified_split
+
+    rng = np.random.default_rng(7)
+    # group sizes 1..~200, incl. tiny groups a global split would starve
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64) + 10_000,
+            "lang": rng.choice(["en", "de", "fr", "xx_tiny"], 500,
+                               p=[0.6, 0.25, 0.14, 0.01]),
+        }
+    )
+
+    def run(frame):
+        return (
+            stratified_split(
+                rd.from_pandas(frame).repartition(6),
+                key="lang", id_col="doc_id", num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    got = run(df)
+    # exact integer quotas per group
+    for lang, g in got.groupby("lang"):
+        sz = len(g)
+        counts = g["split"].value_counts()
+        assert counts.get("train", 0) == (sz * 90) // 100
+        assert counts.get("val", 0) == (sz * 95) // 100 - (sz * 90) // 100
+        assert counts.get("test", 0) == sz - (sz * 95) // 100
+    # tiny group with 1-4 rows: everything lands in test (quotas are 0)
+    tiny = got[got["lang"] == "xx_tiny"]
+    if 0 < len(tiny) < 10:
+        assert (tiny["split"] == "test").sum() >= 1
+    # arrival-order independence
+    again = run(df.sample(frac=1.0, random_state=3))
+    pd.testing.assert_frame_equal(got, again)
+
+
 def test_ops_facade_exports_all_operators():
     """`from data_harvesting_ray import ops` is the one-import public
     surface; every operator family must be present and callable."""
@@ -764,6 +810,7 @@ def test_ops_facade_exports_all_operators():
         "equi_join", "broadcast_join", "asof_join", "interval_join",
         "turn_stats", "topk_per_key", "sample_per_key", "distinct_per_key",
         "gap_quantiles", "global_value_quantiles", "train_split",
+        "stratified_split",
         "lang_id", "quality_score", "token_stats", "bpe_token_count",
         "sample_frames", "resize_frames", "extract_features",
         "debug_render", "corpus_prep",
