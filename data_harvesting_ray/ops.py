@@ -94,7 +94,7 @@ from .stages.multimodal import (  # noqa: F401
     resize_frames,
     sample_frames,
 )
-from .stages.render import debug_render  # noqa: F401
+from .stages.render import debug_render, render_conversations  # noqa: F401
 
 # composite pipelines
 from .pipelines.corpus_prep import corpus_prep  # noqa: F401

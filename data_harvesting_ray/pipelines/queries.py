@@ -87,6 +87,14 @@ def q_t_dedup(sf_dir: str) -> Any:
     return dedup_exact(_t(sf_dir))
 
 
+def q_t_render_convs(sf_dir: str) -> Any:
+    from ..stages.render import render_conversations
+
+    return render_conversations(
+        _t(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+    )
+
+
 def q_t_session_windows(sf_dir: str) -> Any:
     from ..stages.windows import session_windows
 
@@ -634,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "t_normalize": q_t_normalize,
         "t_dedup": q_t_dedup,
+        "t_render_convs": q_t_render_convs,
         "t_session_windows": q_t_session_windows,
         "t_session_windows_salted": q_t_session_windows_salted,
         "t_tumbling_windows": q_t_tumbling_windows,
@@ -721,6 +730,16 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             f"FROM {RAW}"
         ),
         "t_dedup": f"SELECT DISTINCT * FROM {RAW}",
+        "t_render_convs": f"""
+            WITH t AS (
+              SELECT DISTINCT conv_id, turn_idx, role, text FROM {RAW}
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+                       AS doc
+            FROM t GROUP BY conv_id
+        """,
         "t_session_windows": f"""
             WITH o AS (
               SELECT conv_id, turn_idx, ts,

@@ -26,6 +26,54 @@ import ray.data
 SESSION_GAP_US = 1800 * 1_000_000
 
 
+def render_conversations(
+    ds: ray.data.Dataset,
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Flatten every conversation into ONE training document — the
+    export step of a transcript corpus pipeline (the analogue of the
+    reference's per-video dataset assembly, ``services/
+    harvest_service.py``'s grouped-by-media output). Each turn renders
+    as ``role: text``; turns are deduped on (conv_id, turn_idx) and
+    joined in turn order, so the output preserves per-turn text
+    equality under stable turn ordering (the engine's core invariant).
+
+    Output: (conv_id, n_turns, doc). Scale plan: one hash(conv_id)
+    co-location shuffle (the shared bucket primitive); per-bucket work
+    is a vectorized dedup+sort (``prepare_bucket``) and a per-group
+    string join — the join itself is the irreducible string assembly
+    of the output documents. Streams: no driver-side materialization;
+    output documents are bounded by input text size."""
+    from .dedup import prepare_bucket
+    from .partition import apply_per_bucket
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = prepare_bucket(g)
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "n_turns": pd.Series(dtype=np.int64),
+                    "doc": pd.Series(dtype=object),
+                }
+            )
+        lines = g["role"].astype(str) + ": " + g["text"].astype(str)
+        key = g["conv_id"].to_numpy()
+        grp = lines.groupby(key, sort=False)
+        doc = grp.agg(sep.join)
+        n = grp.size()
+        return pd.DataFrame(
+            {
+                "conv_id": doc.index.to_numpy(),
+                "n_turns": n.to_numpy().astype(np.int64),
+                "doc": doc.to_numpy(),
+            }
+        )
+
+    return apply_per_bucket(ds, kernel, key="conv_id", num_buckets=num_buckets)
+
+
 def debug_render(
     ds: ray.data.Dataset,
     n: int = 5,

@@ -796,6 +796,33 @@ def test_stratified_split_proportions_and_determinism(ray_session):
     pd.testing.assert_frame_equal(got, again)
 
 
+def test_render_conversations_order_dedup_equality(ray_session):
+    """Flattened docs must reflect stable turn ordering with duplicate
+    turns dropped — per-turn text equality end to end."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.render import render_conversations
+
+    turns = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c1", "c1", "c2"],
+            "turn_idx": np.array([2, 0, 1, 2, 0], dtype=np.int64),
+            "role": ["assistant", "user", "assistant", "assistant", "user"],
+            "text": ["done", "hi", "working [call-1]", "done", "solo"],
+        }
+    )
+    got = (
+        render_conversations(rd.from_pandas(turns).repartition(3), num_buckets=2)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["conv_id"]) == ["c1", "c2"]
+    assert list(got["n_turns"]) == [3, 1]
+    assert got["doc"].iloc[0] == "user: hi\nassistant: working [call-1]\nassistant: done"
+    assert got["doc"].iloc[1] == "user: solo"
+
+
 def test_ops_facade_exports_all_operators():
     """`from data_harvesting_ray import ops` is the one-import public
     surface; every operator family must be present and callable."""
@@ -813,7 +840,7 @@ def test_ops_facade_exports_all_operators():
         "stratified_split",
         "lang_id", "quality_score", "token_stats", "bpe_token_count",
         "sample_frames", "resize_frames", "extract_features",
-        "debug_render", "corpus_prep",
+        "debug_render", "render_conversations", "corpus_prep",
     }
     missing = expected - names
     assert not missing, f"ops facade missing: {sorted(missing)}"
