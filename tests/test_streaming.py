@@ -274,3 +274,129 @@ def test_late_rows_evicted_to_late_channel(ray_session, tmp_path):
     assert_frames_equal(
         eng.results_pandas("sessions"), R.session_windows(on), ["conv_id", "session_id"]
     )
+
+
+# ------------------------------------------------- randomized differential
+def _random_stream(seed: int) -> pd.DataFrame:
+    """Random transcript corpus: skewed conv sizes, session-gap-sized
+    ts jumps, tool calls with (un)answered responses, single-turn
+    convs — the shapes that broke windowing/joins historically."""
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2030-01-01T00:00:00", "us").astype("int64")
+    rows = []
+    for c in range(int(rng.integers(4, 10))):
+        conv = f"rc{seed}-{c:02d}"
+        n_turns = int(rng.integers(1, 60))
+        t = base + int(rng.integers(0, 7200)) * 1_000_000
+        for i in range(n_turns):
+            t += int(
+                rng.choice([5, 45, 200, 1800, 2200, 5000], p=[0.3, 0.3, 0.2, 0.05, 0.1, 0.05])
+            ) * 1_000_000
+            role = str(rng.choice(["user", "assistant", "tool"], p=[0.4, 0.4, 0.2]))
+            tool, text = "", f"turn {i} of {conv}"
+            if role == "assistant" and rng.random() < 0.4:
+                tool = str(rng.choice(["search", "python"]))
+                text += f" [call-{conv}-{i}]"
+            elif role == "tool" and i > 0 and rng.random() < 0.7:
+                text += f" [call-{conv}-{int(rng.integers(0, i))}]"
+            rows.append((conv, i, role, text, tool, t))
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts_us"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    df["ts"] = df.pop("ts_us").astype("datetime64[us]")
+    return df
+
+
+def _write_random_epochs(
+    df: pd.DataFrame, root: str, rng, shuffle_within_epoch: bool
+) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_harvesting_ray.schema import TRANSCRIPT_SCHEMA
+
+    order = df.sort_values("ts", kind="stable").reset_index(drop=True)
+    bounds = np.linspace(0, len(order), int(rng.integers(2, 5)) + 1).astype(int)
+    for e in range(len(bounds) - 1):
+        part = order.iloc[bounds[e] : bounds[e + 1]]
+        # byte-identical duplicate re-arrivals WITHIN the epoch (the
+        # watermark guarantees nothing about dups older than eviction)
+        n_dup = max(1, len(part) // 8)
+        part = pd.concat(
+            [part, part.sample(n=min(n_dup, len(part)), random_state=seed_of(rng))]
+        )
+        if shuffle_within_epoch:
+            part = part.sample(frac=1.0, random_state=seed_of(rng))
+        d = os.path.join(root, f"epoch={e:03d}")
+        os.makedirs(d)
+        pq.write_table(
+            pa.Table.from_pandas(part.reset_index(drop=True), schema=TRANSCRIPT_SCHEMA),
+            os.path.join(d, "part-000.parquet"),
+        )
+
+
+def seed_of(rng) -> int:
+    return int(rng.integers(0, 2**31 - 1))
+
+
+@pytest.mark.parametrize(
+    "seed,shuffled",
+    [(11, True), (12, True), (13, False), (14, False)],
+)
+def test_streaming_randomized_differential_vs_reference(
+    ray_session, tmp_path, seed, shuffled
+):
+    """Randomized conformance on EVERY output channel: the distributed
+    engine's committed rows must equal the single-process reference for
+    the same input stream + watermark (the north-rule invariant).
+
+    Two regimes: shuffled-within-epoch arrival under an effectively
+    unbounded watermark (all windows close at final flush; exercises
+    cross-epoch state merge under disorder), and ts-ordered arrival
+    under a tight watermark (windows close mid-stream; exercises
+    incremental emission). Both must be byte-equal to the oracle."""
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    rng = np.random.default_rng(seed * 1000 + 1)
+    df = _random_stream(seed)
+    root = str(tmp_path / "epochs")
+    _write_random_epochs(df, root, rng, shuffle_within_epoch=shuffled)
+
+    delay_s = 10**9 if shuffled else 600
+    eng = StreamingEngine(
+        str(tmp_path / "out"), num_shards=3, watermark_delay_s=delay_s
+    )
+    eng.run(discover_epochs(root))
+
+    assert len(eng.results_pandas("late")) == 0
+    assert_frames_equal(
+        eng.results_pandas("sessions"),
+        R.session_windows(df),
+        ["conv_id", "session_id"],
+    )
+    assert_frames_equal(
+        eng.results_pandas("matches").drop(columns=["pattern"]),
+        R.cep_matches(df, skip_past_last=True),
+        ["conv_id", "start_turn_idx"],
+    )
+    assert_frames_equal(
+        eng.results_pandas("pairs"), R.tool_join(df), ["conv_id", "call_turn_idx"]
+    )
+    assert_frames_equal(
+        eng.results_pandas("orphans"),
+        R.orphan_calls(df),
+        ["conv_id", "call_turn_idx"],
+    )
+    assert_frames_equal(
+        eng.results_pandas("tumbling"),
+        R.tumbling_windows(df),
+        ["conv_id", "window_start"],
+    )
+    assert_frames_equal(
+        eng.results_pandas("sliding"),
+        R.sliding_windows(df),
+        ["conv_id", "window_start"],
+    )
