@@ -477,6 +477,14 @@ class StreamingEngine:
                     "watermark_us": head["wm"],
                     "flush": head["flush"],
                     "wall_s": round(time.time() - head["t0"], 3),
+                    # End-to-end window-close latency: from the moment the
+                    # watermark advanced past the windows (close submission,
+                    # right after the ingest fence) until their rows are
+                    # about to become visible (this commit; the manifest
+                    # rename that follows is a sub-ms local fsync+rename).
+                    "close_commit_latency_s": round(
+                        time.time() - head["t_close"], 3
+                    ),
                     "shards": metrics,
                 }
                 self.sink.commit(head["epoch"], head["files"], epoch_metrics)
@@ -572,6 +580,7 @@ class StreamingEngine:
                     "wm": wm,
                     "flush": flush,
                     "t0": t0,
+                    "t_close": time.time(),
                 }
             )
             drain(block=False)

@@ -74,6 +74,22 @@ def test_streaming_windowed_counts_match_oracle(engine_run, df_small):
     )
 
 
+def test_epoch_metrics_report_window_close_latency(engine_run):
+    """ST5/metrics: metrics.jsonl has one line per committed epoch with
+    the end-to-end window-close latency (watermark advance -> commit)
+    and a monotone watermark."""
+    import json
+
+    eng, epochs, summary = engine_run
+    with open(os.path.join(eng.sink.root, "metrics.jsonl")) as f:
+        lines = [json.loads(ln) for ln in f]
+    assert len(lines) == summary["epochs"] == len(epochs)
+    wms = [m["watermark_us"] for m in lines]
+    assert wms == sorted(wms)
+    for m in lines:
+        assert 0.0 <= m["close_commit_latency_s"] <= m["wall_s"] + 1.0
+
+
 def test_rerun_is_noop_no_duplicates(engine_run):
     """Exactly-once: re-running all epochs on the same sink commits
     nothing new and leaves outputs byte-identical."""
