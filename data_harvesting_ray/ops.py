@@ -30,6 +30,7 @@ from .stages.dedup import dedup_exact  # noqa: F401
 from .stages.dedup_approx import (  # noqa: F401
     minhash_candidates,
     minhash_near_dups,
+    ngram_jaccard_near_dups,
     simhash_near_dups,
 )
 from .stages.components import connected_components  # noqa: F401

@@ -486,6 +486,17 @@ def q_d_minhash_near_dups(sf_dir: str) -> Any:
     return minhash_near_dups(_docs(sf_dir), threshold_milli=700, num_buckets=16)
 
 
+def q_d_jaccard_near_dups(sf_dir: str) -> Any:
+    """Exact-recall near-dup pairs via the prefix-filter similarity
+    self-join — same exact-Jaccard SQL oracle shape as minhash, at a
+    lower threshold (600) so the size filter and larger candidate set
+    are actually exercised. Unlike LSH there is no probabilistic miss:
+    a single absent pair is a red driver row."""
+    from ..stages.dedup_approx import ngram_jaccard_near_dups
+
+    return ngram_jaccard_near_dups(_docs(sf_dir), threshold_milli=600, num_buckets=16)
+
+
 def q_d_dedup_groups(sf_dir: str) -> Any:
     """Near-dup GROUPS: verified minhash pairs clustered into connected
     components (keep-one-per-group is then a trivial filter). The pair
@@ -684,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
         "d_minhash_near_dups": q_d_minhash_near_dups,
+        "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_dedup_groups": q_d_dedup_groups,
         "d_simhash_near_dups": q_d_simhash_near_dups,
         "d_corpus_prep": q_d_corpus_prep,
@@ -1194,6 +1206,29 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE (m * 1000) // (sa.n + sb.n - m) >= 700
+            ORDER BY doc_a, doc_b
+        """,
+        # Same exact 5-gram Jaccard, lower threshold — gates the
+        # prefix-filter self-join, whose recall must be exactly 1.0.
+        "d_jaccard_near_dups": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(length(text) - 4, 1))) AS i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (m * 1000) // (sa.n + sb.n - m) AS jaccard_milli
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE (m * 1000) // (sa.n + sb.n - m) >= 600
             ORDER BY doc_a, doc_b
         """,
     }

@@ -516,3 +516,145 @@ def simhash_near_dups(
     )
     out = out.drop_duplicates()  # a pair may match in several bands
     return out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)
+
+
+# ------------------------------------------ exact n-gram Jaccard self-join
+class PrefixTokens:
+    """Actor-pool batch fn for the prefix-filter similarity self-join
+    (the AllPairs/PPJoin family — public literature: Chaudhuri et al.
+    ICDE'06, Bayardo et al. WWW'07): for each document's distinct
+    k-shingle set S, sorted under the global numeric hash order, emit
+    (token, doc_id, size) rows for the first ``|S| - ceil(t*|S|) + 1``
+    tokens. Any pair with Jaccard >= t must share >= 1 PREFIX token
+    (if A and B shared only suffix tokens their overlap would be <
+    ceil(t*|A|) <= the minimum overlap J >= t implies), so bucketing on
+    prefix tokens has recall EXACTLY 1.0 — the deterministic
+    alternative to MinHash-LSH, trading a larger candidate set for a
+    no-miss guarantee. Hash order doubles as the frequency-ordering
+    stand-in: it needs no global token-frequency pass and spreads
+    common shingles uniformly across prefixes."""
+
+    def __init__(self, threshold_milli: int = 700, k: int = 5):
+        self.t = int(threshold_milli)
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[np.ndarray] = []
+        sizes = np.empty(len(df), dtype=np.int64)
+        for i, text in enumerate(df["text"]):
+            sh = np.sort(char_shingles(text, self.k))
+            n = len(sh)
+            alpha = -(-self.t * n // 1000)  # ceil(t * n), integer-exact
+            toks.append(sh[: n - alpha + 1])
+            sizes[i] = n
+        counts = np.array([len(x) for x in toks], dtype=np.int64)
+        allt = (
+            np.concatenate(toks).view(np.int64)
+            if toks
+            else np.array([], dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "token": allt,
+                "doc_id": np.repeat(
+                    df["doc_id"].to_numpy().astype(np.int64), counts
+                ),
+                "size": np.repeat(sizes, counts),
+            }
+        )
+
+
+def prefix_candidate_pairs(
+    tok: ray.data.Dataset,
+    threshold_milli: int = 700,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """DISTINCT candidate pairs from prefix-token rows: hash
+    repartition on token co-locates each token's posting list, pairs
+    are emitted per exact token with the size filter
+    ``min(|A|,|B|) * 1000 >= t * max(|A|,|B|)`` (J <= min/max, so
+    failing pairs cannot reach t — pruned before verification), then
+    the same doc_a-keyed distinct pass as ``band_candidate_pairs``.
+    NO hot-bucket cap: exact recall is the operator's contract, and
+    hash-ordered prefixes don't concentrate common shingles the way
+    LSH band collisions can."""
+    from .partition import apply_per_bucket
+
+    empty = pd.DataFrame(
+        {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("token", sort=False):
+            ids = grp["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            ids, sz = ids[order], grp["size"].to_numpy()[order]
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            lo = np.minimum(sz[ia], sz[ib])
+            hi = np.maximum(sz[ia], sz[ib])
+            keep = lo * 1000 >= threshold_milli * hi
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[ia[keep]].astype(np.int64),
+                            "doc_b": ids[ib[keep]].astype(np.int64),
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    pairs = apply_per_bucket(tok, kernel, key="token", num_buckets=num_buckets)
+    distinct = apply_per_bucket(
+        pairs, lambda df: df.drop_duplicates(), key="doc_a", num_buckets=num_buckets
+    )
+    # consumed twice by verification (involved-id collection + scoring)
+    return distinct.materialize()
+
+
+def ngram_jaccard_near_dups(
+    docs: ray.data.Dataset,
+    threshold_milli: int = 700,
+    k: int = 5,
+    num_buckets: int | None = None,
+    involved_cap: int = INVOLVED_BROADCAST_CAP,
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard similarity self-join: prefix-filter
+    candidates (recall 1.0 by construction) + the shared exact-Jaccard
+    verification. Same output schema/semantics as
+    ``minhash_near_dups`` — the two differ only in how candidates are
+    found, so their outputs at the same threshold must be supersets /
+    subsets in exactly one direction (jaccard >= t pairs: equal)."""
+    tok = docs.map_batches(
+        PrefixTokens,
+        fn_constructor_kwargs={"threshold_milli": threshold_milli, "k": k},
+        batch_format="pandas",
+        batch_size=512,
+        concurrency=(2, 8),
+        num_cpus=0.25,
+    )
+    cand = prefix_candidate_pairs(
+        tok, threshold_milli=threshold_milli, num_buckets=num_buckets
+    )
+    verified = verify_pairs_jaccard(
+        docs, cand, k=k, involved_cap=involved_cap, num_buckets=num_buckets
+    )
+    out = verified.map_batches(
+        lambda df: df[df["jaccard_milli"].to_numpy() >= threshold_milli],
+        batch_format="pandas",
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "doc_a": np.array([], np.int64),
+                "doc_b": np.array([], np.int64),
+                "jaccard_milli": np.array([], np.int64),
+            }
+        )
+    out = out.drop_duplicates()
+    return out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)

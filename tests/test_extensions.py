@@ -73,6 +73,81 @@ def test_minhash_finds_constructed_near_dups(ray_session):
     assert not any(2 in p for p in pairs)
 
 
+def test_ngram_jaccard_matches_bruteforce(docs_ds, docs_df):
+    """Prefix-filter self-join contract: recall EXACTLY 1.0 — output
+    equals the all-pairs exact Jaccard at the threshold, no LSH luck
+    involved."""
+    from data_harvesting_ray.stages.dedup_approx import (
+        char_shingles,
+        jaccard_milli,
+        ngram_jaccard_near_dups,
+    )
+
+    got = ngram_jaccard_near_dups(docs_ds, threshold_milli=600)
+    sh = {r.doc_id: char_shingles(r.text) for r in docs_df.itertuples()}
+    ids = sorted(sh)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            jm = jaccard_milli(sh[a], sh[b])
+            if jm >= 600:
+                want.append((a, b, jm))
+    want_df = pd.DataFrame(want, columns=["doc_a", "doc_b", "jaccard_milli"])
+    pd.testing.assert_frame_equal(
+        got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        want_df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+@pytest.mark.parametrize("seed,threshold", [(3, 500), (4, 800)])
+def test_ngram_jaccard_randomized_exact_recall(ray_session, seed, threshold):
+    """Randomized conformance at loose and tight thresholds: mutated
+    copies at several edit rates, duplicate docs (J=1000), empty and
+    sub-k docs (single whole-text shingle), size-filter boundary
+    cases."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.dedup_approx import (
+        char_shingles,
+        jaccard_milli,
+        ngram_jaccard_near_dups,
+    )
+
+    rng = np.random.default_rng(seed)
+    texts = []
+    for d in range(30):
+        words = [f"w{rng.integers(0, 400)}x" for _ in range(int(rng.integers(5, 80)))]
+        texts.append(" ".join(words))
+        if rng.random() < 0.5:  # mutated copy at a random edit rate
+            w = list(words)
+            for _ in range(int(rng.integers(0, max(1, len(w) // 3)))):
+                w[int(rng.integers(0, len(w)))] = f"m{rng.integers(0, 50)}"
+            texts.append(" ".join(w))
+        if rng.random() < 0.2:
+            texts.append(texts[-1])  # exact duplicate, J = 1000
+    texts += ["", "ab", "abcd"]  # sub-k docs: single whole-text shingle
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    got = ngram_jaccard_near_dups(
+        rd.from_pandas(docs), threshold_milli=threshold, num_buckets=4
+    )
+    sh = [char_shingles(t) for t in texts]
+    want = [
+        (a, b, jaccard_milli(sh[a], sh[b]))
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if jaccard_milli(sh[a], sh[b]) >= threshold
+    ]
+    want_df = pd.DataFrame(want, columns=["doc_a", "doc_b", "jaccard_milli"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want_df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_asof_join_matches_merge_asof(ray_session):
     """The distributed as-of join must equal single-process
     pandas.merge_asof on constructed data covering: exact-ts match,
