@@ -173,6 +173,69 @@ def test_crash_before_commit_is_idempotent(ray_session, tmp_path, df_small):
     )
 
 
+def test_shard_actor_death_then_resume_is_exactly_once(
+    ray_session, tmp_path, df_small
+):
+    """Worker-death chaos: a shard actor is killed mid-run (after the
+    third epoch's ingest fence, before its close). The run must fail
+    LOUDLY — no partial epoch may commit silently — and a fresh run on
+    the same sink must resume from the last committed checkpoint and
+    produce byte-identical channels to an uninterrupted run."""
+    import ray
+
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    epochs = discover_epochs(epochs_root("sf0.001"))
+    assert len(epochs) >= 3
+
+    class ChaosEngine(StreamingEngine):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._fences = 0
+
+        def _fence_ingests(self, expected, timeout_s=300.0):
+            super()._fence_ingests(expected, timeout_s)
+            self._fences += 1
+            if self._fences == 3:
+                ray.kill(self.actors[1], no_restart=True)
+
+    out = str(tmp_path / "chaos")
+    eng1 = ChaosEngine(out, num_shards=4)
+    with pytest.raises(Exception):
+        eng1.run(epochs)
+    committed = set(eng1.sink.committed_epochs())
+    all_epochs = {e for e, _ in epochs}
+    assert committed < all_epochs  # strict subset: the tail never committed
+
+    eng2 = StreamingEngine(out, num_shards=4)
+    summary = eng2.run(epochs)
+    assert summary["skipped"] == len(committed)
+    assert len(eng2.results_pandas("late")) == 0
+    assert_frames_equal(
+        eng2.results_pandas("sessions"),
+        R.session_windows(df_small),
+        ["conv_id", "session_id"],
+    )
+    assert_frames_equal(
+        eng2.results_pandas("matches").drop(columns=["pattern"]),
+        R.cep_matches(df_small, skip_past_last=True),
+        ["conv_id", "start_turn_idx"],
+    )
+    assert_frames_equal(
+        eng2.results_pandas("pairs"),
+        R.tool_join(df_small),
+        ["conv_id", "call_turn_idx"],
+    )
+    assert_frames_equal(
+        eng2.results_pandas("tumbling"),
+        R.tumbling_windows(df_small),
+        ["conv_id", "window_start"],
+    )
+
+
 def test_manifest_gates_visibility(tmp_path):
     """Staged-but-uncommitted epochs are invisible to readers."""
     import pyarrow as pa
