@@ -48,6 +48,9 @@ from .stages.text import (  # noqa: F401
     token_stats,
 )
 
+# window functions (per-key ordered lag/lead, bounded trailing windows)
+from .stages.window_fns import rolling_sum, with_lag  # noqa: F401
+
 # windows / CEP / state
 from .stages.windows import (  # noqa: F401
     session_windows,

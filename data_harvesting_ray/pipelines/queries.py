@@ -170,6 +170,78 @@ def q_t_gap_quantiles(sf_dir: str) -> Any:
     return gap_quantiles(_t(sf_dir, _META))
 
 
+def q_t_response_latency(sf_dir: str) -> Any:
+    """LAG window function: each turn's gap to the previous turn of
+    the same conversation (response latency). First turns (no
+    predecessor) are dropped so the output stays null-free int64."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.dedup import dedup_kernel
+    from ..stages.window_fns import with_lag
+
+    lagged = with_lag(
+        _t(sf_dir, _META),
+        key="conv_id",
+        order="turn_idx",
+        col="ts",
+        out_col="prev_ts",
+        prepare=dedup_kernel,
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        gap = (
+            (df["ts"].to_numpy() - df["prev_ts"].to_numpy())
+            .astype("timedelta64[us]")
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "turn_idx": df["turn_idx"].to_numpy(),
+                "gap_us": gap,
+            }
+        )
+
+    return lagged.map_batches(project, batch_format="pandas")
+
+
+def q_t_rolling_tool_rate(sf_dir: str) -> Any:
+    """Bounded trailing window: tool calls among the last 5 turns of
+    the conversation, per turn (burst detection). The tool-call flag
+    is projected per batch BEFORE the shuffle — only (conv_id,
+    turn_idx, int flag) rides the exchange."""
+    import pandas as pd
+
+    from ..stages.dedup import dedup_kernel
+    from ..stages.window_fns import rolling_sum
+    from ..stages.windows import _is_tool_call
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "turn_idx": df["turn_idx"].to_numpy(),
+                "is_call": _is_tool_call(df),
+            }
+        )
+
+    flagged = _t(sf_dir, _META_RT).map_batches(flag, batch_format="pandas")
+    rolled = rolling_sum(
+        flagged,
+        key="conv_id",
+        order="turn_idx",
+        col="is_call",
+        window=5,
+        out_col="calls_last5",
+        prepare=dedup_kernel,
+    )
+    return rolled.map_batches(
+        lambda df: df[["conv_id", "turn_idx", "calls_last5"]],
+        batch_format="pandas",
+    )
+
+
 def q_t_role_mode(sf_dir: str) -> Any:
     from ..stages.aggregates import role_mode
 
@@ -665,6 +737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_stride_sample": q_t_stride_sample,
         "t_turn_stats": q_t_turn_stats,
         "t_gap_quantiles": q_t_gap_quantiles,
+        "t_response_latency": q_t_response_latency,
+        "t_rolling_tool_rate": q_t_rolling_tool_rate,
         "t_role_mode": q_t_role_mode,
         "t_topk_tools": q_t_topk_tools,
         "t_translate_tools": q_t_translate_tools,
@@ -871,6 +945,24 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_gap_us,
                    CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_gap_us
             FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+        """,
+        "t_response_latency": f"""
+            WITH g AS (
+              SELECT conv_id, turn_idx,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+              FROM {T}
+            )
+            SELECT conv_id, turn_idx, gap_us FROM g WHERE gap_us IS NOT NULL
+        """,
+        "t_rolling_tool_rate": f"""
+            SELECT conv_id, turn_idx,
+                   CAST(sum(CASE WHEN tool <> '' AND role = 'assistant'
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS calls_last5
+            FROM {T}
         """,
         "t_role_mode": f"""
             SELECT conv_id, role AS top_role, role_count FROM (

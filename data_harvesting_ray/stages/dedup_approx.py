@@ -523,20 +523,45 @@ class PrefixTokens:
     """Actor-pool batch fn for the prefix-filter similarity self-join
     (the AllPairs/PPJoin family — public literature: Chaudhuri et al.
     ICDE'06, Bayardo et al. WWW'07): for each document's distinct
-    k-shingle set S, sorted under the global numeric hash order, emit
+    k-shingle set S, sorted under a GLOBAL total order, emit
     (token, doc_id, size) rows for the first ``|S| - ceil(t*|S|) + 1``
     tokens. Any pair with Jaccard >= t must share >= 1 PREFIX token
     (if A and B shared only suffix tokens their overlap would be <
     ceil(t*|A|) <= the minimum overlap J >= t implies), so bucketing on
     prefix tokens has recall EXACTLY 1.0 — the deterministic
     alternative to MinHash-LSH, trading a larger candidate set for a
-    no-miss guarantee. Hash order doubles as the frequency-ordering
-    stand-in: it needs no global token-frequency pass and spreads
-    common shingles uniformly across prefixes."""
+    no-miss guarantee.
 
-    def __init__(self, threshold_milli: int = 700, k: int = 5):
+    The global order is (document frequency asc, hash asc) — AllPairs'
+    key insight: prefixes must hold the RAREST tokens or the Zipf head
+    of natural text lands in every prefix and the token buckets go
+    quadratic (measured: 300 s vs 10 s at 5k docs). Only the df table's
+    HEAD (tokens above ``min_df``) is needed for that order — absent
+    tokens tie at df=0 and fall back to hash order, which only ever
+    moves rare tokens around inside the prefix zone — so the broadcast
+    stays Zipf-head-sized at any corpus size. ANY consistent total
+    order preserves exact recall; frequency ordering is purely a
+    candidate-count optimization."""
+
+    def __init__(self, threshold_milli: int = 700, k: int = 5, common_ref=None):
         self.t = int(threshold_milli)
         self.k = k
+        if common_ref is not None:
+            common = ray.get(common_ref)  # once per actor (ST1)
+            self.c_toks = common["token"]  # uint64, sorted
+            self.c_df = common["df"]
+        else:
+            self.c_toks = np.array([], dtype=np.uint64)
+            self.c_df = np.array([], dtype=np.int64)
+
+    def _prefix(self, sh: np.ndarray, p: int) -> np.ndarray:
+        """First p tokens of sh under (df asc, hash asc)."""
+        if not len(self.c_toks):
+            return sh[:p]  # sh is hash-sorted already
+        idx = np.searchsorted(self.c_toks, sh)
+        idx_c = np.minimum(idx, len(self.c_toks) - 1)
+        df = np.where(self.c_toks[idx_c] == sh, self.c_df[idx_c], 0)
+        return sh[np.lexsort((sh, df))[:p]]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         toks: list[np.ndarray] = []
@@ -545,7 +570,7 @@ class PrefixTokens:
             sh = np.sort(char_shingles(text, self.k))
             n = len(sh)
             alpha = -(-self.t * n // 1000)  # ceil(t * n), integer-exact
-            toks.append(sh[: n - alpha + 1])
+            toks.append(self._prefix(sh, n - alpha + 1))
             sizes[i] = n
         counts = np.array([len(x) for x in toks], dtype=np.int64)
         allt = (
@@ -564,6 +589,47 @@ class PrefixTokens:
         )
 
 
+def common_token_df(
+    docs: ray.data.Dataset, k: int = 5, min_df: int = 2
+) -> dict:
+    """Document frequency of the corpus's COMMON shingles (df >=
+    min_df), as sorted numpy arrays ready for ``searchsorted`` lookup.
+    Keys-only plan: each batch emits per-doc-distinct (token, 1) rows
+    pre-aggregated within the batch, one hash groupby sums them, and
+    only the Zipf head survives the filter — the table that reaches
+    the driver is head-sized, never shingle-universe-sized."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        shs = [char_shingles(t, k) for t in df["text"]]
+        if not shs:
+            return pd.DataFrame(
+                {"token": np.array([], np.int64), "n": np.array([], np.int64)}
+            )
+        tok, cnt = np.unique(np.concatenate(shs), return_counts=True)
+        return pd.DataFrame(
+            {"token": tok.view(np.int64), "n": cnt.astype(np.int64)}
+        )
+
+    freq = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="df"))
+        .map_batches(
+            lambda d: d[d["df"].to_numpy() >= min_df], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    if not len(freq):
+        return {
+            "token": np.array([], dtype=np.uint64),
+            "df": np.array([], dtype=np.int64),
+        }
+    tok = freq["token"].to_numpy().view(np.uint64)
+    order = np.argsort(tok)
+    return {"token": tok[order], "df": freq["df"].to_numpy()[order].astype(np.int64)}
+
+
 def prefix_candidate_pairs(
     tok: ray.data.Dataset,
     threshold_milli: int = 700,
@@ -575,9 +641,10 @@ def prefix_candidate_pairs(
     ``min(|A|,|B|) * 1000 >= t * max(|A|,|B|)`` (J <= min/max, so
     failing pairs cannot reach t — pruned before verification), then
     the same doc_a-keyed distinct pass as ``band_candidate_pairs``.
-    NO hot-bucket cap: exact recall is the operator's contract, and
-    hash-ordered prefixes don't concentrate common shingles the way
-    LSH band collisions can."""
+    NO hot-bucket cap: exact recall is the operator's contract — a
+    candidate blow-up surfaces as wall time, never as a silent miss
+    (see ``ngram_jaccard_near_dups`` for where the blow-up can come
+    from and when to prefer MinHash)."""
     from .partition import apply_per_bucket
 
     empty = pd.DataFrame(
@@ -585,23 +652,45 @@ def prefix_candidate_pairs(
     )
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # only multi-doc tokens can produce pairs; drop the (vast)
+        # single-doc majority up front, then generate all intra-token
+        # pairs VECTORIZED PER GROUP-SIZE CLASS: groups of equal size s
+        # stack into a (n_groups, s) matrix indexed once with the
+        # s-specific triu indices — the Python loop runs over the few
+        # dozen distinct sizes, never over the ~10^5 token groups
+        g = g[g.duplicated("token", keep=False)]
+        if not len(g):
+            return empty
+        g = g.sort_values(["token", "doc_id"], kind="stable")
+        codes, _ = pd.factorize(g["token"].to_numpy(), sort=False)
+        counts = np.bincount(codes)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ids_v = g["doc_id"].to_numpy()
+        sz_v = g["size"].to_numpy()
         outs = []
-        for _, grp in g.groupby("token", sort=False):
-            ids = grp["doc_id"].to_numpy()
-            order = np.argsort(ids)
-            ids, sz = ids[order], grp["size"].to_numpy()[order]
-            if len(ids) < 2:
+        for s in np.unique(counts):
+            if s < 2:
                 continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            lo = np.minimum(sz[ia], sz[ib])
-            hi = np.maximum(sz[ia], sz[ib])
-            keep = lo * 1000 >= threshold_milli * hi
+            sel = np.flatnonzero(counts == s)
+            rows = starts[sel][:, None] + np.arange(s)[None, :]  # (n_g, s)
+            ids = np.take(ids_v, rows)
+            sz = np.take(sz_v, rows)
+            ia, ib = np.triu_indices(s, k=1)
+            # np.take, NOT fancy indexing: 2-D fancy gathers are
+            # pathologically slow on some hosts (100x+, measured)
+            a = np.take(ids, ia, axis=1).ravel()
+            b = np.take(ids, ib, axis=1).ravel()
+            sa = np.take(sz, ia, axis=1).ravel()
+            sb = np.take(sz, ib, axis=1).ravel()
+            keep = np.minimum(sa, sb) * 1000 >= threshold_milli * np.maximum(sa, sb)
             if keep.any():
                 outs.append(
                     pd.DataFrame(
                         {
-                            "doc_a": ids[ia[keep]].astype(np.int64),
-                            "doc_b": ids[ib[keep]].astype(np.int64),
+                            # doc_id-sorted within each token group, so
+                            # a < b holds without a min/max pass
+                            "doc_a": a[keep].astype(np.int64),
+                            "doc_b": b[keep].astype(np.int64),
                         }
                     )
                 )
@@ -623,16 +712,34 @@ def ngram_jaccard_near_dups(
     k: int = 5,
     num_buckets: int | None = None,
     involved_cap: int = INVOLVED_BROADCAST_CAP,
+    min_df: int = 2,
 ) -> pd.DataFrame:
     """Exact n-gram Jaccard similarity self-join: prefix-filter
     candidates (recall 1.0 by construction) + the shared exact-Jaccard
     verification. Same output schema/semantics as
     ``minhash_near_dups`` — the two differ only in how candidates are
     found, so their outputs at the same threshold must be supersets /
-    subsets in exactly one direction (jaccard >= t pairs: equal)."""
+    subsets in exactly one direction (jaccard >= t pairs: equal).
+
+    Cost honesty: candidate volume tracks the corpus's AMBIENT
+    similarity, not its match count — that is the price of exactness.
+    On natural text the frequency-ordered prefix prunes hard (rare
+    shingles are plentiful); on a corpus whose documents all draw from
+    one small shingle vocabulary (e.g. templated/synthetic text) every
+    prefix token is shared and the join approaches all-pairs — use
+    ``minhash_near_dups`` there, where band collisions require high
+    similarity rather than one shared token. ``min_df`` bounds the
+    broadcast df table (df >= min_df is Zipf-head-sized on natural
+    corpora); raise it — or plug in a count-min sketch — if the head
+    itself outgrows the driver."""
+    common = common_token_df(docs, k=k, min_df=min_df)
     tok = docs.map_batches(
         PrefixTokens,
-        fn_constructor_kwargs={"threshold_milli": threshold_milli, "k": k},
+        fn_constructor_kwargs={
+            "threshold_milli": threshold_milli,
+            "k": k,
+            "common_ref": ray.put(common),
+        },
         batch_format="pandas",
         batch_size=512,
         concurrency=(2, 8),

@@ -1,0 +1,124 @@
+"""Per-key ordered window functions (bounded mode): lag/lead shifts
+and rolling aggregates — the SQL window-function family over
+transcript streams (response latency, moving tool-call rate).
+
+Reference analogue: the tracker derives each record's delta from the
+PREVIOUS record of the same track (``utils/ClassificationObject.py:
+169-178`` — distance travelled from previous centroid); generalized
+here to arbitrary lag/lead and bounded trailing windows per key.
+
+Scale plan: ONE hash(key) shuffle of pruned metadata (the shared
+``apply_per_bucket`` plan), kernels vectorized across ALL keys in the
+bucket — group boundaries handled with factorized int64 codes and
+global-cumsum differences, never a per-key Python loop. Ordering
+inside a key is explicit (SO1/SO2 discipline: pinned sort keys, no
+arrival-order assumption).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from .partition import apply_per_bucket
+
+
+def _sorted_codes(g: pd.DataFrame, key: str, order: str) -> tuple[pd.DataFrame, np.ndarray]:
+    """Sort the bucket by (key, order) via factorized int64 codes (one
+    stable argsort, no string comparisons) and return the sorted frame
+    plus each row's group code."""
+    codes, _ = pd.factorize(g[key].to_numpy(), sort=False)
+    order_v = g[order].to_numpy()
+    idx = np.lexsort((order_v, codes))
+    return g.iloc[idx], codes[idx]
+
+
+def with_lag(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    col: str,
+    n: int = 1,
+    out_col: str | None = None,
+    drop_null: bool = True,
+    prepare=None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``LAG(col, n) OVER (PARTITION BY key ORDER BY order)``
+    (``n < 0`` gives LEAD). With ``drop_null=True`` (default) rows
+    without an n-th predecessor/successor are dropped — the output
+    stays null-free and integer-typed; with False they carry NaN.
+    ``prepare`` runs once per bucket before the window (the dedup
+    slot: raw transcript reads carry duplicate rows and the window
+    offset must count DISTINCT rows — per-batch dedup can't see
+    cross-block duplicates, in-bucket dedup can).
+    Output: the input columns plus ``out_col``."""
+    out_col = out_col or f"{col}_lag{n}"
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if prepare is not None:
+            g = prepare(g)
+        if not len(g):
+            return g.assign(**{out_col: np.array([], dtype=np.float64)})
+        g, codes = _sorted_codes(g, key, order)
+        v = g[col].to_numpy()
+        i = np.arange(len(g))
+        src = i - n
+        inb = (src >= 0) & (src < len(g))
+        srcc = np.clip(src, 0, len(g) - 1)
+        valid = inb & (codes[srcc] == codes)
+        if drop_null:
+            # gather in the NATIVE dtype — no float64 round-trip, so
+            # int64 values beyond 2^53 survive intact (the asof-join
+            # null-widening trap, designed out here)
+            return g[valid].assign(**{out_col: np.take(v, srcc[valid])})
+        lag_f = np.where(valid, np.take(v, srcc).astype(np.float64), np.nan)
+        return g.assign(**{out_col: lag_f})
+
+    return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
+
+
+def rolling_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    col: str,
+    window: int,
+    out_col: str | None = None,
+    prepare=None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``SUM(col) OVER (PARTITION BY key ORDER BY order ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — the bounded
+    trailing window (moving tool-call rate, burst detection). Always
+    defined (the window clips at the group start), so the output is
+    null-free int64 for integer inputs.
+
+    Vectorized across groups: with rows sorted by (key, order), the
+    trailing sum is ``cs[i] - cs[lo-1]`` on the GLOBAL cumsum, where
+    ``lo = max(group_start, i-window+1)`` — indices lo..i never cross
+    a group boundary, so one cumsum serves every key in the bucket."""
+    out_col = out_col or f"{col}_rolling{window}"
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if prepare is not None:
+            g = prepare(g)
+        if not len(g):
+            return g.assign(**{out_col: np.array([], dtype=np.int64)})
+        g, codes = _sorted_codes(g, key, order)
+        v = g[col].to_numpy().astype(np.int64)
+        n_rows = len(g)
+        cs = np.cumsum(v)
+        # group start index for every row (codes are contiguous after
+        # the sort: a new group starts where the code changes)
+        new_grp = np.empty(n_rows, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = codes[1:] != codes[:-1]
+        starts = np.maximum.accumulate(np.where(new_grp, np.arange(n_rows), 0))
+        lo = np.maximum(starts, np.arange(n_rows) - window + 1)
+        roll = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        return g.assign(**{out_col: roll.astype(np.int64)})
+
+    return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)

@@ -965,6 +965,102 @@ def test_equi_join_randomized_conformance(ray_session, seed):
         assert len(got) == 0
 
 
+@pytest.mark.parametrize("seed,n_shift", [(20, 1), (21, 2), (22, -1), (23, 3)])
+def test_with_lag_randomized_conformance(ray_session, seed, n_shift):
+    """with_lag vs pandas groupby.shift across lag/lead depths,
+    including single-row groups and int64 values beyond 2^53 (the
+    float-widening trap: a float64 round-trip would corrupt them)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import with_lag
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 200))
+    big = (1 << 60) + rng.integers(0, 1000, n).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": big,
+        }
+    )
+    got = with_lag(
+        rd.from_pandas(df).repartition(3),
+        key="k",
+        order="o",
+        col="v",
+        n=n_shift,
+        out_col="lv",
+        num_buckets=4,
+    ).to_pandas()
+    # int-exact oracle: pandas groupby.shift widens int64 -> float64
+    # and would itself corrupt the 2^60 values — gather ints directly
+    parts = []
+    for _, grp in df.sort_values(["k", "o"]).groupby("k"):
+        v = grp["v"].to_numpy()
+        src = np.arange(len(v)) - n_shift
+        ok = (src >= 0) & (src < len(v))
+        sub = grp[ok].copy()
+        sub["lv"] = v[src[ok]]
+        parts.append(sub)
+    want = (
+        pd.concat(parts).sort_values(["k", "o"]).reset_index(drop=True)
+        if parts
+        else df.head(0).assign(lv=np.array([], dtype=np.int64))
+    )
+    if not len(want):
+        assert len(got) == 0
+        return
+    got = got.sort_values(["k", "o"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "o", "v", "lv"]], want[["k", "o", "v", "lv"]])
+    assert (got["lv"] >= (1 << 60)).all()  # no float64 precision loss
+
+
+@pytest.mark.parametrize("seed,window", [(30, 1), (31, 3), (32, 7)])
+def test_rolling_sum_randomized_conformance(ray_session, seed, window):
+    """rolling_sum vs pandas groupby.rolling(min_periods=1) across
+    window sizes, including windows longer than most groups."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import rolling_sum
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 200))
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(0, 5, n).astype(np.int64),
+        }
+    )
+    got = (
+        rolling_sum(
+            rd.from_pandas(df).repartition(3),
+            key="k",
+            order="o",
+            col="v",
+            window=window,
+            out_col="rs",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    want["rs"] = (
+        want.groupby("k")["v"]
+        .rolling(window, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "o", "v", "rs"]],
+        want.sort_values(["k", "o"]).reset_index(drop=True)[["k", "o", "v", "rs"]],
+    )
+
+
 @pytest.mark.parametrize("seed", [10, 11, 12, 13])
 def test_topk_per_key_randomized_conformance(ray_session, seed):
     import ray.data as rd
