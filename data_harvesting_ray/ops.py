@@ -51,6 +51,9 @@ from .stages.text import (  # noqa: F401
 # window functions (per-key ordered lag/lead, bounded trailing windows)
 from .stages.window_fns import rolling_sum, with_lag  # noqa: F401
 
+# sketch-accelerated exact aggregates
+from .stages.sketches import heavy_hitters, heavy_tokens  # noqa: F401
+
 # windows / CEP / state
 from .stages.windows import (  # noqa: F401
     session_windows,

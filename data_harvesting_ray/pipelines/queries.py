@@ -550,6 +550,15 @@ def q_d_bpe_tokens(sf_dir: str) -> Any:
     return bpe_token_count(_docs(sf_dir))
 
 
+def q_d_heavy_tokens(sf_dir: str) -> Any:
+    """Exact corpus-wide top-10 BPE-ish tokens via the Misra-Gries
+    candidate pass + exact recount (stages/sketches.py) — the
+    bounded-shuffle alternative to a full vocabulary groupby."""
+    from ..stages.sketches import heavy_tokens
+
+    return heavy_tokens(_docs(sf_dir), k=10)
+
+
 def q_d_minhash_near_dups(sf_dir: str) -> Any:
     # num_buckets sized to the (small) candidate shuffle, not the CPU
     # count — partition count tracks data volume
@@ -764,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_dedup_exact": q_d_dedup_exact,
         "d_token_stats": q_d_token_stats,
         "d_bpe_tokens": q_d_bpe_tokens,
+        "d_heavy_tokens": q_d_heavy_tokens,
         "d_train_split": q_d_train_split,
         "d_stratified_split": q_d_stratified_split,
         "d_quality": q_d_quality,
@@ -1101,6 +1111,13 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                         ' ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+')) AS BIGINT)
                         AS n_bpe_tokens
             FROM documents
+        """,
+        "d_heavy_tokens": r"""
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(text,
+                       ' ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+')) AS tok
+                  FROM documents)
+            GROUP BY tok ORDER BY n DESC, token LIMIT 10
         """,
         "d_token_stats": r"""
             WITH t AS (

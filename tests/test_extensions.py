@@ -1093,3 +1093,68 @@ def test_topk_per_key_randomized_conformance(ray_session, seed):
         .reset_index(drop=True)
     )
     assert got[["k", "v", "id"]].reset_index(drop=True).equals(want[["k", "v", "id"]])
+
+
+def _hh_extract(df):
+    return df["v"].to_numpy(dtype=object)
+
+
+@pytest.mark.parametrize("seed,k,capacity", [(40, 3, 8), (41, 5, 16), (42, 1, 4)])
+def test_heavy_hitters_randomized_conformance(ray_session, seed, k, capacity):
+    """Misra-Gries + exact recount equals the full groupby top-k on a
+    skewed (Zipf-ish) value stream, across block splits."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(200, 800))
+    # skewed: few heavy values + a long uniform tail
+    heavy = rng.choice([f"h{i}" for i in range(4)], size=n)
+    tail = np.array([f"t{int(x)}" for x in rng.integers(0, 30, n)], dtype=object)
+    take_heavy = rng.random(n) < 0.7
+    vals = np.where(take_heavy, heavy, tail).astype(object)
+    df = pd.DataFrame({"v": vals})
+    got = heavy_hitters(
+        rd.from_pandas(df).repartition(4), _hh_extract, k=k, capacity=capacity
+    )
+    want = (
+        df.value_counts("v")
+        .rename_axis("token")
+        .reset_index(name="n")
+        .sort_values(["n", "token"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    assert list(got["token"]) == list(want["token"])
+    assert list(got["n"]) == list(want["n"])
+
+
+def test_heavy_hitters_certificate_failure_raises(ray_session):
+    """A near-uniform high-cardinality stream with a tiny capacity must
+    RAISE (never silently return approximate counts)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"v": np.array([f"u{int(x)}" for x in rng.integers(0, 500, 2000)], dtype=object)}
+    )
+    with pytest.raises(ValueError, match="certificate failed"):
+        heavy_hitters(rd.from_pandas(df).repartition(4), _hh_extract, k=3, capacity=3)
+
+
+def test_heavy_tokens_matches_bruteforce(docs_ds, docs_df):
+    """heavy_tokens on the sf0.001 corpus equals a single-process exact
+    count of the same regex token stream."""
+    from collections import Counter
+
+    from data_harvesting_ray.stages.sketches import _BPE_RE, heavy_tokens
+
+    got = heavy_tokens(docs_ds, k=10)
+    counts = Counter()
+    for text in docs_df["text"]:
+        counts.update(_BPE_RE.findall(text))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["token"], got["n"])) == want
