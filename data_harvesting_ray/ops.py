@@ -36,6 +36,7 @@ from .stages.dedup_approx import (  # noqa: F401
 from .stages.components import connected_components  # noqa: F401
 from .stages.similarity import (  # noqa: F401
     embedding_near_dups,
+    group_centroids,
     knn_bruteforce,
     knn_ivf,
 )

@@ -623,6 +623,20 @@ def q_v_knn(sf_dir: str) -> Any:
     return knn_bruteforce(emb, qids, qvecs, k=5)
 
 
+def q_v_group_centroid(sf_dir: str) -> Any:
+    """Per-label embedding centroid, exact via int64 micro-unit sums
+    (floor(x*1e6) is bit-identical in numpy and DuckDB, int64 addition
+    is associative → shuffle-order-independent)."""
+    import data_harvesting_ray
+    from ..stages.similarity import group_centroids
+
+    data_harvesting_ray.configure_session()
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return group_centroids(emb, key="label")
+
+
 def q_v_knn_ivf(sf_dir: str) -> Any:
     from ..stages.similarity import knn_ivf
 
@@ -786,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_topk_per_lang": q_d_topk_per_lang,
         "d_sample_per_lang": q_d_sample_per_lang,
         "v_knn": q_v_knn,
+        "v_group_centroid": q_v_group_centroid,
         "v_knn_ivf": q_v_knn_ivf,
         "v_near_dups": q_v_near_dups,
         "m_binary_meta": q_m_binary_meta,
@@ -1143,6 +1158,18 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                                  lower(x)) THEN 1 ELSE 0 END)) * 1000)
                         // greatest(length(toks), 1) AS BIGINT) AS stop_ratio_milli
             FROM t
+        """,
+        "v_group_centroid": """
+            SELECT label, dim,
+                   CAST(sum(e_micro) AS BIGINT) AS sum_micro,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e_micro) AS DOUBLE) / count(*) AS centroid_micro
+            FROM (SELECT label,
+                         generate_subscripts(embedding, 1) AS dim,
+                         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                              AS BIGINT) AS e_micro
+                  FROM embeddings)
+            GROUP BY label, dim
         """,
         "v_knn": """
             SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (

@@ -328,3 +328,78 @@ def embedding_near_dups_exact(
             {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64)}
         )
     return out.sort_values(["vec_a", "vec_b"], kind="stable").reset_index(drop=True)
+
+
+def group_centroids(
+    ds: ray.data.Dataset,
+    key: str = "label",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-group embedding centroid — the k-means assignment-step /
+    class-prototype aggregate (reference analogue: the per-class
+    accumulation the tracker keeps across a track's detections,
+    ``utils/ClassificationObject.py``). Output rows are EXPLODED per
+    dimension: (key, dim 1-based, sum_micro int64, n int64,
+    centroid float64 = sum_micro / n / 1e6-ish in micro-units).
+
+    Exactness: each component is floored to int64 MICRO-units before
+    summation (float32 -> float64 -> *1e6 -> floor is bit-identical in
+    numpy and DuckDB, and int64 addition is associative), so the sums
+    are shuffle-order-independent and bit-exact vs SQL — the float
+    centroid is then ONE deterministic double division. The partial
+    sums are computed per batch (sort + ``np.add.reduceat`` over the
+    factorized key, no per-group Python), so the exchange moves
+    |groups| x dims rows per block, never vectors."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    key: np.array([], dtype=np.int64),
+                    "dim": np.array([], dtype=np.int64),
+                    "s": np.array([], dtype=np.int64),
+                    "cnt": np.array([], dtype=np.int64),
+                }
+            )
+        micro = np.floor(_stack(df[vec_col]) * 1_000_000.0).astype(np.int64)
+        d = micro.shape[1]
+        keys = df[key].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys_s, micro_s = keys[order], np.take(micro, order, axis=0)
+        new_grp = np.empty(len(keys_s), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = keys_s[1:] != keys_s[:-1]
+        starts = np.flatnonzero(new_grp)
+        sums = np.add.reduceat(micro_s, starts, axis=0)  # (n_groups, d)
+        counts = np.diff(np.append(starts, len(keys_s)))
+        n_groups = len(starts)
+        return pd.DataFrame(
+            {
+                key: np.repeat(keys_s[starts], d).astype(np.int64),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n_groups),
+                "s": sums.ravel(),
+                "cnt": np.repeat(counts, d).astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, "dim"])
+        .aggregate(Sum("s", alias_name="sum_micro"), Sum("cnt", alias_name="n"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["sum_micro"].to_numpy(dtype=np.int64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy(dtype=np.int64),
+                "dim": df["dim"].to_numpy(dtype=np.int64),
+                "sum_micro": s,
+                "n": n,
+                "centroid_micro": s.astype(np.float64) / n.astype(np.float64),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")

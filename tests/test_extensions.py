@@ -1158,3 +1158,36 @@ def test_heavy_tokens_matches_bruteforce(docs_ds, docs_df):
         counts.update(_BPE_RE.findall(text))
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["token"], got["n"])) == want
+
+
+@pytest.mark.parametrize("seed", [50, 51])
+def test_group_centroids_randomized_conformance(ray_session, seed):
+    """group_centroids equals a single-process int64-micro groupby sum
+    regardless of block splits (associative integer partials)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import group_centroids
+
+    rng = np.random.default_rng(seed)
+    n, d = int(rng.integers(20, 100)), 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int64)
+    df = pd.DataFrame({"label": labels, "embedding": list(vecs)})
+    got = (
+        group_centroids(rd.from_pandas(df).repartition(4), key="label")
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    micro = np.floor(vecs.astype(np.float64) * 1_000_000.0).astype(np.int64)
+    rows = []
+    for lab in np.unique(labels):
+        sel = micro[labels == lab]
+        for dim in range(d):
+            rows.append((lab, dim + 1, int(sel[:, dim].sum()), len(sel)))
+    want = pd.DataFrame(rows, columns=["label", "dim", "sum_micro", "n"])
+    assert got[["label", "dim", "sum_micro", "n"]].equals(want)
+    np.testing.assert_array_equal(
+        got["centroid_micro"].to_numpy(),
+        want["sum_micro"].to_numpy() / want["n"].to_numpy(),
+    )
