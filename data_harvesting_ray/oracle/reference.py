@@ -164,6 +164,24 @@ def tool_join(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def response_latency(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-turn gap to the previous turn of the same conversation
+    (LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) over
+    deduped rows); first turns (no predecessor) are dropped."""
+    d = _ordered(df).reset_index(drop=True)
+    ts = d["ts"].astype("int64")
+    same = d["conv_id"].eq(d["conv_id"].shift()).to_numpy()
+    gap = (ts.to_numpy() - np.roll(ts.to_numpy(), 1))[same]
+    out = d[same]
+    return pd.DataFrame(
+        {
+            "conv_id": out["conv_id"].to_numpy(),
+            "turn_idx": out["turn_idx"].to_numpy().astype(np.int32),
+            "gap_us": gap.astype(np.int64),
+        }
+    ).reset_index(drop=True)
+
+
 def orphan_calls(df: pd.DataFrame) -> pd.DataFrame:
     """Tool calls with no response (anti-join; FIXTURES.md F3.6)."""
     d = normalize(_ordered(df))

@@ -294,6 +294,14 @@ def q_t_streaming_sliding(sf_dir: str) -> Any:
     return _run_streaming(sf_dir).results("sliding")
 
 
+def q_t_streaming_latency(sf_dir: str) -> Any:
+    """Streaming-LAG channel: per-turn response gap emitted
+    incrementally as turns clear the watermark (one carried row per
+    conv keeps gaps exact across epochs) — must equal the bounded
+    LAG-window oracle."""
+    return _run_streaming(sf_dir).results("latency")
+
+
 def q_e_tumbling(sf_dir: str) -> Any:
     from ..stages.events import tumbling_events
 
@@ -775,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_streaming_pairs": q_t_streaming_pairs,
         "t_streaming_tumbling": q_t_streaming_tumbling,
         "t_streaming_sliding": q_t_streaming_sliding,
+        "t_streaming_latency": q_t_streaming_latency,
         "e_tumbling": q_e_tumbling,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
@@ -1538,6 +1547,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sqls["e_asof_salted"] = sqls["e_asof_attribution"]
     sqls["t_streaming_tumbling"] = sqls["t_tumbling_windows"]
     sqls["t_streaming_sliding"] = sqls["t_sliding_windows"]
+    sqls["t_streaming_latency"] = sqls["t_response_latency"]
     # broadcast plan must be output-identical to the shuffle plan
     sqls["t_stats_join_broadcast"] = sqls["t_stats_join"]
     return sqls

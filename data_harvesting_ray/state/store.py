@@ -87,6 +87,11 @@ EMPTY_SCHEMAS = {
         "call_id": object,
         "ts": "datetime64[us]",
     },
+    "latency": {
+        "conv_id": object,
+        "turn_idx": np.int32,
+        "gap_us": np.int64,
+    },
     "tumbling": {
         "conv_id": object,
         "window_start": "datetime64[us]",
@@ -148,6 +153,9 @@ class ShardState:
         self.open_slides = _empty(["conv_id", "ws_us", "turn_count"])
         self.state_ttl_us = state_ttl_s * US
         self.emit_turns = emit_turns
+        # streaming-LAG carry: the last processed turn per conv, so
+        # response-latency gaps are exact across close/epoch boundaries
+        self.lag_carry = _empty(["conv_id", "turn_idx", "ts_us"])
         # per-conv last event ts, for TTL eviction of per-conv state
         self.conv_last = _empty(["conv_id", "last_us"])
         self.max_ts = NEG_INF
@@ -161,6 +169,7 @@ class ShardState:
             "pairs_emitted": 0,
             "tumbling_emitted": 0,
             "sliding_emitted": 0,
+            "latency_emitted": 0,
         }
 
     # ------------------------------------------------------------ ingest
@@ -236,6 +245,7 @@ class ShardState:
         pairs, orphans = self._advance_join(ready, flush)
         tumbling = self._advance_tumbling(ready, wm, flush)
         sliding = self._advance_sliding(ready, wm, flush)
+        latency = self._advance_latency(ready)
         ttl_orphans = self._evict_expired(ready, wm)
         if len(ttl_orphans):
             orphans = pd.concat([orphans, ttl_orphans], ignore_index=True)
@@ -244,6 +254,7 @@ class ShardState:
         self.metrics["pairs_emitted"] += len(pairs)
         self.metrics["tumbling_emitted"] += len(tumbling)
         self.metrics["sliding_emitted"] += len(sliding)
+        self.metrics["latency_emitted"] += len(latency)
         out = {
             "sessions": sessions,
             "matches": matches,
@@ -251,6 +262,7 @@ class ShardState:
             "orphans": orphans,
             "tumbling": tumbling,
             "sliding": sliding,
+            "latency": latency,
         }
         if self.emit_turns:
             turns = ready.drop(columns=["text"], errors="ignore").copy()
@@ -301,6 +313,10 @@ class ShardState:
                 self.cep_tail = self.cep_tail[
                     ~self.cep_tail["conv_id"].isin(expired)
                 ].reset_index(drop=True)
+            if len(self.lag_carry):
+                self.lag_carry = self.lag_carry[
+                    ~self.lag_carry["conv_id"].isin(expired)
+                ].reset_index(drop=True)
             self.conv_last = self.conv_last[~expired_mask].reset_index(drop=True)
         if len(self.pend_calls):
             call_old = self.pend_calls["ts_us"].to_numpy().astype(np.int64) < horizon
@@ -321,6 +337,64 @@ class ShardState:
             if resp_old.any():
                 self.pend_resps = self.pend_resps[~resp_old].reset_index(drop=True)
         return orphans
+
+    # ------------------------------------------------------ streaming LAG
+    def _advance_latency(self, ready: pd.DataFrame) -> pd.DataFrame:
+        """Per-turn response latency (streaming ``LAG(ts) OVER
+        (PARTITION BY conv_id ORDER BY turn_idx)``): each processed
+        turn's event-time gap to the PREVIOUS processed turn of its
+        conversation, emitted incrementally as turns clear the
+        watermark. One carried row per conversation (its last processed
+        turn) makes gaps exact across close/epoch boundaries — the
+        streaming counterpart of ``stages/window_fns.with_lag``.
+
+        Assumes event time is non-decreasing in turn order within a
+        conversation (the transcript data model; the watermark + dedup
+        then guarantee each ready set extends a conv's processed prefix
+        in turn order). Fully vectorized: one concat + lexsort of
+        (carry + ready), gap by adjacent diff where the conv code
+        repeats."""
+        if not len(ready):
+            return empty_frame("latency")
+        new = pd.DataFrame(
+            {
+                "conv_id": ready["conv_id"].to_numpy(),
+                "turn_idx": ready["turn_idx"].to_numpy().astype(np.int64),
+                "ts_us": ready["ts_us"].to_numpy().astype(np.int64),
+                "_new": True,
+            }
+        )
+        if len(self.lag_carry):
+            carry = self.lag_carry.assign(_new=False)
+            both = pd.concat([carry, new], ignore_index=True)
+        else:
+            both = new
+        codes, _ = pd.factorize(both["conv_id"].to_numpy(), sort=False)
+        idx = np.lexsort((both["turn_idx"].to_numpy().astype(np.int64), codes))
+        both = both.iloc[idx].reset_index(drop=True)
+        codes = codes[idx]
+        ts = both["ts_us"].to_numpy().astype(np.int64)
+        n = len(both)
+        same_prev = np.empty(n, dtype=bool)
+        same_prev[0] = False
+        same_prev[1:] = codes[1:] == codes[:-1]
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        emit = same_prev & both["_new"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "conv_id": both["conv_id"].to_numpy()[emit],
+                "turn_idx": both["turn_idx"].to_numpy()[emit].astype(np.int32),
+                "gap_us": gap[emit],
+            }
+        )
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = codes[1:] != codes[:-1]
+        self.lag_carry = both.loc[last, ["conv_id", "turn_idx", "ts_us"]].reset_index(
+            drop=True
+        )
+        return out
 
     # ---------------------------------------------------- windowed counts
     def _advance_tumbling(self, ready: pd.DataFrame, wm: int, flush: bool) -> pd.DataFrame:
@@ -689,6 +763,11 @@ class ShardState:
         d = pickle.loads(blob)
         s = cls.__new__(cls)
         s.__dict__.update(d)
+        # forward-compat with checkpoints written before the latency
+        # channel existed (resume across an engine upgrade)
+        if "lag_carry" not in s.__dict__:
+            s.lag_carry = _empty(["conv_id", "turn_idx", "ts_us"])
+        s.metrics.setdefault("latency_emitted", 0)
         return s
 
 
@@ -739,6 +818,7 @@ def reshard_states(blobs: list[bytes], num_shards: int, hash_fn) -> list[bytes]:
             "pend_resps",
             "open_tumbles",
             "open_slides",
+            "lag_carry",
             "conv_last",
         ):
             for i, part in split_df(st[attr]):

@@ -479,3 +479,8 @@ def test_streaming_randomized_differential_vs_reference(
         R.sliding_windows(df),
         ["conv_id", "window_start"],
     )
+    assert_frames_equal(
+        eng.results_pandas("latency"),
+        R.response_latency(df),
+        ["conv_id", "turn_idx"],
+    )
