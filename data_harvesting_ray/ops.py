@@ -55,6 +55,10 @@ from .stages.window_fns import rolling_sum, with_lag  # noqa: F401
 # sketch-accelerated exact aggregates
 from .stages.sketches import heavy_hitters, heavy_tokens  # noqa: F401
 
+# reshapes / distributions / funnels
+from .stages.aggregates import pivot_counts, value_histogram  # noqa: F401
+from .stages.events import funnel_events  # noqa: F401
+
 # windows / CEP / state
 from .stages.windows import (  # noqa: F401
     session_windows,

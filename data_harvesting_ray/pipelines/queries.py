@@ -242,6 +242,40 @@ def q_t_rolling_tool_rate(sf_dir: str) -> Any:
     )
 
 
+def q_t_cumulative_calls(sf_dir: str) -> Any:
+    """UNBOUNDED-PRECEDING running total: cumulative tool calls per
+    conversation up to each turn (rolling_sum with window=None)."""
+    import pandas as pd
+
+    from ..stages.dedup import dedup_kernel
+    from ..stages.window_fns import rolling_sum
+    from ..stages.windows import _is_tool_call
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "turn_idx": df["turn_idx"].to_numpy(),
+                "is_call": _is_tool_call(df),
+            }
+        )
+
+    flagged = _t(sf_dir, _META_RT).map_batches(flag, batch_format="pandas")
+    rolled = rolling_sum(
+        flagged,
+        key="conv_id",
+        order="turn_idx",
+        col="is_call",
+        window=None,
+        out_col="calls_cum",
+        prepare=dedup_kernel,
+    )
+    return rolled.map_batches(
+        lambda df: df[["conv_id", "turn_idx", "calls_cum"]],
+        batch_format="pandas",
+    )
+
+
 def q_t_role_mode(sf_dir: str) -> Any:
     from ..stages.aggregates import role_mode
 
@@ -356,6 +390,40 @@ def q_e_value_quantiles(sf_dir: str) -> Any:
         batch_format="pyarrow",
     )
     return global_value_quantiles(cents)
+
+
+def q_e_histogram(sf_dir: str) -> Any:
+    """Fixed-width value histogram (bin width 10): per-batch bin
+    partials, exchange moves occupied bins only."""
+    import data_harvesting_ray
+    from ..stages.aggregates import value_histogram
+
+    data_harvesting_ray.configure_session()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return value_histogram(ev, "value", bin_width=10.0)
+
+
+def q_e_funnel(sf_dir: str) -> Any:
+    """Ordered view -> click -> purchase funnel: users completing each
+    step prefix in event-time order."""
+    import data_harvesting_ray
+    from ..stages.events import funnel_events
+
+    data_harvesting_ray.configure_session()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_events(ev, ["view", "click", "purchase"], num_buckets=8)
+
+
+def q_t_role_pivot(sf_dir: str) -> Any:
+    """Long->wide pivot: per-conversation role mix as one row of
+    conditional counts over deduped turns."""
+    from ..stages.aggregates import pivot_counts
+    from ..stages.dedup import dedup_exact
+
+    turns = dedup_exact(_t(sf_dir, ["conv_id", "turn_idx", "role"]))
+    return pivot_counts(turns, "conv_id", "role", ["user", "assistant", "tool"])
 
 
 def q_e_asof_attribution(sf_dir: str) -> Any:
@@ -770,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_gap_quantiles": q_t_gap_quantiles,
         "t_response_latency": q_t_response_latency,
         "t_rolling_tool_rate": q_t_rolling_tool_rate,
+        "t_cumulative_calls": q_t_cumulative_calls,
         "t_role_mode": q_t_role_mode,
         "t_topk_tools": q_t_topk_tools,
         "t_translate_tools": q_t_translate_tools,
@@ -789,6 +858,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cep": q_e_cep,
         "e_sliding": q_e_sliding,
         "e_value_quantiles": q_e_value_quantiles,
+        "e_histogram": q_e_histogram,
+        "e_funnel": q_e_funnel,
+        "t_role_pivot": q_t_role_pivot,
         "e_asof_attribution": q_e_asof_attribution,
         "e_asof_salted": q_e_asof_salted,
         "e_session_assign": q_e_session_assign,
@@ -998,6 +1070,22 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                         AS BIGINT) AS calls_last5
             FROM {T}
         """,
+        "t_role_pivot": f"""
+            SELECT conv_id,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool
+            FROM {T} GROUP BY conv_id
+        """,
+        "t_cumulative_calls": f"""
+            SELECT conv_id, turn_idx,
+                   CAST(sum(CASE WHEN tool <> '' AND role = 'assistant'
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS calls_cum
+            FROM {T}
+        """,
         "t_role_mode": f"""
             SELECT conv_id, role AS top_role, role_count FROM (
               SELECT conv_id, role, count(*) AS role_count,
@@ -1060,6 +1148,29 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             )
             SELECT user_id, event_id AS start_event_id, id2 AS end_event_id
             FROM s WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+        """,
+        "e_histogram": """
+            SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "e_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                        JOIN s1 ON e.user_id = s1.user_id
+                        WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                        JOIN s2 ON e.user_id = s2.user_id
+                        WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+                     CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+              UNION ALL
+              SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+              UNION ALL
+              SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+            )
         """,
         "e_value_quantiles": """
             SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_cents,

@@ -335,3 +335,48 @@ def lineitem_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("count_order", alias_name="count_order"),
     )
+
+
+def value_histogram(
+    ds: ray.data.Dataset, col: str, bin_width: float
+) -> ray.data.Dataset:
+    """Fixed-width value histogram (distribution profiling — the
+    aggregate behind quality-gate threshold tuning). Output: one row
+    per non-empty bin, ``bin = floor(value / bin_width)`` (int64) and
+    ``n``. Exact and SQL-checkable: double division + floor is
+    bit-identical in numpy and DuckDB. Per-batch partials collapse each
+    block to its occupied bins before the shuffle — the exchange moves
+    |bins| rows per block, never values."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        b, c = np.unique(bins, return_counts=True)
+        return pa.table({"bin": b, "n": c.astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def pivot_counts(
+    ds: ray.data.Dataset, key: str, col: str, values: list[str]
+) -> ray.data.Dataset:
+    """Wide per-key occurrence counts of each ``values`` member in
+    ``col`` (SQL conditional-aggregation pivot: ``sum(CASE WHEN col =
+    v THEN 1 END) AS n_v``) — the long->wide reshape for per-conv role
+    mixes / per-user event-type profiles. Values outside ``values``
+    are ignored. Per-batch partial crosstab before the shuffle: the
+    exchange moves |keys-in-block| rows of small-int columns."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({key: df[key].to_numpy()})
+        cv = df[col].to_numpy()
+        for v in values:
+            base[f"n_{v}"] = (cv == v).astype(np.int64)
+        return base.groupby(key, sort=False, as_index=False).sum()
+
+    aggs = [Sum(f"n_{v}", alias_name=f"n_{v}") for v in values]
+    return ds.map_batches(partial, batch_format="pandas").groupby(key).aggregate(*aggs)

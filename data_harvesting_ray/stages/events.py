@@ -182,3 +182,64 @@ def cep_events(
     return apply_per_bucket(
         ds, lambda g: cep_events_kernel(g, pattern), key="user_id", num_buckets=num_buckets
     )
+
+
+def funnel_events(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Ordered funnel analysis: how many keys (users) complete each
+    prefix of the ``steps`` event-type sequence IN ORDER — step i
+    counts a user iff an event of type ``steps[i]`` occurs at or after
+    that user's earliest completion time of step i-1 (the classic
+    sequential min-ts chain; ties at the same timestamp count, so
+    simultaneous events satisfy order).
+
+    Scale plan: ONE hash(key) shuffle of (key, type, ts); the bucket
+    kernel runs |steps| vectorized groupby-min passes across ALL users
+    in the bucket (no per-user Python), emitting |steps| partial
+    count rows per bucket — the final reduce is bucket-count x steps
+    rows on the driver."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        sub = pd.DataFrame(
+            {
+                "u": g[key].to_numpy(),
+                "t": g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "e": g[type_col].to_numpy(),
+            }
+        )
+        cur = (
+            sub[sub["e"] == steps[0]]
+            .groupby("u", sort=False, as_index=False)["t"]
+            .min()
+        )
+        counts = [len(cur)]
+        for s in steps[1:]:
+            nxt = sub[sub["e"] == s].merge(
+                cur, on="u", how="inner", suffixes=("", "_prev")
+            )
+            nxt = nxt[nxt["t"].to_numpy() >= nxt["t_prev"].to_numpy()]
+            cur = nxt.groupby("u", sort=False, as_index=False)["t"].min()
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "step_idx": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "step": np.array(steps, dtype=object),
+                "n_users": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    partials = apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
+    out = (
+        partials.to_pandas()
+        .groupby(["step_idx", "step"], sort=True, as_index=False)["n_users"]
+        .sum()
+    )
+    return out.sort_values("step_idx").reset_index(drop=True).astype(
+        {"step_idx": np.int64, "n_users": np.int64}
+    )

@@ -85,21 +85,24 @@ def rolling_sum(
     key: str,
     order: str,
     col: str,
-    window: int,
+    window: int | None,
     out_col: str | None = None,
     prepare=None,
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``SUM(col) OVER (PARTITION BY key ORDER BY order ROWS
     BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — the bounded
-    trailing window (moving tool-call rate, burst detection). Always
-    defined (the window clips at the group start), so the output is
-    null-free int64 for integer inputs.
+    trailing window (moving tool-call rate, burst detection) — or,
+    with ``window=None``, the UNBOUNDED-PRECEDING running total
+    (cumulative sum from the group start). Always defined (the window
+    clips at the group start), so the output is null-free int64 for
+    integer inputs.
 
     Vectorized across groups: with rows sorted by (key, order), the
     trailing sum is ``cs[i] - cs[lo-1]`` on the GLOBAL cumsum, where
-    ``lo = max(group_start, i-window+1)`` — indices lo..i never cross
-    a group boundary, so one cumsum serves every key in the bucket."""
+    ``lo = max(group_start, i-window+1)`` (``lo = group_start`` when
+    unbounded) — indices lo..i never cross a group boundary, so one
+    cumsum serves every key in the bucket."""
     out_col = out_col or f"{col}_rolling{window}"
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
@@ -117,7 +120,10 @@ def rolling_sum(
         new_grp[0] = True
         new_grp[1:] = codes[1:] != codes[:-1]
         starts = np.maximum.accumulate(np.where(new_grp, np.arange(n_rows), 0))
-        lo = np.maximum(starts, np.arange(n_rows) - window + 1)
+        if window is None:
+            lo = starts
+        else:
+            lo = np.maximum(starts, np.arange(n_rows) - window + 1)
         roll = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
         return g.assign(**{out_col: roll.astype(np.int64)})
 

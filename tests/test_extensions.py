@@ -1191,3 +1191,126 @@ def test_group_centroids_randomized_conformance(ray_session, seed):
         got["centroid_micro"].to_numpy(),
         want["sum_micro"].to_numpy() / want["n"].to_numpy(),
     )
+
+
+def test_rolling_sum_unbounded_matches_cumsum(ray_session):
+    """window=None is the UNBOUNDED PRECEDING running total."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import rolling_sum
+
+    rng = np.random.default_rng(60)
+    n = 150
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(0, 4, n).astype(np.int64),
+        }
+    )
+    got = (
+        rolling_sum(
+            rd.from_pandas(df).repartition(3),
+            key="k",
+            order="o",
+            col="v",
+            window=None,
+            out_col="cs",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    want["cs"] = want.groupby("k")["v"].cumsum().astype(np.int64)
+    pd.testing.assert_frame_equal(got[["k", "o", "v", "cs"]], want)
+
+
+@pytest.mark.parametrize("seed", [70, 71])
+def test_pivot_counts_randomized_conformance(ray_session, seed):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import pivot_counts
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 200))
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n).astype(np.int64),
+            "c": rng.choice(["a", "b", "x"], n),
+        }
+    )
+    got = (
+        pivot_counts(rd.from_pandas(df).repartition(4), "k", "c", ["a", "b"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "k": np.unique(df["k"]),
+        }
+    )
+    want["n_a"] = [int(((df["k"] == k) & (df["c"] == "a")).sum()) for k in want["k"]]
+    want["n_b"] = [int(((df["k"] == k) & (df["c"] == "b")).sum()) for k in want["k"]]
+    pd.testing.assert_frame_equal(got.astype({"n_a": np.int64, "n_b": np.int64}), want)
+
+
+@pytest.mark.parametrize("seed", [80, 81])
+def test_funnel_randomized_conformance(ray_session, seed):
+    """funnel_events vs a single-process sequential min-ts chain."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.events import funnel_events
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 300))
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "purchase", "noise"], n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n), unit="s"
+            ).astype("datetime64[us]"),
+        }
+    )
+    steps = ["view", "click", "purchase"]
+    got = funnel_events(rd.from_pandas(df).repartition(4), steps, num_buckets=4)
+    counts = []
+    cur: dict[int, int] = {}
+    sub = df.assign(t=df["ts"].astype("int64"))
+    first = sub[sub["event_type"] == steps[0]].groupby("user_id")["t"].min()
+    cur = first.to_dict()
+    counts.append(len(cur))
+    for s in steps[1:]:
+        nxt = {}
+        ev = sub[sub["event_type"] == s]
+        for u, prev_t in cur.items():
+            cand = ev[(ev["user_id"] == u) & (ev["t"] >= prev_t)]
+            if len(cand):
+                nxt[u] = int(cand["t"].min())
+        cur = nxt
+        counts.append(len(cur))
+    assert list(got["step"]) == steps
+    assert list(got["n_users"]) == counts
+
+
+def test_value_histogram_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import value_histogram
+
+    rng = np.random.default_rng(90)
+    v = rng.normal(50, 40, 500)  # includes negatives
+    got = (
+        value_histogram(
+            rd.from_pandas(pd.DataFrame({"value": v})).repartition(4), "value", 10.0
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    bins, counts = np.unique(np.floor(v / 10.0).astype(np.int64), return_counts=True)
+    want = pd.DataFrame({"bin": bins, "n": counts.astype(np.int64)})
+    pd.testing.assert_frame_equal(got.astype({"n": np.int64}), want)
