@@ -101,6 +101,7 @@ def run_bench() -> dict:
         timed("tool_join", lambda: Q.q_t_tool_join(SF_DIR))
         timed("cep_matches", lambda: Q.q_t_cep_matches(SF_DIR))
         timed("turn_stats", lambda: Q.q_t_turn_stats(SF_DIR))
+        timed("window_lag", lambda: Q.q_t_response_latency(SF_DIR))
         timed("minhash_near_dups", lambda: Q.q_d_minhash_near_dups(SF_DIR))
         # d_jaccard_near_dups (exact prefix-filter join) is gated for
         # correctness at sf0.01 but is NOT a headline: on the synthetic

@@ -50,7 +50,12 @@ from .stages.text import (  # noqa: F401
 )
 
 # window functions (per-key ordered lag/lead, bounded trailing windows)
-from .stages.window_fns import rolling_sum, with_lag  # noqa: F401
+from .stages.window_fns import (  # noqa: F401
+    rolling_sum,
+    rolling_sum_salted,
+    with_lag,
+    with_lag_salted,
+)
 
 # sketch-accelerated exact aggregates
 from .stages.sketches import heavy_hitters, heavy_tokens  # noqa: F401

@@ -206,6 +206,43 @@ def q_t_response_latency(sf_dir: str) -> Any:
     return lagged.map_batches(project, batch_format="pandas")
 
 
+def q_t_response_latency_salted(sf_dir: str) -> Any:
+    """Hot-key-safe LAG plan (salt on turn_idx // chunk, carry rows
+    bridge chunk heads) — must be output-identical to
+    t_response_latency under the same oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.dedup import dedup_kernel
+    from ..stages.window_fns import with_lag_salted
+
+    lagged = with_lag_salted(
+        _t(sf_dir, _META),
+        key="conv_id",
+        order="turn_idx",
+        col="ts",
+        out_col="prev_ts",
+        salt_chunk=64,
+        prepare=dedup_kernel,
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        gap = (
+            (df["ts"].to_numpy() - df["prev_ts"].to_numpy())
+            .astype("timedelta64[us]")
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "turn_idx": df["turn_idx"].to_numpy(),
+                "gap_us": gap,
+            }
+        )
+
+    return lagged.map_batches(project, batch_format="pandas")
+
+
 def q_t_rolling_tool_rate(sf_dir: str) -> Any:
     """Bounded trailing window: tool calls among the last 5 turns of
     the conversation, per turn (burst detection). The tool-call flag
@@ -837,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_turn_stats": q_t_turn_stats,
         "t_gap_quantiles": q_t_gap_quantiles,
         "t_response_latency": q_t_response_latency,
+        "t_response_latency_salted": q_t_response_latency_salted,
         "t_rolling_tool_rate": q_t_rolling_tool_rate,
         "t_cumulative_calls": q_t_cumulative_calls,
         "t_role_mode": q_t_role_mode,
@@ -1659,6 +1697,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sqls["t_streaming_tumbling"] = sqls["t_tumbling_windows"]
     sqls["t_streaming_sliding"] = sqls["t_sliding_windows"]
     sqls["t_streaming_latency"] = sqls["t_response_latency"]
+    sqls["t_response_latency_salted"] = sqls["t_response_latency"]
     # broadcast plan must be output-identical to the shuffle plan
     sqls["t_stats_join_broadcast"] = sqls["t_stats_join"]
     return sqls

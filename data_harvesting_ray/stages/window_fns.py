@@ -128,3 +128,158 @@ def rolling_sum(
         return g.assign(**{out_col: roll.astype(np.int64)})
 
     return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
+
+
+def _salted_parts(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    salt_chunk: int,
+    carry_n: int,
+) -> ray.data.Dataset:
+    """Chunk rows by ``order // salt_chunk`` and DUPLICATE each chunk's
+    last ``carry_n`` order positions into the next chunk's bucket as
+    marked carries — the one-shuffle skew plan: a 10M-turn conversation
+    spreads over ~10M/salt_chunk buckets and only carry_n rows per
+    chunk ride twice."""
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[order].to_numpy().astype(np.int64)
+        chunk = o // salt_chunk
+        own = df.assign(_chunk=chunk, _carry=np.zeros(len(df), dtype=np.int8))
+        m = (o % salt_chunk) >= salt_chunk - carry_n
+        if not m.any():
+            return own
+        carry = df[m].assign(_chunk=chunk[m] + 1, _carry=np.int8(1))
+        return pd.concat([own, carry], ignore_index=True)
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def _dedup_prefer_own(g: pd.DataFrame, key: str, order: str) -> pd.DataFrame:
+    """Keep one copy per (key, order), preferring the OWN row over a
+    carry (when a key's adjacent chunks hash to the same bucket the
+    carry duplicates a row already present — emitting both would
+    corrupt the window)."""
+    return g.sort_values([key, order, "_carry"], kind="stable").drop_duplicates(
+        [key, order], keep="first"
+    )
+
+
+def with_lag_salted(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    col: str,
+    n: int = 1,
+    salt_chunk: int = 65536,
+    out_col: str | None = None,
+    prepare=None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Hot-key-safe ``with_lag`` (LAG only, ``n >= 1``): partitions on
+    (key, order // salt_chunk) so an unbounded-length key spreads over
+    many buckets; each bucket sees its chunk plus the previous chunk's
+    last ``n`` rows as carries and emits only its own rows — output
+    identical to ``with_lag`` (metamorphic test), one shuffle, carries
+    are boundary-sized.
+
+    EXACTNESS CONTRACT: the order domain must be DENSE per key (order
+    values 0..m-1, each present once after ``prepare`` — the transcript
+    turn_idx contract). Density is what makes "the previous n rows of a
+    chunk head" identical to "the rows with order in [cC-n, cC)", which
+    is the carry set. ``drop_null`` semantics are fixed to True (the
+    null-free integer output)."""
+    if n < 1:
+        raise ValueError("with_lag_salted supports LAG only (n >= 1)")
+    if salt_chunk < n:
+        raise ValueError("salt_chunk must be >= n")
+    out_col = out_col or f"{col}_lag{n}"
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # prefer-own dedup BEFORE prepare: a (key, order)-subset dedup
+        # in prepare could otherwise keep a carry copy and drop the own
+        # row (losing it from the output); prefer-own also keeps the
+        # first ARRIVAL among true duplicates (stable sort), so a
+        # dedup-style prepare then finds nothing left to drop
+        if len(g):
+            g = _dedup_prefer_own(g, key, order)
+        if prepare is not None:
+            g = prepare(g)
+        if not len(g):
+            return g.drop(columns=["_chunk", "_carry"]).assign(
+                **{out_col: np.array([], dtype=np.float64)}
+            )
+        g, codes = _sorted_codes(g, key, order)
+        v = g[col].to_numpy()
+        i = np.arange(len(g))
+        src = i - n
+        inb = src >= 0
+        srcc = np.clip(src, 0, len(g) - 1)
+        valid = inb & (codes[srcc] == codes)
+        emit = valid & (g["_carry"].to_numpy() == 0)
+        return (
+            g[emit]
+            .drop(columns=["_chunk", "_carry"])
+            .assign(**{out_col: np.take(v, srcc[emit])})
+        )
+
+    parts = _salted_parts(ds, key, order, salt_chunk, n)
+    return apply_per_bucket(parts, kernel, key=[key, "_chunk"], num_buckets=num_buckets)
+
+
+def rolling_sum_salted(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    col: str,
+    window: int,
+    salt_chunk: int = 65536,
+    out_col: str | None = None,
+    prepare=None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Hot-key-safe bounded ``rolling_sum`` (``window >= 1``, bounded
+    only — an unbounded running total needs a prefix reduction, not a
+    constant-size carry). Same salting contract as ``with_lag_salted``
+    (dense order per key; carries are the previous chunk's last
+    ``window - 1`` rows); output identical to ``rolling_sum``."""
+    if window is None or window < 1:
+        raise ValueError("rolling_sum_salted needs a bounded window >= 1")
+    if salt_chunk < window - 1:
+        raise ValueError("salt_chunk must be >= window - 1")
+    out_col = out_col or f"{col}_rolling{window}"
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # prefer-own dedup BEFORE prepare: a (key, order)-subset dedup
+        # in prepare could otherwise keep a carry copy and drop the own
+        # row (losing it from the output); prefer-own also keeps the
+        # first ARRIVAL among true duplicates (stable sort), so a
+        # dedup-style prepare then finds nothing left to drop
+        if len(g):
+            g = _dedup_prefer_own(g, key, order)
+        if prepare is not None:
+            g = prepare(g)
+        if not len(g):
+            return g.drop(columns=["_chunk", "_carry"]).assign(
+                **{out_col: np.array([], dtype=np.int64)}
+            )
+        g, codes = _sorted_codes(g, key, order)
+        v = g[col].to_numpy().astype(np.int64)
+        n_rows = len(g)
+        cs = np.cumsum(v)
+        new_grp = np.empty(n_rows, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = codes[1:] != codes[:-1]
+        starts = np.maximum.accumulate(np.where(new_grp, np.arange(n_rows), 0))
+        lo = np.maximum(starts, np.arange(n_rows) - window + 1)
+        roll = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        emit = g["_carry"].to_numpy() == 0
+        return (
+            g[emit]
+            .drop(columns=["_chunk", "_carry"])
+            .assign(**{out_col: roll[emit].astype(np.int64)})
+        )
+
+    parts = _salted_parts(ds, key, order, salt_chunk, window - 1)
+    return apply_per_bucket(parts, kernel, key=[key, "_chunk"], num_buckets=num_buckets)

@@ -162,3 +162,75 @@ def test_equi_join_hot_key(ray_session):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) == 5000 * 2 + 2  # hot key matched twice per left row
+
+
+def test_with_lag_salted_metamorphic_hot_conv(ray_session):
+    """One 5k-turn mega-conversation + normal convs: salted LAG output
+    must be identical to the unsalted plan (chunk 256 spreads the hot
+    conv over ~20 buckets)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import with_lag, with_lag_salted
+
+    rng = np.random.default_rng(5)
+    frames = []
+    for conv, n in [("hot", 5000), ("a", 7), ("b", 1), ("c", 300)]:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": np.arange(n, dtype=np.int64),
+                    "ts": np.cumsum(rng.integers(1, 100, n)).astype(np.int64),
+                }
+            )
+        )
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=0)
+    ds = rd.from_pandas(df).repartition(5)
+    kw = dict(key="conv_id", order="turn_idx", col="ts", n=2, out_col="prev")
+    want = with_lag(ds, num_buckets=4, **kw).to_pandas()
+    got = with_lag_salted(ds, salt_chunk=256, num_buckets=8, **kw).to_pandas()
+    s = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(s).reset_index(drop=True)[want.columns],
+        want.sort_values(s).reset_index(drop=True),
+    )
+
+
+@pytest.mark.parametrize("window", [3, 16])
+def test_rolling_sum_salted_metamorphic(ray_session, window):
+    """Salted bounded rolling sum == unsalted, including duplicate
+    arrivals collapsed by the dedup prepare and chunk-boundary windows."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import rolling_sum, rolling_sum_salted
+
+    rng = np.random.default_rng(6)
+    frames = []
+    for conv, n in [("hot", 3000), ("x", 40), ("y", 2)]:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": np.arange(n, dtype=np.int64),
+                    "v": rng.integers(0, 5, n).astype(np.int64),
+                }
+            )
+        )
+    df = pd.concat(frames, ignore_index=True)
+    # duplicate arrivals: every 10th row appears twice
+    df = pd.concat([df, df.iloc[::10]], ignore_index=True).sample(
+        frac=1.0, random_state=1
+    )
+
+    def prep(g):
+        return g.drop_duplicates(["conv_id", "turn_idx"], keep="first")
+
+    ds = rd.from_pandas(df).repartition(4)
+    kw = dict(key="conv_id", order="turn_idx", col="v", window=window, out_col="rs", prepare=prep)
+    want = rolling_sum(ds, num_buckets=4, **kw).to_pandas()
+    got = rolling_sum_salted(ds, salt_chunk=128, num_buckets=8, **kw).to_pandas()
+    s = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(s).reset_index(drop=True)[want.columns],
+        want.sort_values(s).reset_index(drop=True),
+    )
