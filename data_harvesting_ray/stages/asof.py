@@ -32,6 +32,13 @@ _SIDE = "__asof_side"
 _MATCH = "__asof_match"
 
 
+def _na_like(like: pd.Series, index) -> pd.Series:
+    """All-NA column that keeps ``like``'s dtype (datetime64 → NaT,
+    float → NaN, object → None) so a later ``pd.concat`` never sees an
+    untyped all-None object column."""
+    return like.iloc[:0].reindex(index)
+
+
 def _nullable_int_name(dt) -> str:
     """numpy int dtype → pandas nullable extension name (int64 →
     'Int64', uint32 → 'UInt32')."""
@@ -49,9 +56,25 @@ def _arrow_type(t) -> pa.DataType:
     return pa.from_numpy_dtype(np.dtype(t))
 
 
-def _arrow_fields(ds: ray.data.Dataset) -> list[tuple[str, pa.DataType]]:
-    sch = ds.schema()
-    return [(n, _arrow_type(t)) for n, t in zip(sch.names, sch.types)]
+def _fields_resolved(
+    ds: ray.data.Dataset,
+) -> tuple[ray.data.Dataset, list[tuple[str, pa.DataType]]]:
+    """Schema of a possibly-lazy dataset WITHOUT paying for its plan
+    twice. A plain ``ds.schema()`` on a plan whose schema isn't
+    statically known (anything downstream of a ``map_batches``)
+    executes the whole upstream lineage just to peek at the first
+    block — and the later real run executes it all AGAIN, doubling the
+    cost of every join whose input is a derived dataset. When the
+    schema is unknown we ``materialize()`` instead: the one execution
+    is cached in the object store (spillable) and the returned handle
+    feeds downstream stages, so nothing runs twice. Inputs with
+    statically-known schemas (parquet reads + expression ops) stay
+    fully lazy/streaming."""
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is None:
+        ds = ds.materialize()
+        sch = ds.schema()
+    return ds, [(n, _arrow_type(t)) for n, t in zip(sch.names, sch.types)]
 
 
 def _widened_union(
@@ -75,8 +98,8 @@ def _widened_union(
       column, which crashed when the right side had only (by, on)
       columns and silently dropped matches whose first value column
       held legitimate nulls."""
-    lf = _arrow_fields(left)
-    rf = _arrow_fields(right)
+    left, lf = _fields_resolved(left)
+    right, rf = _fields_resolved(right)
     l_names = [n for n, _ in lf]
     r_value = [(n, t) for n, t in rf if n not in (by, on)]
     overlap = {n for n, _ in r_value} & set(l_names)
@@ -222,7 +245,8 @@ def asof_join_salted(
             hit = m[_MATCH].notna()
             matched = m[hit].drop(columns=[_MATCH]).copy()
             matched["__kind"] = np.int8(0)
-            frames.append(matched)
+            if len(matched):
+                frames.append(matched)
             miss = l[(~hit).to_numpy()].copy()
         else:
             miss = l.copy()
@@ -230,8 +254,11 @@ def asof_join_salted(
             for c in r_value_names:
                 # int fills are 0, never observed (pick(1) selects
                 # l_names only); a null would float64-widen the column
-                # and corrupt int64 values above 2^53
-                miss[c] = np.int64(0) if c in int_cols else None
+                # and corrupt int64 values above 2^53. Non-int fills
+                # are TYPED all-NA series (not None, whose object
+                # column would trip pandas' deprecated all-NA dtype
+                # exclusion in the concat below)
+                miss[c] = np.int64(0) if c in int_cols else _na_like(g[c], miss.index)
             miss["__kind"] = np.int8(1)
             frames.append(miss)
         if len(r):
@@ -244,7 +271,9 @@ def asof_join_salted(
             )
             for c in l_names:
                 if c not in (by, on):
-                    carry[c] = np.int64(0) if c in int_cols else None
+                    carry[c] = (
+                        np.int64(0) if c in int_cols else _na_like(g[c], carry.index)
+                    )
             carry["__kind"] = np.int8(2)
             frames.append(carry)
         if not frames:
@@ -312,7 +341,8 @@ def interval_join(
     intervals only the latest-starting container matches — callers
     needing all-overlaps semantics must explode intervals first.
     Inner: points in no interval are dropped."""
-    if on in intervals.schema().names:
+    intervals, iv_fields = _fields_resolved(intervals)
+    if on in (n for n, _ in iv_fields):
         raise ValueError(
             f"intervals side already has a column named {on!r}; rename it"
         )

@@ -128,13 +128,13 @@ def equi_join(
     kernel selects only the columns belonging to a row's own side; for
     ``how="left"`` the unmatched right integer columns come back as
     pandas nullable Int* for the same reason."""
-    from .asof import _arrow_fields, _nullable_int_name
+    from .asof import _fields_resolved, _nullable_int_name
 
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     on_keys = [on] if isinstance(on, str) else list(on)
-    lf = _arrow_fields(left)
-    rf = _arrow_fields(right)
+    left, lf = _fields_resolved(left)
+    right, rf = _fields_resolved(right)
     l_names = [n for n, _ in lf]
     r_names = [n for n, _ in rf]
     missing = [k for k in on_keys if k not in l_names or k not in r_names]
