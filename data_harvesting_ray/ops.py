@@ -55,7 +55,12 @@ from .stages.window_fns import (  # noqa: F401
     rolling_sum_salted,
     with_lag,
     with_lag_salted,
+    with_rank,
 )
+
+# scrubbing / decontamination / sequence packing
+from .stages.scrub import PII_RULES, contamination_flags, scrub_text  # noqa: F401
+from .stages.packing import pack_sequences  # noqa: F401
 
 # sketch-accelerated exact aggregates
 from .stages.sketches import heavy_hitters, heavy_tokens  # noqa: F401

@@ -819,6 +819,103 @@ def q_d_sample_per_lang(sf_dir: str) -> Any:
     return sample_per_key(m, key="lang_pred", n=5, id_col="doc_id", num_buckets=8)
 
 
+# Gate rules for d_scrub: the PII preset plus a corpus-matching entity
+# rule (the synthetic documents carry no emails/IPs, so the entity rule
+# guarantees the replace path is exercised on real rows; the PII rules
+# are exercised on constructed strings in tests/).
+_SCRUB_RULES = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+    (r"\b(customer|supplier)\b", "<NAME>"),
+]
+
+
+def q_d_scrub(sf_dir: str) -> Any:
+    """PII/text scrubbing: sequential vectorized regex redaction with a
+    per-doc redaction count — zero-copy Arrow, no shuffle."""
+    from ..stages.scrub import scrub_text
+
+    return scrub_text(_docs(sf_dir), rules=_SCRUB_RULES)
+
+
+# d_contamination's benchmark set: a 40-char snippet from every 97th
+# document (deterministic, derived from the corpus itself so the SQL
+# oracle can recompute it without string literals).
+_SNIP_EVERY, _SNIP_START, _SNIP_LEN, _SNIP_MINLEN = 97, 50, 40, 120
+
+
+def q_d_contamination(sf_dir: str) -> Any:
+    """Benchmark decontamination: flag documents containing any
+    benchmark snippet verbatim. The snippet list (benchmark-sized,
+    small by construction) is collected once and broadcast; the corpus
+    scan is embarrassingly parallel substring matching."""
+    from ..stages.scrub import contamination_flags
+
+    docs = _docs(sf_dir)
+
+    def pick(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.and_(
+            pa.array(ids % _SNIP_EVERY == 0),
+            pc.greater_equal(pc.utf8_length(t["text"]), _SNIP_MINLEN),
+        )
+        sub = t.filter(keep)
+        return pa.table(
+            {"s": pc.utf8_slice_codeunits(sub["text"], _SNIP_START, _SNIP_START + _SNIP_LEN)}
+        )
+
+    snippets = docs.map_batches(pick, batch_format="pyarrow").to_pandas()["s"].tolist()
+    return contamination_flags(docs, snippets)
+
+
+def q_d_pack_sequences(sf_dir: str) -> Any:
+    """Sequence packing: global token offsets over docs in doc_id order
+    (concatenate-and-chunk into 512-token training sequences) via the
+    distributed prefix sum — the exchange moves range totals, never
+    documents."""
+    from ..stages.packing import pack_sequences
+    from ..stages.text import bpe_token_count
+
+    toks = bpe_token_count(_docs(sf_dir))
+    return pack_sequences(
+        toks, budget=512, tokens_col="n_bpe_tokens", range_size=64, num_buckets=8
+    )
+
+
+def q_t_turn_rank(sf_dir: str) -> Any:
+    """RANK() window function: each turn's length rank within its
+    conversation (longest first; ties share a rank) over deduped
+    turns. Payload is projected to a length before the shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import dedup_kernel
+    from ..stages.window_fns import with_rank
+
+    ds = _t(sf_dir, ["conv_id", "turn_idx", "text"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    return with_rank(
+        ds.map_batches(project, batch_format="pyarrow"),
+        key="conv_id",
+        order="n_chars",
+        method="rank",
+        descending=True,
+        out_col="len_rank",
+        prepare=dedup_kernel,
+    )
+
+
 def q_m_binary_meta(sf_dir: str) -> Any:
     from ..stages.multimodal import binary_meta
 
@@ -918,6 +1015,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_corpus_prep": q_d_corpus_prep,
         "d_topk_per_lang": q_d_topk_per_lang,
         "d_sample_per_lang": q_d_sample_per_lang,
+        "d_scrub": q_d_scrub,
+        "d_contamination": q_d_contamination,
+        "d_pack_sequences": q_d_pack_sequences,
+        "t_turn_rank": q_t_turn_rank,
         "v_knn": q_v_knn,
         "v_group_centroid": q_v_group_centroid,
         "v_knn_ivf": q_v_knn_ivf,
@@ -1687,6 +1788,82 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
           FROM langed
         ) WHERE rn <= 5
+    """
+    # Sequential regex scrubbing: the nested regexp_replace chain IS
+    # the operator's sequential semantics; counts taken per stage.
+    sqls["d_scrub"] = r"""
+        WITH s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          FROM documents
+        ), s2 AS (
+          SELECT doc_id, c1,
+                 len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c2,
+                 regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id, c1, c2,
+                 len(regexp_extract_all(t2, '\+?\d[\d -]{7,}\d')) AS c3,
+                 regexp_replace(t2, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS t3
+          FROM s2
+        ), s4 AS (
+          SELECT doc_id, c1, c2, c3,
+                 len(regexp_extract_all(t3, '\b(customer|supplier)\b')) AS c4,
+                 regexp_replace(t3, '\b(customer|supplier)\b', '<NAME>', 'g') AS t4
+          FROM s3
+        )
+        SELECT doc_id, t4 AS text_clean,
+               CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_redactions
+        FROM s4
+    """
+    # Contamination: DISTINCT snippet containment count (one hit per
+    # snippet, not per occurrence) — the engine's broadcast semantics.
+    sqls["d_contamination"] = f"""
+        WITH snips AS (
+          SELECT DISTINCT substr(text, {_SNIP_START + 1}, {_SNIP_LEN}) AS s
+          FROM documents
+          WHERE doc_id % {_SNIP_EVERY} = 0 AND length(text) >= {_SNIP_MINLEN}
+        )
+        SELECT d.doc_id,
+               CAST(count(s.s) AS BIGINT) AS n_hits,
+               count(s.s) > 0 AS contaminated
+        FROM documents d LEFT JOIN snips s ON contains(d.text, s.s)
+        GROUP BY d.doc_id
+    """
+    # Sequence packing: global running token offset in doc_id order,
+    # chunked into 512-token sequences.
+    sqls["d_pack_sequences"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                      ' ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+')) AS BIGINT)
+                      AS n_bpe_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_bpe_tokens,
+                 CAST(COALESCE(SUM(n_bpe_tokens) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS off
+          FROM t
+        )
+        SELECT doc_id, n_bpe_tokens,
+               CAST(off // 512 AS BIGINT) AS seq_id,
+               CAST(off % 512 AS BIGINT) AS seq_off
+        FROM c
+    """
+    sqls["t_turn_rank"] = f"""
+        WITH t AS (
+          SELECT DISTINCT conv_id, turn_idx,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM {RAW}
+        )
+        SELECT conv_id, turn_idx, n_chars,
+               CAST(RANK() OVER (
+                   PARTITION BY conv_id ORDER BY n_chars DESC) AS BIGINT)
+                   AS len_rank
+        FROM t
     """
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).

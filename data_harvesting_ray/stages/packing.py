@@ -1,0 +1,134 @@
+"""Sequence packing: assign every document a position in a stream of
+fixed-token-budget training sequences (concatenate-and-chunk, the
+standard LM pretraining layout).
+
+Each doc gets (seq_id, seq_off): the sequence index and the token
+offset inside it, from the GLOBAL running token total over docs in
+``id_col`` order. Docs may straddle a budget boundary (chunking splits
+them), exactly like concatenate-then-chunk tokenization.
+
+Scale plan — a distributed prefix sum, no global sort:
+1. docs are range-bucketed by ``id_col // range_size`` (monotone in
+   id, so concatenating buckets in range order IS the global order);
+2. pass 1 pre-aggregates per-batch token sums per range inside
+   ``map_batches`` and reduces them with a tiny groupby — the exchange
+   moves at most |ranges| rows per block, never documents;
+3. the driver cumsums the |ranges| totals into per-range START OFFSETS
+   (|corpus| / range_size values — KBs at 100 TB) and broadcasts them
+   once via ``ray.put``;
+4. pass 2 hash-shuffles (id, tokens) metadata by range and each bucket
+   computes its local cumsum + its range's start offset.
+
+Reference analogue: the export stage that lays processed records into
+a dataset directory layout (``exports/yolov8/yolov8_export.py:33-90``)
+— here the "layout" is the token stream position, computed exactly
+and deterministically instead of by wall-clock filename.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .partition import apply_per_bucket
+
+_RANGE = "__pack_range"
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    range_size: int = 65536,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Pack (id, token-count) rows into ``budget``-token sequences in
+    ``id_col`` order. Output: (id_col, tokens_col, seq_id, seq_off).
+    ``id_col`` must be a non-negative integer id; ids need not be
+    dense (range buckets are monotone regardless), but heavily
+    clustered ids can skew range sizes — pick ``range_size`` near the
+    expected docs-per-bucket."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(f"{id_col} must be non-negative for range packing")
+        return pa.table(
+            {
+                id_col: t[id_col],
+                tokens_col: t[tokens_col],
+                _RANGE: pa.array(ids // range_size),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    # Pass 1: per-batch partials, then a tiny groupby — the exchange
+    # carries at most |ranges| rows per block.
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                _RANGE: t[_RANGE].to_numpy(zero_copy_only=False),
+                "s": t[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby(_RANGE, sort=False)["s"].sum().reset_index()
+        return pa.table(
+            {_RANGE: pa.array(g[_RANGE].to_numpy()), "s": pa.array(g["s"].to_numpy())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .groupby(_RANGE)
+        .aggregate(Sum("s", alias_name="range_tokens"))
+        .to_pandas()
+        .sort_values(_RANGE)
+    )
+    # start offset of each range = cumsum of all earlier ranges
+    starts = {
+        int(r): int(off)
+        for r, off in zip(
+            totals[_RANGE].to_numpy(),
+            np.concatenate(
+                ([0], np.cumsum(totals["range_tokens"].to_numpy())[:-1])
+            ),
+        )
+    }
+    starts_ref = ray.put(starts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(starts_ref)
+        g = g.sort_values(id_col, kind="stable")
+        toks = g[tokens_col].to_numpy().astype(np.int64)
+        rng = g[_RANGE].to_numpy().astype(np.int64)
+        # local running offset WITHIN each range (a bucket may hold
+        # several whole ranges): global cumsum minus each range's
+        # first-row cumsum, vectorized via first-occurrence gather
+        cs = np.cumsum(toks) - toks  # tokens BEFORE each row, bucket-wide
+        new_rng = np.empty(len(g), dtype=bool)
+        if len(g):
+            new_rng[0] = True
+            new_rng[1:] = rng[1:] != rng[:-1]
+        base = np.maximum.accumulate(np.where(new_rng, cs, 0))
+        local = cs - base
+        start = pd.Series(rng).map(offs).to_numpy(dtype=np.int64)
+        off = start + local
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                tokens_col: toks,
+                "seq_id": off // budget,
+                "seq_off": off % budget,
+            }
+        )
+
+    return apply_per_bucket(tagged, kernel, key=_RANGE, num_buckets=num_buckets)

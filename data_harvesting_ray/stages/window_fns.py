@@ -80,6 +80,63 @@ def with_lag(
     return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
 
 
+def with_rank(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    method: str = "rank",
+    descending: bool = False,
+    out_col: str = "rank",
+    prepare=None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``RANK() / DENSE_RANK() / ROW_NUMBER() OVER (PARTITION BY
+    key ORDER BY order [DESC])``. ``rank`` and ``dense_rank`` are
+    deterministic under ties (tied rows share a value); ``row_number``
+    breaks ties by the bucket's stable (key, order) sort and is only
+    deterministic when (key, order) pairs are unique — callers needing
+    a reproducible row_number must pass a tie-free order column.
+    Output: the input columns plus ``out_col`` (int64).
+
+    Same one-shuffle plan and cross-key vectorization as ``with_lag``:
+    order values are factorized to int codes (works for strings and
+    timestamps, and negation gives DESC), boundaries come from code
+    diffs — no per-key loop."""
+    if method not in ("rank", "dense_rank", "row_number"):
+        raise ValueError(f"unsupported method={method!r}")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if prepare is not None:
+            g = prepare(g)
+        if not len(g):
+            return g.assign(**{out_col: np.array([], dtype=np.int64)})
+        codes, _ = pd.factorize(g[key].to_numpy(), sort=False)
+        oc, _ = pd.factorize(g[order].to_numpy(), sort=True)
+        if descending:
+            oc = -oc
+        idx = np.lexsort((oc, codes))
+        g, codes, oc = g.iloc[idx], codes[idx], oc[idx]
+        n = len(g)
+        i = np.arange(n)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = codes[1:] != codes[:-1]
+        starts = np.maximum.accumulate(np.where(new_grp, i, 0))
+        if method == "row_number":
+            r = i - starts + 1
+        else:
+            new_val = new_grp.copy()
+            new_val[1:] |= oc[1:] != oc[:-1]
+            if method == "rank":
+                r = np.maximum.accumulate(np.where(new_val, i, 0)) - starts + 1
+            else:
+                cnv = np.cumsum(new_val)
+                r = cnv - cnv[starts] + 1
+        return g.assign(**{out_col: r.astype(np.int64)})
+
+    return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
+
+
 def rolling_sum(
     ds: ray.data.Dataset,
     key: str,

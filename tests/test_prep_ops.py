@@ -1,0 +1,210 @@
+"""Tests for the training-data prep operators added in round 3:
+scrub_text (PII redaction), contamination_flags, pack_sequences, and
+with_rank."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from .conftest import assert_frames_equal
+
+
+# --------------------------------------------------------------- scrub_text
+def test_scrub_pii_preset(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.scrub import PII_RULES, scrub_text
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "contact alice.smith+test@example.co.uk or bob@x.io today",
+                "server at 10.0.255.3 answered; backup 192.168.1.1 did not",
+                "call +1 415 555 0100 or 0800-123456 now",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    out = (
+        scrub_text(rd.from_pandas(docs), rules=PII_RULES)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "text_clean"] == "contact <EMAIL> or <EMAIL> today"
+    assert out.loc[0, "n_redactions"] == 2
+    assert out.loc[1, "text_clean"] == "server at <IP> answered; backup <IP> did not"
+    assert out.loc[1, "n_redactions"] == 2
+    assert "<PHONE>" in out.loc[2, "text_clean"]
+    assert "555" not in out.loc[2, "text_clean"]
+    assert out.loc[3, "text_clean"] == "nothing sensitive here"
+    assert out.loc[3, "n_redactions"] == 0
+
+
+def test_scrub_sequential_counts(ray_session):
+    """Counts are measured on the text AFTER earlier rules ran: a rule
+    whose matches were consumed by an earlier rule counts zero."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.scrub import scrub_text
+
+    docs = pd.DataFrame({"doc_id": [0], "text": ["abc abc"]})
+    out = scrub_text(
+        rd.from_pandas(docs), rules=[(r"abc", "x"), (r"abc", "y")]
+    ).to_pandas()
+    assert out.loc[0, "text_clean"] == "x x"
+    assert out.loc[0, "n_redactions"] == 2  # rule 2 found nothing left
+
+
+# ------------------------------------------------------ contamination_flags
+def test_contamination_flags(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.scrub import contamination_flags
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "a quick brown fox appears in this document too",
+                "completely unrelated content",
+                "quick brown fox AND lazy dog both appear here",
+            ],
+        }
+    )
+    out = (
+        contamination_flags(
+            rd.from_pandas(docs), snippets=["quick brown fox", "lazy dog"]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_hits"].tolist() == [2, 1, 0, 2]
+    assert out["contaminated"].tolist() == [True, True, False, True]
+
+
+def test_contamination_duplicate_snippets_count_once(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.scrub import contamination_flags
+
+    docs = pd.DataFrame({"doc_id": [0], "text": ["hello world"]})
+    out = contamination_flags(
+        rd.from_pandas(docs), snippets=["hello", "hello", "hello"]
+    ).to_pandas()
+    assert out.loc[0, "n_hits"] == 1  # deduplicated snippet list
+
+
+# ------------------------------------------------------------ pack_sequences
+def _pack_oracle(df: pd.DataFrame, budget: int) -> pd.DataFrame:
+    d = df.sort_values("doc_id").reset_index(drop=True)
+    off = np.concatenate(([0], np.cumsum(d["n_tokens"].to_numpy())[:-1]))
+    return pd.DataFrame(
+        {
+            "doc_id": d["doc_id"],
+            "n_tokens": d["n_tokens"].astype(np.int64),
+            "seq_id": off // budget,
+            "seq_off": off % budget,
+        }
+    )
+
+
+@pytest.mark.parametrize("range_size", [7, 64, 10_000])
+def test_pack_sequences_matches_serial_oracle(ray_session, range_size):
+    """Output is identical for any range decomposition (partitioning
+    invariance) and equals the serial cumsum oracle, including docs
+    straddling budget boundaries and non-dense ids."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    ids = np.unique(rng.integers(0, 10_000, size=400))  # non-dense
+    df = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "n_tokens": rng.integers(0, 900, size=len(ids)),  # some > budget
+        }
+    )
+    out = pack_sequences(
+        rd.from_pandas(df.sample(frac=1, random_state=3)),  # arrival-shuffled
+        budget=512,
+        range_size=range_size,
+        num_buckets=4,
+    ).to_pandas()
+    assert_frames_equal(out, _pack_oracle(df, 512), ["doc_id"])
+
+
+def test_pack_sequences_rejects_negative_ids(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.packing import pack_sequences
+
+    df = pd.DataFrame({"doc_id": [-1, 0], "n_tokens": [5, 5]})
+    with pytest.raises(Exception):
+        pack_sequences(rd.from_pandas(df), budget=16, num_buckets=2).to_pandas()
+
+
+# ------------------------------------------------------------------ with_rank
+def _rank_oracle(df: pd.DataFrame, method: str, ascending: bool) -> pd.Series:
+    m = {"rank": "min", "dense_rank": "dense", "row_number": "first"}[method]
+    return (
+        df.groupby("k")["v"].rank(method=m, ascending=ascending).astype(np.int64)
+    )
+
+
+@pytest.mark.parametrize("method", ["rank", "dense_rank", "row_number"])
+@pytest.mark.parametrize("descending", [False, True])
+def test_with_rank_randomized_vs_pandas(ray_session, method, descending):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import with_rank
+
+    rng = np.random.default_rng(23)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 17, size=n).astype(str),
+            "v": rng.integers(0, 9, size=n),  # heavy ties
+            "rid": np.arange(n),
+        }
+    )
+    if method == "row_number":
+        # row_number is only deterministic under a tie-free order
+        df["v"] = rng.permutation(n)
+    out = with_rank(
+        rd.from_pandas(df),
+        key="k",
+        order="v",
+        method=method,
+        descending=descending,
+        out_col="r",
+        num_buckets=4,
+    ).to_pandas()
+    want = df.assign(r=_rank_oracle(df, method, ascending=not descending))
+    assert_frames_equal(out, want, ["rid"])
+
+
+def test_with_rank_string_order_column(ray_session):
+    """Factorized order codes must sort strings lexicographically
+    (matching ORDER BY on a varchar)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import with_rank
+
+    df = pd.DataFrame(
+        {"k": ["a"] * 4, "v": ["banana", "apple", "cherry", "apple"]}
+    )
+    out = (
+        with_rank(rd.from_pandas(df), key="k", order="v", out_col="r", num_buckets=2)
+        .to_pandas()
+        .sort_values("v", kind="stable")
+        .reset_index(drop=True)
+    )
+    assert out["v"].tolist() == ["apple", "apple", "banana", "cherry"]
+    assert out["r"].tolist() == [1, 1, 3, 4]
