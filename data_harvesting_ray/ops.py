@@ -43,6 +43,7 @@ from .stages.similarity import (  # noqa: F401
 from .stages.text import (  # noqa: F401
     bpe_token_count,
     doc_dedup_exact,
+    explode_tokens,
     fingerprint_docs,
     lang_id,
     quality_score,
@@ -66,7 +67,11 @@ from .stages.packing import pack_sequences  # noqa: F401
 from .stages.sketches import heavy_hitters, heavy_tokens  # noqa: F401
 
 # reshapes / distributions / funnels
-from .stages.aggregates import pivot_counts, value_histogram  # noqa: F401
+from .stages.aggregates import (  # noqa: F401
+    pivot_counts,
+    rollup_counts,
+    value_histogram,
+)
 from .stages.events import funnel_events  # noqa: F401
 
 # windows / CEP / state

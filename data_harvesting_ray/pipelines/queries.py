@@ -885,6 +885,26 @@ def q_d_pack_sequences(sf_dir: str) -> Any:
     )
 
 
+def q_d_token_explode(sf_dir: str) -> Any:
+    """Generic one-to-many expansion (flat_map): whitespace tokens as
+    (doc_id, pos, token) rows, vectorized Arrow split + flatten."""
+    from ..stages.text import explode_tokens
+
+    return explode_tokens(_docs(sf_dir))
+
+
+def q_d_lang_rollup(sf_dir: str) -> Any:
+    """Multi-level ROLLUP counts over (lang, source): one pass over the
+    input, coarser levels re-aggregate the finest result."""
+    import data_harvesting_ray
+
+    from ..stages.aggregates import rollup_counts
+
+    data_harvesting_ray.configure_session()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return rollup_counts(ds, keys=["lang", "source"])
+
+
 def q_t_turn_rank(sf_dir: str) -> Any:
     """RANK() window function: each turn's length rank within its
     conversation (longest first; ties share a rank) over deduped
@@ -1018,6 +1038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_scrub": q_d_scrub,
         "d_contamination": q_d_contamination,
         "d_pack_sequences": q_d_pack_sequences,
+        "d_token_explode": q_d_token_explode,
+        "d_lang_rollup": q_d_lang_rollup,
         "t_turn_rank": q_t_turn_rank,
         "v_knn": q_v_knn,
         "v_group_centroid": q_v_group_centroid,
@@ -1852,6 +1874,19 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                CAST(off // 512 AS BIGINT) AS seq_id,
                CAST(off % 512 AS BIGINT) AS seq_off
         FROM c
+    """
+    sqls["d_token_explode"] = r"""
+        SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, token FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token,
+                 generate_subscripts(
+                     regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          FROM documents
+        )
+    """
+    sqls["d_lang_rollup"] = """
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY ROLLUP (lang, source)
     """
     sqls["t_turn_rank"] = f"""
         WITH t AS (

@@ -337,6 +337,67 @@ def lineitem_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def rollup_counts(
+    ds: ray.data.Dataset, keys: list[str]
+) -> ray.data.Dataset:
+    """``GROUP BY ROLLUP (k1, ..., kn)`` row counts: exact counts at
+    every prefix level of ``keys`` plus the grand total, rolled-up key
+    columns emitted as NULL (the SQL ROLLUP convention).
+
+    Scale plan: ONE pass over the input — per-batch partial counts,
+    one hash groupby at the FINEST level — then every coarser level
+    re-aggregates the finest RESULT (|distinct key combos| rows, never
+    the input again); the finest result is materialized once and
+    shared. Key columns must be strings (the NULL fill is a typed
+    string null)."""
+    if not keys:
+        raise ValueError("rollup_counts needs at least one key")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[keys].copy()
+        base["n"] = np.int64(1)
+        return base.groupby(keys, sort=False, as_index=False)["n"].sum()
+
+    finest = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def widen(level: int):
+        # fill rolled-up key columns with typed nulls
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys[:level]:
+                cols[k] = t[k]
+            for k in keys[level:]:
+                cols[k] = pa.nulls(len(t), pa.string())
+            cols["n"] = t["n"]
+            return pa.table(cols)
+
+        return fn
+
+    out = finest.map_batches(widen(len(keys)), batch_format="pyarrow")
+    for level in range(len(keys) - 1, 0, -1):
+        lvl = (
+            finest.groupby(keys[:level])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(widen(level), batch_format="pyarrow")
+        )
+        out = out.union(lvl)
+    total = int(finest.sum("n") or 0)
+    grand = ray.data.from_arrow(
+        pa.table(
+            {
+                **{k: pa.nulls(1, pa.string()) for k in keys},
+                "n": pa.array([total], pa.int64()),
+            }
+        )
+    )
+    return out.union(grand)
+
+
 def value_histogram(
     ds: ray.data.Dataset, col: str, bin_width: float
 ) -> ray.data.Dataset:

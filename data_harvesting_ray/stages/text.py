@@ -135,6 +135,48 @@ def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
 
 
+def explode_tokens(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """One-to-many expansion (the generic flat_map): each document's
+    whitespace tokens as (id, pos, token) rows — the token-level view
+    that vocabulary builds, position-weighted features, and n-gram
+    scans consume. Embarrassingly parallel, vectorized end-to-end
+    (Arrow split + list_flatten; ids/positions by ``np.repeat`` over
+    list lengths — no Python rows). Matches DuckDB
+    ``unnest(regexp_split_to_array(trim(text), '\\s+'))`` exactly,
+    including the single-empty-token row for an empty document.
+
+    Reference analogue: the video→frame expansion of S3
+    (``services/harvest_service.py:131-158``) — one input record
+    becoming an ordered stream of derived records."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t[text_col]), pattern=r"\s+"
+        )
+        lengths = (
+            pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        pos = np.arange(int(lengths.sum()), dtype=np.int64) - np.repeat(
+            offsets, lengths
+        )
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.repeat(t[id_col].to_numpy(zero_copy_only=False), lengths)
+                ),
+                "pos": pa.array(pos),
+                "token": pc.list_flatten(lists),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def doc_dedup_exact(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Exact text dedup: one surviving doc (min doc_id) per distinct
     text, via content-hash groupby — the scalable exact-dedup pattern

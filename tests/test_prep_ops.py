@@ -208,3 +208,54 @@ def test_with_rank_string_order_column(ray_session):
     )
     assert out["v"].tolist() == ["apple", "apple", "banana", "cherry"]
     assert out["r"].tolist() == [1, 1, 3, 4]
+
+
+# -------------------------------------------------------------- explode_tokens
+def test_explode_tokens_matches_split(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import explode_tokens
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b  c", "", "  x  ", "one"],
+        }
+    )
+    out = explode_tokens(rd.from_pandas(docs)).to_pandas()
+    want = pd.DataFrame(
+        {
+            "doc_id": [0, 0, 0, 1, 2, 3],
+            "pos": [0, 1, 2, 0, 0, 0],
+            # empty doc yields one empty token — the regexp_split SQL
+            # convention the oracle pins
+            "token": ["a", "b", "c", "", "x", "one"],
+        }
+    )
+    assert_frames_equal(out, want, ["doc_id", "pos"])
+
+
+# --------------------------------------------------------------- rollup_counts
+def test_rollup_counts_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import rollup_counts
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], size=300),
+            "b": rng.choice(["p", "q"], size=300),
+        }
+    )
+    out = rollup_counts(rd.from_pandas(df), keys=["a", "b"]).to_pandas()
+    fine = df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "n"})
+    lvl1 = df.groupby(["a"], as_index=False).size().rename(columns={"size": "n"})
+    lvl1["b"] = None
+    grand = pd.DataFrame({"a": [None], "b": [None], "n": [len(df)]})
+    want = pd.concat([fine, lvl1, grand], ignore_index=True)[["a", "b", "n"]]
+    g = out.fillna("∅").sort_values(["a", "b"]).reset_index(drop=True)
+    w = want.fillna("∅").sort_values(["a", "b"]).reset_index(drop=True)
+    w["n"] = w["n"].astype("int64")
+    g["n"] = g["n"].astype("int64")
+    pd.testing.assert_frame_equal(g[["a", "b", "n"]], w, check_dtype=False)
