@@ -550,7 +550,10 @@ def q_t_stats_join(sf_dir: str) -> Any:
 
     left = dedup_exact(_t(sf_dir, ["conv_id", "turn_idx", "role"]))
     stats = turn_stats(_t(sf_dir, _META_RT))
-    return equi_join(left, stats, on="conv_id", how="inner")
+    # prefilter="right" exercises the semi-join pushdown path under the
+    # gate (a no-op filter on this fixture — every conv has stats — but
+    # the code path is the one selective joins run)
+    return equi_join(left, stats, on="conv_id", how="inner", prefilter="right")
 
 
 def q_t_stats_join_broadcast(sf_dir: str) -> Any:

@@ -99,12 +99,63 @@ def orphan_kernel(g: pd.DataFrame, prepared: bool = False) -> pd.DataFrame:
 _JSIDE = "__join_side"
 
 
+# Above this many distinct keys the prefilter key set would strain the
+# driver/broadcast — skip the prefilter (correctness is unaffected).
+PREFILTER_KEY_CAP = 2_000_000
+
+
+def _distinct_keys(
+    ds: ray.data.Dataset, on_keys: list[str], cap: int
+) -> pd.DataFrame | None:
+    """Distinct join-key tuples of a side (per-batch dedup partials,
+    final dedup on the driver — key-scale, never row-scale). Returns
+    None when the set exceeds ``cap``."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[on_keys].drop_duplicates()
+
+    keys = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    keys = keys.drop_duplicates().reset_index(drop=True)
+    if len(keys) > cap:
+        import warnings
+
+        warnings.warn(
+            f"equi_join prefilter skipped: {len(keys)} distinct keys "
+            f"exceed cap {cap}"
+        )
+        return None
+    return keys
+
+
+def _semi_filter(
+    ds: ray.data.Dataset, keys: pd.DataFrame, on_keys: list[str]
+) -> ray.data.Dataset:
+    """Broadcast semi-join pushdown: drop rows whose join key cannot
+    match (the bloom-filter pattern, exact — the key set is broadcast
+    once via ``ray.put``)."""
+    import ray as _ray
+
+    ref = _ray.put(keys)
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(ref)
+        if len(on_keys) == 1:
+            k = on_keys[0]
+            return df[np.isin(df[k].to_numpy(), ks[k].to_numpy())]
+        m = df[on_keys].merge(ks.assign(__hit=1), on=on_keys, how="left")
+        return df[m["__hit"].notna().to_numpy()]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
 def equi_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on: str | list[str],
     how: str = "inner",
     num_buckets: int | None = None,
+    prefilter: str | None = None,
+    prefilter_cap: int = PREFILTER_KEY_CAP,
 ) -> ray.data.Dataset:
     """Generic distributed equi-join — the user-facing form of the J3
     correlation machinery (``tool_join`` is this plan specialized to
@@ -127,11 +178,30 @@ def equi_join(
     corrupt int64 ids above 2^53) — the fills are never observed, each
     kernel selects only the columns belonging to a row's own side; for
     ``how="left"`` the unmatched right integer columns come back as
-    pandas nullable Int* for the same reason."""
+    pandas nullable Int* for the same reason.
+
+    ``prefilter``: semi-join pushdown — collect the distinct key set of
+    the named side ("left" or "right") and drop the OTHER side's rows
+    whose keys cannot match BEFORE the shuffle (the runtime-filter /
+    bloom-filter pattern, exact). On selective joins this is the
+    difference between shuffling a table and shuffling its matching
+    subset. Sided correctness: "left" (filters right) is valid for
+    every ``how`` — right rows with no left partner influence no
+    output; "right" (filters left) only for "inner"/"semi", because
+    left rows WITHOUT a right partner are exactly what "left"/"anti"
+    must keep. Skipped with a warning past ``prefilter_cap`` distinct
+    keys (output unaffected either way)."""
     from .asof import _fields_resolved, _nullable_int_name
 
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if prefilter not in (None, "left", "right"):
+        raise ValueError(f"unsupported prefilter={prefilter!r}")
+    if prefilter == "right" and how in ("left", "anti"):
+        raise ValueError(
+            f'prefilter="right" would drop the unmatched left rows '
+            f"how={how!r} must keep"
+        )
     on_keys = [on] if isinstance(on, str) else list(on)
     left, lf = _fields_resolved(left)
     right, rf = _fields_resolved(right)
@@ -140,6 +210,15 @@ def equi_join(
     missing = [k for k in on_keys if k not in l_names or k not in r_names]
     if missing:
         raise ValueError(f"join key(s) missing from a side: {missing}")
+    if prefilter is not None:
+        keys = _distinct_keys(
+            left if prefilter == "left" else right, on_keys, prefilter_cap
+        )
+        if keys is not None:
+            if prefilter == "left":
+                right = _semi_filter(right, keys, on_keys)
+            else:
+                left = _semi_filter(left, keys, on_keys)
     r_value = [(n, t) for n, t in rf if n not in on_keys]
     overlap = {n for n, _ in r_value} & set(l_names)
     if overlap:

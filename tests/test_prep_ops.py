@@ -259,3 +259,94 @@ def test_rollup_counts_matches_pandas(ray_session):
     w["n"] = w["n"].astype("int64")
     g["n"] = g["n"].astype("int64")
     pd.testing.assert_frame_equal(g[["a", "b", "n"]], w, check_dtype=False)
+
+
+# --------------------------------------------------- equi_join key prefilter
+def _join_fixture():
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, size=300),
+            "lv": rng.integers(0, 1000, size=300),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            # only half the key space overlaps: the prefilter has
+            # something real to drop in both directions
+            "k": rng.integers(20, 60, size=250),
+            "rv": rng.integers(0, 1000, size=250),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize(
+    "how,side",
+    [
+        ("inner", "left"),
+        ("inner", "right"),
+        ("semi", "left"),
+        ("semi", "right"),
+        ("left", "left"),
+        ("anti", "left"),
+    ],
+)
+def test_equi_join_prefilter_output_identical(ray_session, how, side):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    left, right = _join_fixture()
+    base = equi_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how=how, num_buckets=4
+    ).to_pandas()
+    pre = equi_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="k",
+        how=how,
+        num_buckets=4,
+        prefilter=side,
+    ).to_pandas()
+    sort_cols = [c for c in ["k", "lv", "rv"] if c in base.columns]
+    assert_frames_equal(pre, base, sort_cols)
+
+
+@pytest.mark.parametrize("how", ["left", "anti"])
+def test_equi_join_prefilter_right_invalid_for_outer(ray_session, how):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    left, right = _join_fixture()
+    with pytest.raises(ValueError):
+        equi_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="k",
+            how=how,
+            prefilter="right",
+        )
+
+
+def test_equi_join_prefilter_cap_skips_but_stays_correct(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    left, right = _join_fixture()
+    with pytest.warns(UserWarning, match="prefilter skipped"):
+        out = equi_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="k",
+            how="inner",
+            num_buckets=4,
+            prefilter="left",
+            prefilter_cap=3,  # force the skip path
+        ).to_pandas()
+    base = equi_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how="inner", num_buckets=4
+    ).to_pandas()
+    assert_frames_equal(out, base, ["k", "lv", "rv"])
