@@ -182,6 +182,32 @@ def response_latency(df: pd.DataFrame) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def rolling_tool_rate(df: pd.DataFrame, window: int = 5) -> pd.DataFrame:
+    """Trailing-``window`` tool-call count per turn (SUM(is_call) OVER
+    (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW) over deduped rows)."""
+    d = _ordered(df).reset_index(drop=True)
+    is_call = (
+        (d["tool"].to_numpy() != "") & (d["role"].to_numpy() == "assistant")
+    ).astype(np.int64)
+    roll = (
+        pd.Series(is_call)
+        .groupby(d["conv_id"].to_numpy())
+        .rolling(window, min_periods=1)
+        .sum()
+        .reset_index(drop=True)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": d["conv_id"].to_numpy(),
+            "turn_idx": d["turn_idx"].to_numpy().astype(np.int32),
+            "calls_last5": roll,
+        }
+    )
+
+
 def orphan_calls(df: pd.DataFrame) -> pd.DataFrame:
     """Tool calls with no response (anti-join; FIXTURES.md F3.6)."""
     d = normalize(_ordered(df))

@@ -373,6 +373,14 @@ def q_t_streaming_latency(sf_dir: str) -> Any:
     return _run_streaming(sf_dir).results("latency")
 
 
+def q_t_streaming_rolling(sf_dir: str) -> Any:
+    """Streaming trailing-window channel: tool calls among each turn's
+    last 5 turns, emitted incrementally (the carried last window-1
+    flags per conv keep counts exact across epochs) — must equal the
+    bounded rolling_sum oracle."""
+    return _run_streaming(sf_dir).results("rolling")
+
+
 def q_e_tumbling(sf_dir: str) -> Any:
     from ..stages.events import tumbling_events
 
@@ -1011,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_streaming_tumbling": q_t_streaming_tumbling,
         "t_streaming_sliding": q_t_streaming_sliding,
         "t_streaming_latency": q_t_streaming_latency,
+        "t_streaming_rolling": q_t_streaming_rolling,
         "e_tumbling": q_e_tumbling,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
@@ -1912,6 +1921,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sqls["t_streaming_tumbling"] = sqls["t_tumbling_windows"]
     sqls["t_streaming_sliding"] = sqls["t_sliding_windows"]
     sqls["t_streaming_latency"] = sqls["t_response_latency"]
+    sqls["t_streaming_rolling"] = sqls["t_rolling_tool_rate"]
     sqls["t_response_latency_salted"] = sqls["t_response_latency"]
     # broadcast plan must be output-identical to the shuffle plan
     sqls["t_stats_join_broadcast"] = sqls["t_stats_join"]

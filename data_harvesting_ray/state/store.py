@@ -92,6 +92,11 @@ EMPTY_SCHEMAS = {
         "turn_idx": np.int32,
         "gap_us": np.int64,
     },
+    "rolling": {
+        "conv_id": object,
+        "turn_idx": np.int32,
+        "calls_last5": np.int64,
+    },
     "tumbling": {
         "conv_id": object,
         "window_start": "datetime64[us]",
@@ -156,6 +161,13 @@ class ShardState:
         # streaming-LAG carry: the last processed turn per conv, so
         # response-latency gaps are exact across close/epoch boundaries
         self.lag_carry = _empty(["conv_id", "turn_idx", "ts_us"])
+        # streaming-rolling carry: the last (window - 1) processed
+        # turns' tool-call flags per conv — the exact state a trailing
+        # ROWS window needs across close/epoch boundaries. The channel
+        # column stays "calls_last5" (the default window); roll_window
+        # changes the width, not the name.
+        self.roll_window = 5
+        self.roll_carry = _empty(["conv_id", "turn_idx", "is_call"])
         # per-conv last event ts, for TTL eviction of per-conv state
         self.conv_last = _empty(["conv_id", "last_us"])
         self.max_ts = NEG_INF
@@ -170,6 +182,7 @@ class ShardState:
             "tumbling_emitted": 0,
             "sliding_emitted": 0,
             "latency_emitted": 0,
+            "rolling_emitted": 0,
         }
 
     # ------------------------------------------------------------ ingest
@@ -246,6 +259,7 @@ class ShardState:
         tumbling = self._advance_tumbling(ready, wm, flush)
         sliding = self._advance_sliding(ready, wm, flush)
         latency = self._advance_latency(ready)
+        rolling = self._advance_rolling(ready)
         ttl_orphans = self._evict_expired(ready, wm)
         if len(ttl_orphans):
             orphans = pd.concat([orphans, ttl_orphans], ignore_index=True)
@@ -255,6 +269,7 @@ class ShardState:
         self.metrics["tumbling_emitted"] += len(tumbling)
         self.metrics["sliding_emitted"] += len(sliding)
         self.metrics["latency_emitted"] += len(latency)
+        self.metrics["rolling_emitted"] += len(rolling)
         out = {
             "sessions": sessions,
             "matches": matches,
@@ -263,6 +278,7 @@ class ShardState:
             "tumbling": tumbling,
             "sliding": sliding,
             "latency": latency,
+            "rolling": rolling,
         }
         if self.emit_turns:
             turns = ready.drop(columns=["text"], errors="ignore").copy()
@@ -316,6 +332,10 @@ class ShardState:
             if len(self.lag_carry):
                 self.lag_carry = self.lag_carry[
                     ~self.lag_carry["conv_id"].isin(expired)
+                ].reset_index(drop=True)
+            if len(self.roll_carry):
+                self.roll_carry = self.roll_carry[
+                    ~self.roll_carry["conv_id"].isin(expired)
                 ].reset_index(drop=True)
             self.conv_last = self.conv_last[~expired_mask].reset_index(drop=True)
         if len(self.pend_calls):
@@ -393,6 +413,70 @@ class ShardState:
         last[:-1] = codes[1:] != codes[:-1]
         self.lag_carry = both.loc[last, ["conv_id", "turn_idx", "ts_us"]].reset_index(
             drop=True
+        )
+        return out
+
+    # ------------------------------------------------- streaming ROLLING
+    def _advance_rolling(self, ready: pd.DataFrame) -> pd.DataFrame:
+        """Trailing-``roll_window`` tool-call count per turn (streaming
+        ``SUM(is_call) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``), emitted
+        incrementally as turns clear the watermark — the streaming
+        counterpart of ``stages/window_fns.rolling_sum``. The carry is
+        each conv's last (w - 1) processed rows' flags: exactly the
+        state a trailing ROWS window needs, so emissions are identical
+        to the bounded operator across any epoch decomposition. Same
+        ordering contract and vectorization as ``_advance_latency``."""
+        w = self.roll_window
+        if not len(ready):
+            return empty_frame("rolling")
+        is_call = (
+            (ready["tool"].to_numpy() != "")
+            & (ready["role"].to_numpy() == "assistant")
+        ).astype(np.int64)
+        new = pd.DataFrame(
+            {
+                "conv_id": ready["conv_id"].to_numpy(),
+                "turn_idx": ready["turn_idx"].to_numpy().astype(np.int64),
+                "is_call": is_call,
+                "_new": True,
+            }
+        )
+        if len(self.roll_carry):
+            both = pd.concat(
+                [self.roll_carry.assign(_new=False), new], ignore_index=True
+            )
+        else:
+            both = new
+        codes, _ = pd.factorize(both["conv_id"].to_numpy(), sort=False)
+        idx = np.lexsort((both["turn_idx"].to_numpy().astype(np.int64), codes))
+        both = both.iloc[idx].reset_index(drop=True)
+        codes = codes[idx]
+        v = both["is_call"].to_numpy().astype(np.int64)
+        n = len(both)
+        cs = np.cumsum(v)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = codes[1:] != codes[:-1]
+        starts = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+        # a carry holds exactly min(w-1, processed) rows per conv, so
+        # clipping at the LOCAL group start equals clipping at the true
+        # group start: young convs carry their whole history, old convs
+        # never clip
+        lo = np.maximum(starts, np.arange(n) - w + 1)
+        roll = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        emit = both["_new"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "conv_id": both["conv_id"].to_numpy()[emit],
+                "turn_idx": both["turn_idx"].to_numpy()[emit].astype(np.int32),
+                "calls_last5": roll[emit].astype(np.int64),
+            }
+        )
+        self.roll_carry = (
+            both.groupby(codes, sort=False)
+            .tail(w - 1)[["conv_id", "turn_idx", "is_call"]]
+            .reset_index(drop=True)
         )
         return out
 
@@ -763,11 +847,15 @@ class ShardState:
         d = pickle.loads(blob)
         s = cls.__new__(cls)
         s.__dict__.update(d)
-        # forward-compat with checkpoints written before the latency
-        # channel existed (resume across an engine upgrade)
+        # forward-compat with checkpoints written before the latency /
+        # rolling channels existed (resume across an engine upgrade)
         if "lag_carry" not in s.__dict__:
             s.lag_carry = _empty(["conv_id", "turn_idx", "ts_us"])
         s.metrics.setdefault("latency_emitted", 0)
+        if "roll_carry" not in s.__dict__:
+            s.roll_window = 5
+            s.roll_carry = _empty(["conv_id", "turn_idx", "is_call"])
+        s.metrics.setdefault("rolling_emitted", 0)
         return s
 
 
@@ -788,6 +876,7 @@ def reshard_states(blobs: list[bytes], num_shards: int, hash_fn) -> list[bytes]:
             s.slide_step_us = states[0]["slide_step_us"]
             s.state_ttl_us = states[0]["state_ttl_us"]
             s.emit_turns = states[0]["emit_turns"]
+            s.roll_window = states[0].get("roll_window", 5)
             s.max_ts = max(st["max_ts"] for st in states)
             s.frontier_wm = max(st["frontier_wm"] for st in states)
             if i == 0:  # cumulative metrics live on shard 0 after reshard
@@ -819,9 +908,12 @@ def reshard_states(blobs: list[bytes], num_shards: int, hash_fn) -> list[bytes]:
             "open_tumbles",
             "open_slides",
             "lag_carry",
+            "roll_carry",
             "conv_last",
         ):
-            for i, part in split_df(st[attr]):
+            # .get: checkpoints from before a channel existed lack its
+            # carry — reshard treats that as empty, like restore()
+            for i, part in split_df(st.get(attr, pd.DataFrame())):
                 cur = getattr(outs[i], attr)
                 setattr(outs[i], attr, pd.concat([cur, part], ignore_index=True))
         for attr in ("sess_next", "match_frontier"):

@@ -484,3 +484,8 @@ def test_streaming_randomized_differential_vs_reference(
         R.response_latency(df),
         ["conv_id", "turn_idx"],
     )
+    assert_frames_equal(
+        eng.results_pandas("rolling"),
+        R.rolling_tool_rate(df),
+        ["conv_id", "turn_idx"],
+    )
