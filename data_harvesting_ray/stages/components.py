@@ -26,6 +26,32 @@ import ray.data
 from .partition import apply_per_bucket
 
 
+def _components_local(edges: ray.data.Dataset, max_iter: int) -> ray.data.Dataset:
+    """Min-label propagation over a measured-small edge table as
+    vectorized numpy passes (one ``np.minimum.at`` scatter per
+    iteration — edges already carry both directions, so the one-sided
+    update is the full relaxation). Same fixpoint, same
+    convergence-or-raise contract as the distributed plan."""
+    uv = edges.to_pandas()
+    u = uv["u"].to_numpy().astype(np.int64)
+    v = uv["v"].to_numpy().astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u) :]
+    label = nodes.copy()
+    for _ in range(max_iter):
+        new = label.copy()
+        np.minimum.at(new, iv, label[iu])
+        if np.array_equal(new, label):
+            return ray.data.from_pandas(
+                pd.DataFrame({"doc_id": nodes, "group_id": label})
+            )
+        label = new
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        "iterations (component diameter exceeds max_iter); raise max_iter"
+    )
+
+
 def _min_label_per_key(ds: ray.data.Dataset, key: str, val: str, num_buckets) -> ray.data.Dataset:
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(key, sort=False, as_index=False)[val].min()
@@ -39,9 +65,19 @@ def connected_components(
     b: str = "doc_b",
     num_buckets: int | None = 16,
     max_iter: int = 50,
+    small_cap: int = 2_000_000,
 ) -> ray.data.Dataset:
     """(node, group_id) for every node appearing in ``pairs``, where
-    group_id = min node id of its connected component. Exact."""
+    group_id = min node id of its connected component. Exact.
+
+    Adaptive plan: the edge count is MEASURED after materialization
+    (never assumed); at or below ``small_cap`` edges (~32 MB of int64
+    pairs — verified near-dup tables are output-scale, so this is the
+    common case) the propagation runs as vectorized numpy passes on
+    the driver, skipping the per-iteration shuffle pair whose fixed
+    latency dominates small inputs. Past the cap the fully distributed
+    two-shuffles-per-iteration plan runs. Both paths are the same
+    min-label fixpoint and are conformance-tested identical."""
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         u = df[a].to_numpy().astype(np.int64)
@@ -54,12 +90,15 @@ def connected_components(
         ).drop_duplicates()
 
     edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import pyarrow as pa
 
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())})
         )
+    if n_edges <= small_cap:
+        return _components_local(edges, max_iter)
 
     # label(x) := min(x, min over neighbors) — seeded from the edges
     labels = _min_label_per_key(

@@ -350,3 +350,34 @@ def test_equi_join_prefilter_cap_skips_but_stays_correct(ray_session):
         rd.from_pandas(left), rd.from_pandas(right), on="k", how="inner", num_buckets=4
     ).to_pandas()
     assert_frames_equal(out, base, ["k", "lv", "rv"])
+
+
+# --------------------------------------------- connected components (paths)
+def test_components_local_and_distributed_paths_identical(ray_session):
+    """The measured-small driver path and the distributed label
+    propagation are the same min-label fixpoint: identical outputs on
+    a random graph with chains, cliques, and singleton-free nodes."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.components import connected_components
+
+    rng = np.random.default_rng(41)
+    # chain 0-1-2-...-9 (diameter), a clique on 100..104, random pairs
+    chain = [(i, i + 1) for i in range(9)]
+    clique = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    rand = [
+        (int(a), int(b))
+        for a, b in rng.integers(200, 260, size=(40, 2))
+        if a != b
+    ]
+    pairs = pd.DataFrame(chain + clique + rand, columns=["doc_a", "doc_b"])
+    ds = rd.from_pandas(pairs)
+    local = connected_components(ds, num_buckets=4).to_pandas()
+    dist = connected_components(
+        rd.from_pandas(pairs), num_buckets=4, small_cap=0
+    ).to_pandas()
+    assert_frames_equal(local, dist, ["doc_id"])
+    # chain collapses to min label 0
+    g = local.set_index("doc_id")["group_id"]
+    assert all(g[i] == 0 for i in range(10))
+    assert all(g[100 + i] == 100 for i in range(5))
