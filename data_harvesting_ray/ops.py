@@ -33,7 +33,10 @@ from .stages.dedup_approx import (  # noqa: F401
     ngram_jaccard_near_dups,
     simhash_near_dups,
 )
-from .stages.components import connected_components  # noqa: F401
+from .stages.components import (  # noqa: F401
+    connected_components,
+    keep_best_per_group,
+)
 from .stages.similarity import (  # noqa: F401
     embedding_near_dups,
     group_centroids,

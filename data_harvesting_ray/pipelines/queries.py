@@ -713,6 +713,59 @@ def q_d_dedup_groups(sf_dir: str) -> Any:
     return connected_components(rd.from_pandas(pairs), num_buckets=8)
 
 
+def q_d_keep_best(sf_dir: str) -> Any:
+    """Quality-ranked dedup end-game: one canonical survivor per
+    near-dup group — the member with the most BPE-ish tokens (ties to
+    the smallest id). Scores for grouped docs only ride the broadcast
+    semi-join; everything else never leaves the cluster."""
+    from ..stages.components import connected_components, keep_best_per_group
+    from ..stages.dedup_approx import minhash_near_dups
+    from ..stages.text import bpe_token_count
+
+    docs = _docs(sf_dir)
+    pairs = minhash_near_dups(docs, threshold_milli=700, num_buckets=16)
+    groups = connected_components(rd.from_pandas(pairs), num_buckets=8)
+    return keep_best_per_group(
+        groups, bpe_token_count(docs), score="n_bpe_tokens", num_buckets=8
+    )
+
+
+def q_e_asof_left(sf_dir: str) -> Any:
+    """LEFT as-of join: every purchase keeps its row even with no
+    prior click. The gate projection COALESCEs the nullable click id
+    to -1 (a total order for the value compare); the operator itself
+    emits true nulls (nullable Int64 / NaT)."""
+    import pandas as pd
+
+    from ..stages.asof import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    clicks = (
+        ev.filter(expr="event_type == 'click'")
+        .drop_columns(["event_type", "value"])
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["click_event_id" if c == "event_id" else c for c in t.column_names]
+            ).append_column("click_ts", t["ts"]),
+            batch_format="pyarrow",
+        )
+    )
+    j = asof_join(purchases, clicks, by="user_id", on="ts", num_buckets=16, how="left")
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["click_event_id"] = (
+            df["click_event_id"].fillna(-1).astype("int64")
+        )
+        return df
+
+    return j.map_batches(fill, batch_format="pandas")
+
+
 def q_d_simhash_near_dups(sf_dir: str) -> Any:
     """SQL-checked via a side signature table: the oracle reads the
     (doc_id, simhash) parquet computed driver-side with the SAME
@@ -1029,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_funnel": q_e_funnel,
         "t_role_pivot": q_t_role_pivot,
         "e_asof_attribution": q_e_asof_attribution,
+        "e_asof_left": q_e_asof_left,
         "e_asof_salted": q_e_asof_salted,
         "e_session_assign": q_e_session_assign,
         "d_fingerprint": q_d_fingerprint,
@@ -1043,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_near_dups": q_d_minhash_near_dups,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_dedup_groups": q_d_dedup_groups,
+        "d_keep_best": q_d_keep_best,
         "d_simhash_near_dups": q_d_simhash_near_dups,
         "d_corpus_prep": q_d_corpus_prep,
         "d_topk_per_lang": q_d_topk_per_lang,
@@ -1358,6 +1413,14 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
+        "e_asof_left": """
+            SELECT p.event_id, p.ts, p.user_id, p.value,
+                   COALESCE(c.event_id, -1) AS click_event_id,
+                   c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
         "e_session_assign": f"""
             WITH o AS (
               SELECT user_id, event_id, ts,
@@ -1566,6 +1629,57 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             )
             SELECT x AS doc_id, least(x, min(y)) AS group_id
             FROM reach GROUP BY x
+        """,
+        # Same transitive closure, then one survivor per group: argmax
+        # BPE-token count, ties to the smallest doc_id.
+        "d_keep_best": r"""
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(length(text) - 4, 1))) AS i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE (m * 1000) // (sa.n + sb.n - m) >= 700
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM p
+                UNION
+                SELECT doc_b, doc_a FROM p
+            ),
+            reach(x, y) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.x, e.v FROM reach r JOIN edges e ON r.y = e.u
+            ),
+            comp AS (
+                SELECT x AS doc_id, least(x, min(y)) AS group_id
+                FROM reach GROUP BY x
+            ),
+            toks AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                            ' ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+')) AS BIGINT)
+                            AS n_bpe_tokens
+                FROM documents
+            )
+            SELECT group_id, keep_doc_id, n_bpe_tokens FROM (
+                SELECT c.group_id, c.doc_id AS keep_doc_id, t.n_bpe_tokens,
+                       row_number() OVER (
+                           PARTITION BY c.group_id
+                           ORDER BY t.n_bpe_tokens DESC, c.doc_id) AS rn
+                FROM comp c JOIN toks t ON t.doc_id = c.doc_id
+            ) WHERE rn = 1
         """,
         # frame-sampling witness: every 2nd 64-byte frame of the
         # (ASCII) payload; byte slicing == substr on this corpus

@@ -139,9 +139,15 @@ def asof_join(
     by: str,
     on: str,
     num_buckets: int | None = None,
+    how: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner as-of join (direction=backward, exact matches allowed —
-    DuckDB's ``ASOF JOIN ... ON l.by = r.by AND l.on >= r.on``).
+    """As-of join (direction=backward, exact matches allowed —
+    DuckDB's ``ASOF [LEFT] JOIN ... ON l.by = r.by AND l.on >= r.on``).
+    ``how="inner"`` drops lefts with no at-or-before right row;
+    ``how="left"`` keeps them with null right values (right INTEGER
+    value columns then come back as pandas nullable Int* — never a
+    float64 round-trip, so int64 ids above 2^53 survive on matched
+    rows while unmatched rows carry NA).
 
     Non-key columns of the two sides must be disjoint (pre-rename the
     right side); every left column plus every right non-key column
@@ -149,7 +155,11 @@ def asof_join(
     the greatest position after a stable (on,)-sort — deterministic
     only if right keys are unique per (by, on), which callers should
     guarantee (dedup first)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
     u, l_names, r_value_names, int_cols = _widened_union(left, right, by, on)
+    l_int = {c: dt for c, dt in int_cols.items() if c in l_names}
+    r_int = {c: dt for c, dt in int_cols.items() if c in r_value_names}
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         lmask = g[_SIDE].to_numpy() == 0
@@ -158,26 +168,42 @@ def asof_join(
             on, kind="stable"
         )
         if not len(l) or not len(r):
-            out = l.iloc[0:0].copy()
+            out = (l.iloc[0:0] if how == "inner" else l).copy()
             for c in r_value_names:
-                out[c] = pd.Series(dtype=g[c].dtype)
+                if c in r_int:
+                    out[c] = pd.array(
+                        [pd.NA] * len(out), dtype=_nullable_int_name(r_int[c])
+                    )
+                else:
+                    out[c] = _na_like(g[c], out.index)
         else:
             # right int value columns ride as nullable Int* through the
             # merge: unmatched lefts produce NA, and a plain int64
             # column with any NaN widens the WHOLE column to float64,
             # corrupting matched values above 2^53
             for c in r_value_names:
-                if c in int_cols:
-                    r[c] = r[c].astype(_nullable_int_name(int_cols[c]))
+                if c in r_int:
+                    r[c] = r[c].astype(_nullable_int_name(r_int[c]))
             out = pd.merge_asof(
                 l, r, on=on, by=by, direction="backward", allow_exact_matches=True
             )
-            # inner join: the guaranteed non-null right marker column
-            # identifies matches (robust to null right values and to
-            # right sides with zero value columns)
-            out = out[out[_MATCH].notna()].drop(columns=[_MATCH])
-        for c, dt in int_cols.items():
+            if how == "inner":
+                # the guaranteed non-null right marker column identifies
+                # matches (robust to null right values and to right
+                # sides with zero value columns)
+                out = out[out[_MATCH].notna()]
+            out = out.drop(columns=[_MATCH])
+        # left integer columns never hold NA — restore exact numpy
+        # dtype; right ints restore only under inner (no NA possible),
+        # and stay nullable Int* under left
+        restore = int_cols if how == "inner" else l_int
+        for c, dt in restore.items():
             out[c] = out[c].astype(dt)
+        if how == "left":
+            for c, ext in (
+                (c, _nullable_int_name(dt)) for c, dt in r_int.items()
+            ):
+                out[c] = out[c].astype(ext)
         return out.reset_index(drop=True)
 
     return apply_per_bucket(u, kernel, key=by, num_buckets=num_buckets)

@@ -26,6 +26,60 @@ import ray.data
 from .partition import apply_per_bucket
 
 
+def keep_best_per_group(
+    groups: ray.data.Dataset,
+    metrics: ray.data.Dataset,
+    score: str,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    num_buckets: int | None = 16,
+) -> ray.data.Dataset:
+    """Canonical-survivor selection: one (group_id, keep_doc_id, score)
+    row per near-dup group — the member with the HIGHEST ``score``
+    (ties break to the smallest id), generalizing keep-min-id to
+    quality-ranked dedup (keep the longest / highest-quality document,
+    drop its near-duplicates).
+
+    Scale plan: scores for the grouped docs only are fetched via the
+    broadcast-id semi-join (group tables are verified-near-dup-scale,
+    orders of magnitude below the corpus) and shipped once via
+    ``ray.put``; the argmax runs vectorized per group under the shared
+    hash-bucket shuffle keyed on ``group_col``."""
+    import ray
+
+    from .dedup_approx import _fetch_involved_map
+    from .partition import apply_per_bucket
+
+    ids_df = groups.select_columns([id_col]).to_pandas()
+    involved = np.unique(ids_df[id_col].to_numpy().astype(np.int64))
+    score_map = _fetch_involved_map(metrics, involved, id_col, score)
+    missing = [int(i) for i in involved if i not in score_map]
+    if missing:
+        raise ValueError(
+            f"metrics side lacks {score!r} for {len(missing)} grouped ids "
+            f"(e.g. {missing[:3]})"
+        )
+    ref = ray.put(score_map)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(ref)
+        s = g[id_col].map(sm).to_numpy()
+        d = pd.DataFrame(
+            {
+                group_col: g[group_col].to_numpy(),
+                "keep_doc_id": g[id_col].to_numpy().astype(np.int64),
+                score: s,
+            }
+        ).sort_values(
+            [group_col, score, "keep_doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return d.drop_duplicates(group_col, keep="first").reset_index(drop=True)
+
+    return apply_per_bucket(groups, kernel, key=group_col, num_buckets=num_buckets)
+
+
 def _components_local(edges: ray.data.Dataset, max_iter: int) -> ray.data.Dataset:
     """Min-label propagation over a measured-small edge table as
     vectorized numpy passes (one ``np.minimum.at`` scatter per

@@ -381,3 +381,120 @@ def test_components_local_and_distributed_paths_identical(ray_session):
     g = local.set_index("doc_id")["group_id"]
     assert all(g[i] == 0 for i in range(10))
     assert all(g[100 + i] == 100 for i in range(5))
+
+
+# ------------------------------------------------------------- asof LEFT join
+def test_asof_left_join_keeps_unmatched_and_big_ints(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import asof_join
+
+    big = 2**61 + 12345  # would be corrupted by any float64 round-trip
+    left = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "ts": pd.to_datetime([10, 20, 5, 7], unit="s").astype("datetime64[us]"),
+            "lv": [100, 200, 300, 400],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": pd.to_datetime([15, 50], unit="s").astype("datetime64[us]"),
+            "rid": [big, big + 1],
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="user_id", on="ts", num_buckets=2, how="left",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4  # every left row kept
+    assert str(out["rid"].dtype) == "Int64"
+    # user 1 @20s matches the click @15s with the exact big id
+    matched = out[(out["user_id"] == 1) & (out["lv"] == 200)]["rid"].iloc[0]
+    assert int(matched) == big
+    # the other three rows have no at-or-before right row
+    assert out["rid"].isna().sum() == 3
+    # conformance vs pandas merge_asof on the same frames
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+    )
+    assert int(want["rid"].notna().sum()) == 1
+
+
+def test_asof_left_empty_right_bucket_typed(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import asof_join
+
+    left = pd.DataFrame(
+        {
+            "user_id": [7],
+            "ts": pd.to_datetime([3], unit="s").astype("datetime64[us]"),
+            "lv": [1],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype=np.int64),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "rv": pd.Series(dtype=np.int64),
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        by="user_id", on="ts", num_buckets=2, how="left",
+    ).to_pandas()
+    assert len(out) == 1 and out["rv"].isna().all()
+    assert str(out["rv"].dtype) == "Int64"
+
+
+# --------------------------------------------------------- keep_best_per_group
+def test_keep_best_per_group_argmax_and_ties(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.components import keep_best_per_group
+
+    groups = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 10, 11],
+            "group_id": [0, 0, 0, 10, 10],
+        }
+    )
+    metrics = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 10, 11, 99],
+            "n_tokens": [5, 9, 9, 4, 4, 1000],  # ties in both groups
+        }
+    )
+    out = (
+        keep_best_per_group(
+            rd.from_pandas(groups), rd.from_pandas(metrics),
+            score="n_tokens", num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("group_id")
+        .reset_index(drop=True)
+    )
+    # group 0: 1 and 2 tie at 9 -> smallest id 1; group 10: tie -> 10
+    assert out["keep_doc_id"].tolist() == [1, 10]
+    assert out["n_tokens"].tolist() == [9, 4]
+
+
+def test_keep_best_per_group_missing_score_raises(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.components import keep_best_per_group
+
+    groups = pd.DataFrame({"doc_id": [0, 1], "group_id": [0, 0]})
+    metrics = pd.DataFrame({"doc_id": [0], "n_tokens": [5]})
+    with pytest.raises(ValueError, match="lacks"):
+        keep_best_per_group(
+            rd.from_pandas(groups), rd.from_pandas(metrics), score="n_tokens"
+        )
