@@ -93,7 +93,12 @@ from .stages.join import (  # noqa: F401
     orphan_calls,
     tool_join,
 )
-from .stages.asof import asof_join, asof_join_salted, interval_join  # noqa: F401
+from .stages.asof import (  # noqa: F401
+    asof_join,
+    asof_join_salted,
+    interval_join,
+    overlap_join,
+)
 
 # aggregates
 from .stages.aggregates import (  # noqa: F401

@@ -766,6 +766,50 @@ def q_e_asof_left(sf_dir: str) -> Any:
     return j.map_batches(fill, batch_format="pandas")
 
 
+def q_e_overlap_join(sf_dir: str) -> Any:
+    """Range x range join: per user, every (odd-event 10-min window,
+    even-event 7-min window) pair that overlaps — the chunk-replication
+    interval-intersection join, each pair emitted exactly once by its
+    intersection-start chunk."""
+    import numpy as np
+
+    from ..stages.asof import overlap_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def spans(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sub = t.filter(pa.array(ids % 2 == side))
+            p = "a" if side == 1 else "b"
+            ts = sub["ts"]
+            end = pc.add(ts, pa.scalar((600 if side == 1 else 420) * 1_000_000, pa.duration("us")))
+            return pa.table(
+                {
+                    "user_id": sub["user_id"],
+                    f"{p}_id": sub["event_id"],
+                    f"{p}_start": ts,
+                    f"{p}_end": end,
+                }
+            )
+
+        return fn
+
+    a = ev.map_batches(spans(1), batch_format="pyarrow")
+    b = ev.map_batches(spans(0), batch_format="pyarrow")
+    return overlap_join(
+        a,
+        b,
+        by="user_id",
+        l_span=("a_start", "a_end"),
+        r_span=("b_start", "b_end"),
+        chunk_s=900,
+        num_buckets=16,
+    )
+
+
 def q_d_simhash_near_dups(sf_dir: str) -> Any:
     """SQL-checked via a side signature table: the oracle reads the
     (doc_id, simhash) parquet computed driver-side with the SAME
@@ -1083,6 +1127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_role_pivot": q_t_role_pivot,
         "e_asof_attribution": q_e_asof_attribution,
         "e_asof_left": q_e_asof_left,
+        "e_overlap_join": q_e_overlap_join,
         "e_asof_salted": q_e_asof_salted,
         "e_session_assign": q_e_session_assign,
         "d_fingerprint": q_d_fingerprint,
@@ -1420,6 +1465,20 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "e_overlap_join": """
+            WITH a AS (
+              SELECT user_id, event_id AS a_id, ts AS a_start,
+                     ts + INTERVAL 10 MINUTE AS a_end
+              FROM events WHERE event_id % 2 = 1
+            ), b AS (
+              SELECT user_id, event_id AS b_id, ts AS b_start,
+                     ts + INTERVAL 7 MINUTE AS b_end
+              FROM events WHERE event_id % 2 = 0
+            )
+            SELECT a.user_id, a_id, a_start, a_end, b_id, b_start, b_end
+            FROM a JOIN b ON a.user_id = b.user_id
+                         AND a_start <= b_end AND b_start <= a_end
         """,
         "e_session_assign": f"""
             WITH o AS (

@@ -347,6 +347,135 @@ def asof_join_salted(
     return matched.union(late)
 
 
+def overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    l_span: tuple[str, str],
+    r_span: tuple[str, str],
+    chunk_s: int = 3600,
+    num_buckets: int | None = None,
+    max_chunks_per_row: int = 1000,
+) -> ray.data.Dataset:
+    """Range × range join: per ``by`` key, every pair of intervals that
+    OVERLAP — ``l_start <= r_end AND r_start <= l_end`` (closed
+    intervals; inner). The general interval-intersection join
+    (``interval_join`` is the point-in-interval special case).
+
+    Physical plan — chunk replication, one shuffle: each interval is
+    replicated to every ``chunk_s``-second time chunk it spans, both
+    sides are co-located by hash(key, chunk), and each bucket joins
+    its chunk locally. An overlapping pair co-occurs in every chunk
+    their intersection spans; emitting ONLY in the chunk containing
+    the intersection's START (max of the two starts) yields each pair
+    exactly once — no dedup shuffle. Pick ``chunk_s`` near the typical
+    interval length: replication factor = interval_len / chunk_s + 1.
+    Rows spanning more than ``max_chunks_per_row`` chunks raise (an
+    interval 1000× the chunk size means the chunk was mis-sized; at
+    scale that is a silent data explosion, not a plan).
+
+    Non-key columns (including the span columns) must be disjoint
+    across sides. Span columns must be timestamps or int64."""
+    ls, le = l_span
+    rs, re_ = r_span
+    left, lf = _fields_resolved(left)
+    right, rf = _fields_resolved(right)
+    l_names = [n for n, _ in lf]
+    r_names = [n for n, _ in rf]
+    for c, side_names, side in ((ls, l_names, "left"), (le, l_names, "left"), (rs, r_names, "right"), (re_, r_names, "right")):
+        if c not in side_names:
+            raise ValueError(f"span column {c!r} missing from {side} side")
+    overlap_cols = (set(l_names) - {by}) & (set(r_names) - {by})
+    if overlap_cols:
+        raise ValueError(f"non-key columns collide across sides: {sorted(overlap_cols)}")
+    r_value = [(n, t) for n, t in rf if n != by]
+    all_fields = lf + r_value
+    int_cols = {
+        n: t.to_pandas_dtype() for n, t in all_fields if pa.types.is_integer(t)
+    }
+    r_value_names = [n for n, _ in r_value]
+    chunk_us = chunk_s * 1_000_000
+
+    def _us(col: pd.Series) -> np.ndarray:
+        v = col.to_numpy()
+        if np.issubdtype(v.dtype, np.datetime64):
+            return v.astype("datetime64[us]").astype(np.int64)
+        return v.astype(np.int64)
+
+    def _fill(typ: pa.DataType, n: int):
+        # typed synthetic fills so every bucket/block agrees on dtype:
+        # ints get 0 (never observed — kernels select own-side columns),
+        # timestamps NaT, floats NaN, everything else object-None
+        if pa.types.is_integer(typ):
+            return np.zeros(n, dtype=typ.to_pandas_dtype())
+        if pa.types.is_timestamp(typ):
+            return pd.Series([pd.NaT] * n, dtype=f"datetime64[{typ.unit}]")
+        if pa.types.is_floating(typ):
+            return np.full(n, np.nan, dtype=typ.to_pandas_dtype())
+        return pd.Series([None] * n, dtype=object)
+
+    def widen_explode(side: int, s_col: str, e_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            cols = {}
+            for name, typ in all_fields:
+                if name in df.columns:
+                    cols[name] = df[name].reset_index(drop=True)
+                else:
+                    cols[name] = _fill(typ, n)
+            out = pd.DataFrame(cols)
+            out[_SIDE] = np.int8(side)
+            lo = _us(df[s_col]) // chunk_us
+            hi = _us(df[e_col]) // chunk_us
+            if n and (hi - lo + 1).max() > max_chunks_per_row:
+                raise ValueError(
+                    f"an interval spans more than max_chunks_per_row="
+                    f"{max_chunks_per_row} chunks; raise chunk_s"
+                )
+            reps = (hi - lo + 1).astype(np.int64)
+            out = out.loc[out.index.repeat(reps)].reset_index(drop=True)
+            offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            out["__chunk"] = np.repeat(lo, reps) + (
+                np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(offs, reps)
+            )
+            return out
+
+        return fn
+
+    u = left.map_batches(
+        widen_explode(0, ls, le), batch_format="pandas"
+    ).union(right.map_batches(widen_explode(1, rs, re_), batch_format="pandas"))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g[_SIDE].to_numpy() == 0
+        l = g[lmask][l_names + ["__chunk"]]
+        r = g[~lmask][[by, "__chunk"] + r_value_names]
+        out_cols = l_names + r_value_names
+        if not len(l) or not len(r):
+            out = pd.DataFrame(
+                {name: _fill(typ, 0) for name, typ in all_fields}
+            )[out_cols]
+        else:
+            m = l.merge(r, on=[by, "__chunk"])
+            if len(m):
+                a0, a1 = _us(m[ls]), _us(m[le])
+                b0, b1 = _us(m[rs]), _us(m[re_])
+                keep = (
+                    (a0 <= b1)
+                    & (b0 <= a1)
+                    # exactly-once: only the chunk holding the
+                    # intersection start emits the pair
+                    & (np.maximum(a0, b0) // chunk_us == m["__chunk"].to_numpy())
+                )
+                m = m[keep]
+            out = m[out_cols] if len(m) else m.reindex(columns=out_cols).iloc[0:0]
+        for c, dt in int_cols.items():
+            out[c] = out[c].astype(dt)
+        return out.reset_index(drop=True)
+
+    return apply_per_bucket(u, kernel, key=[by, "__chunk"], num_buckets=num_buckets)
+
+
 def interval_join(
     points: ray.data.Dataset,
     intervals: ray.data.Dataset,

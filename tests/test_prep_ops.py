@@ -498,3 +498,73 @@ def test_keep_best_per_group_missing_score_raises(ray_session):
         keep_best_per_group(
             rd.from_pandas(groups), rd.from_pandas(metrics), score="n_tokens"
         )
+
+
+# ---------------------------------------------------------------- overlap_join
+def _overlap_oracle(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+    m = a.merge(b, on="k")
+    keep = (m["a_s"] <= m["b_e"]) & (m["b_s"] <= m["a_e"])
+    return m[keep].reset_index(drop=True)
+
+
+@pytest.mark.parametrize("chunk_s", [1, 7, 1000])
+def test_overlap_join_randomized_vs_allpairs(ray_session, chunk_s):
+    """Exactly-once pair emission for any chunk size (partitioning
+    invariance), including boundary-touching intervals (closed
+    semantics) and intervals spanning many chunks."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import overlap_join
+
+    rng = np.random.default_rng(53)
+    n = 150
+
+    def mk(prefix: str, ids):
+        s = rng.integers(0, 500, size=len(ids))
+        ln = rng.integers(0, 40, size=len(ids))  # zero-length allowed
+        return pd.DataFrame(
+            {
+                "k": rng.integers(0, 6, size=len(ids)),
+                f"{prefix}_id": ids,
+                f"{prefix}_s": pd.to_datetime(s, unit="s").astype("datetime64[us]"),
+                f"{prefix}_e": pd.to_datetime(s + ln, unit="s").astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+
+    a, b = mk("a", np.arange(n)), mk("b", np.arange(n) + 1000)
+    out = (
+        overlap_join(
+            rd.from_pandas(a), rd.from_pandas(b),
+            by="k", l_span=("a_s", "a_e"), r_span=("b_s", "b_e"),
+            chunk_s=chunk_s, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    want = _overlap_oracle(a, b).sort_values(["k", "a_id", "b_id"]).reset_index(drop=True)
+    assert_frames_equal(out, want, ["k", "a_id", "b_id"])
+
+
+def test_overlap_join_chunk_explosion_raises(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.asof import overlap_join
+
+    a = pd.DataFrame(
+        {
+            "k": [1],
+            "a_id": [1],
+            "a_s": pd.to_datetime([0], unit="s").astype("datetime64[us]"),
+            "a_e": pd.to_datetime([10_000], unit="s").astype("datetime64[us]"),
+        }
+    )
+    b = a.rename(columns={"a_id": "b_id", "a_s": "b_s", "a_e": "b_e"})
+    with pytest.raises(Exception, match="max_chunks_per_row"):
+        overlap_join(
+            rd.from_pandas(a), rd.from_pandas(b),
+            by="k", l_span=("a_s", "a_e"), r_span=("b_s", "b_e"),
+            chunk_s=1, num_buckets=2, max_chunks_per_row=100,
+        ).to_pandas()
