@@ -85,6 +85,7 @@ def corpus_prep(
     neardup_threshold_milli: int = 700,
     split_pct: tuple[int, int] = (90, 5),
     num_buckets: int | None = 16,
+    keep: str = "min_id",
 ) -> ray.data.Dataset:
     """documents (doc_id, text) -> curated corpus manifest
     (doc_id, lang_pred, n_tokens, stop_ratio_milli, n_bpe_tokens, split).
@@ -124,9 +125,33 @@ def corpus_prep(
     groups = connected_components(
         ray.data.from_pandas(pairs), num_buckets=8
     ).to_pandas()
-    losers = groups.loc[
-        groups["doc_id"].to_numpy() != groups["group_id"].to_numpy(), "doc_id"
-    ].to_numpy(dtype=np.int64)
+    if keep == "min_id":
+        losers = groups.loc[
+            groups["doc_id"].to_numpy() != groups["group_id"].to_numpy(), "doc_id"
+        ].to_numpy(dtype=np.int64)
+    elif keep == "best_tokens":
+        # quality-ranked survivor: the group member with the most
+        # BPE-ish tokens (ties to the smallest id); scores for grouped
+        # docs only ride the broadcast-id semi-join
+        from ..stages.dedup_approx import _fetch_involved_map
+
+        ids = np.unique(groups["doc_id"].to_numpy().astype(np.int64))
+        score_map = _fetch_involved_map(
+            survivors, ids, "doc_id", "n_bpe_tokens"
+        )
+        ranked = groups.assign(
+            _score=groups["doc_id"].map(score_map)
+        ).sort_values(
+            ["group_id", "_score", "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        keepers = ranked.drop_duplicates("group_id")["doc_id"].to_numpy(np.int64)
+        losers = np.setdiff1d(
+            groups["doc_id"].to_numpy().astype(np.int64), keepers
+        )
+    else:
+        raise ValueError(f"unsupported keep={keep!r}")
     losers_ref = ray.put(losers)  # near-dup-loser-scale: broadcast once
 
     train_p, val_p = split_pct

@@ -898,6 +898,15 @@ def q_d_corpus_prep(sf_dir: str) -> Any:
     return corpus_prep(_docs(sf_dir))
 
 
+def q_d_corpus_prep_best(sf_dir: str) -> Any:
+    """Corpus prep with the quality-ranked survivor mode: each near-dup
+    group keeps its highest-BPE-token member (ties to smallest id)
+    instead of the smallest id."""
+    from .corpus_prep import corpus_prep
+
+    return corpus_prep(_docs(sf_dir), keep="best_tokens")
+
+
 def q_d_topk_per_lang(sf_dir: str) -> Any:
     """Grouped top-k: the 3 longest (BPE-token) docs per predicted
     language — partial per-batch top-k before the shuffle, exact per
@@ -1145,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_keep_best": q_d_keep_best,
         "d_simhash_near_dups": q_d_simhash_near_dups,
         "d_corpus_prep": q_d_corpus_prep,
+        "d_corpus_prep_best": q_d_corpus_prep_best,
         "d_topk_per_lang": q_d_topk_per_lang,
         "d_sample_per_lang": q_d_sample_per_lang,
         "d_scrub": q_d_scrub,
@@ -1911,6 +1921,32 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         FROM s LEFT JOIN grp ON grp.doc_id = s.doc_id
         WHERE grp.doc_id IS NULL OR grp.gid = s.doc_id
     """
+    # Quality-ranked survivor variant: same chain, but each near-dup
+    # group keeps its max-n_bpe_tokens member (ties to smallest id).
+    _grp_close = "        )\n        SELECT s.doc_id"
+    _ranked_cte = (
+        "        ),\n"
+        "        ranked AS (\n"
+        "            SELECT grp.doc_id AS kid, row_number() OVER (\n"
+        "                PARTITION BY grp.gid\n"
+        "                ORDER BY s2.n_bpe_tokens DESC, grp.doc_id) AS rn\n"
+        "            FROM grp JOIN s s2 ON s2.doc_id = grp.doc_id\n"
+        "        )\n"
+        "        SELECT s.doc_id"
+    )
+    _min_id_filter = (
+        "FROM s LEFT JOIN grp ON grp.doc_id = s.doc_id\n"
+        "        WHERE grp.doc_id IS NULL OR grp.gid = s.doc_id"
+    )
+    _best_filter = (
+        "FROM s LEFT JOIN ranked ON ranked.kid = s.doc_id\n"
+        "        WHERE ranked.kid IS NULL OR ranked.rn = 1"
+    )
+    best = sqls["d_corpus_prep"].replace(_grp_close, _ranked_cte).replace(
+        _min_id_filter, _best_filter
+    )
+    assert best != sqls["d_corpus_prep"] and "ranked" in best
+    sqls["d_corpus_prep_best"] = best
     # Exact per-key count-distinct over assistant tool calls.
     sqls["t_distinct_tools"] = f"""
         SELECT conv_id, CAST(count(DISTINCT tool) AS BIGINT) AS n_tools
