@@ -20,7 +20,7 @@ layout; a downstream trainer reads ``split=train/`` directly):
 
     python -m data_harvesting_ray prep --docs documents.parquet \
         --out DIR [--lang en] [--min-tokens 20] [--min-stop-milli 30] \
-        [--neardup-threshold-milli 700]
+        [--neardup-threshold-milli 700] [--keep min_id|best_tokens]
 """
 
 from __future__ import annotations
@@ -38,6 +38,12 @@ def prep_main(argv: list[str]) -> int:
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--min-stop-milli", type=int, default=30)
     p.add_argument("--neardup-threshold-milli", type=int, default=700)
+    p.add_argument(
+        "--keep",
+        choices=("min_id", "best_tokens"),
+        default="min_id",
+        help="near-dup group survivor: smallest id or highest BPE-token count",
+    )
     args = p.parse_args(argv)
 
     import os
@@ -69,6 +75,7 @@ def prep_main(argv: list[str]) -> int:
         min_tokens=args.min_tokens,
         min_stop_milli=args.min_stop_milli,
         neardup_threshold_milli=args.neardup_threshold_milli,
+        keep=args.keep,
     )
     out.write_parquet(args.out, partition_cols=["split"])
     n = rd.read_parquet(args.out).count()

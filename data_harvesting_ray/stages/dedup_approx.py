@@ -275,11 +275,14 @@ def _fetch_involved_map(
     the driver."""
     ref = ray.put(np.sort(involved))
 
-    def filt(df: pd.DataFrame) -> pd.DataFrame:
-        keep = np.isin(df[key].to_numpy(), ray.get(ref))
-        return df[keep][[key, value]]
+    # Arrow batches end-to-end: an empty pandas block with object
+    # columns trips Ray's size estimator into a noisy per-block warning
+    # ("cannot call `vectorize` on size 0 inputs")
+    def filt(t: pa.Table) -> pa.Table:
+        keep = np.isin(t[key].to_numpy(zero_copy_only=False), ray.get(ref))
+        return t.filter(pa.array(keep)).select([key, value])
 
-    small = ds.map_batches(filt, batch_format="pandas").to_pandas()
+    small = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
     return dict(zip(small[key], small[value]))
 
 
@@ -292,11 +295,11 @@ def _involved_docs(
     rows STAY a Dataset (payloads never visit the driver)."""
     ref = ray.put(np.sort(involved))
 
-    def filt(df: pd.DataFrame) -> pd.DataFrame:
-        keep = np.isin(df[key].to_numpy(), ray.get(ref))
-        return df[keep][[key, value]]
+    def filt(t: pa.Table) -> pa.Table:
+        keep = np.isin(t[key].to_numpy(zero_copy_only=False), ray.get(ref))
+        return t.filter(pa.array(keep)).select([key, value])
 
-    return ds.map_batches(filt, batch_format="pandas")
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 def attach_value_distributed(
