@@ -234,6 +234,19 @@ def test_shard_actor_death_then_resume_is_exactly_once(
         R.tumbling_windows(df_small),
         ["conv_id", "window_start"],
     )
+    # carry-based channels: the per-conv LAG / trailing-window carries
+    # must survive the crash via the checkpoint (a lost carry would
+    # split a gap or a window across the resume boundary)
+    assert_frames_equal(
+        eng2.results_pandas("latency"),
+        R.response_latency(df_small),
+        ["conv_id", "turn_idx"],
+    )
+    assert_frames_equal(
+        eng2.results_pandas("rolling"),
+        R.rolling_tool_rate(df_small),
+        ["conv_id", "turn_idx"],
+    )
 
 
 def test_manifest_gates_visibility(tmp_path):
