@@ -46,6 +46,7 @@ from .stages.similarity import (  # noqa: F401
 from .stages.text import (  # noqa: F401
     bpe_token_count,
     doc_dedup_exact,
+    explode_ngrams,
     explode_tokens,
     fingerprint_docs,
     lang_id,

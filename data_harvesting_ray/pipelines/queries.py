@@ -1010,6 +1010,15 @@ def q_d_token_explode(sf_dir: str) -> Any:
     return explode_tokens(_docs(sf_dir))
 
 
+def q_d_trigram_explode(sf_dir: str) -> Any:
+    """Word-trigram expansion: (doc_id, pos, ngram) rows — the
+    phrase-granular view for shingle fingerprints and n-gram
+    contamination checks."""
+    from ..stages.text import explode_ngrams
+
+    return explode_ngrams(_docs(sf_dir), n=3)
+
+
 def q_d_lang_rollup(sf_dir: str) -> Any:
     """Multi-level ROLLUP counts over (lang, source): one pass over the
     input, coarser levels re-aggregate the finest result."""
@@ -1161,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_contamination": q_d_contamination,
         "d_pack_sequences": q_d_pack_sequences,
         "d_token_explode": q_d_token_explode,
+        "d_trigram_explode": q_d_trigram_explode,
         "d_lang_rollup": q_d_lang_rollup,
         "t_turn_rank": q_t_turn_rank,
         "v_knn": q_v_knn,
@@ -2104,6 +2114,16 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                      regexp_split_to_array(trim(text), '\s+'), 1) AS pos
           FROM documents
         )
+    """
+    sqls["d_trigram_explode"] = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        )
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(toks[i:i+2], ' ') AS ngram
+        FROM t, LATERAL (SELECT unnest(generate_series(
+            1, greatest(len(toks) - 2, 0))) AS i)
     """
     sqls["d_lang_rollup"] = """
         SELECT lang, source, CAST(count(*) AS BIGINT) AS n

@@ -375,7 +375,15 @@ def overlap_join(
     scale that is a silent data explosion, not a plan).
 
     Non-key columns (including the span columns) must be disjoint
-    across sides. Span columns must be timestamps or int64."""
+    across sides. Span columns must be timestamps or int64.
+
+    Partitioning assumption: work concentrates per (key, chunk) — a
+    single key whose intervals pile into the same chunk makes that
+    bucket's local join quadratic in its row count. That is inherent
+    to the semantics (those pairs all overlap and must all be
+    emitted); what chunking guarantees is that a hot KEY spread over
+    TIME still parallelizes, the analogue of the salted plans'
+    (key, time-chunk) decomposition."""
     ls, le = l_span
     rs, re_ = r_span
     left, lf = _fields_resolved(left)

@@ -177,6 +177,57 @@ def explode_tokens(
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def explode_ngrams(
+    ds: ray.data.Dataset,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Word n-grams as (id, pos, ngram) rows — the n-gram-granular
+    expansion behind shingle fingerprints and benchmark-overlap checks
+    (contamination at phrase rather than snippet granularity).
+    Documents with fewer than ``n`` tokens emit nothing.
+
+    Vectorized: one Arrow split per batch, then the n-gram strings are
+    assembled by n-1 shifted pandas object-array concatenations over
+    the FLAT token array; windows that would cross a document boundary
+    are masked out by position, so no per-document loop runs."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t[text_col]), pattern=r"\s+"
+        )
+        lengths = (
+            pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pd.Series(pc.list_flatten(lists).to_pandas(), dtype=object)
+        total = int(lengths.sum())
+        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets, lengths)
+        doc_len = np.repeat(lengths, lengths)
+        valid = pos <= doc_len - n  # window stays inside its document
+        if total and n > 1:
+            grams = flat.copy()
+            for k in range(1, n):
+                grams = grams + " " + flat.shift(-k)
+        else:
+            grams = flat
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lengths)
+        return pa.table(
+            {
+                id_col: pa.array(ids[valid]),
+                "pos": pa.array(pos[valid]),
+                "ngram": pa.array(grams.to_numpy()[valid], pa.string()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def doc_dedup_exact(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Exact text dedup: one surviving doc (min doc_id) per distinct
     text, via content-hash groupby — the scalable exact-dedup pattern

@@ -568,3 +568,33 @@ def test_overlap_join_chunk_explosion_raises(ray_session):
             by="k", l_span=("a_s", "a_e"), r_span=("b_s", "b_e"),
             chunk_s=1, num_buckets=2, max_chunks_per_row=100,
         ).to_pandas()
+
+
+# -------------------------------------------------------------- explode_ngrams
+def test_explode_ngrams_boundaries(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import explode_ngrams
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c d", "x y", "lonely", "p q r"],
+        }
+    )
+    out = (
+        explode_ngrams(rd.from_pandas(docs), n=3)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    # doc 1 (2 tokens) and doc 2 (1 token) emit nothing; windows never
+    # cross document boundaries
+    want = pd.DataFrame(
+        {
+            "doc_id": [0, 0, 3],
+            "pos": [0, 1, 0],
+            "ngram": ["a b c", "b c d", "p q r"],
+        }
+    )
+    assert_frames_equal(out, want, ["doc_id", "pos"])
