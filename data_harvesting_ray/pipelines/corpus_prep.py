@@ -67,13 +67,16 @@ class CorpusMetrics:
         return out
 
 
-def _gate(df: pd.DataFrame, lang: str, min_tokens: int, min_stop_milli: int) -> pd.DataFrame:
+def _gate(df: pd.DataFrame, lang: str, min_tokens: int, min_stop_milli: int) -> pa.Table:
     keep = (
         (df["lang_pred"].to_numpy() == lang)
         & (df["n_tokens"].to_numpy() >= min_tokens)
         & (df["stop_ratio_milli"].to_numpy() >= min_stop_milli)
     )
-    return df[keep]
+    # Arrow out, metadata-less: pandas blocks carry an unhashable
+    # schema that knocks every downstream shuffle aggregator off its
+    # schema-dedup fast path (logged once per aggregator)
+    return pa.Table.from_pandas(df[keep], preserve_index=False).replace_schema_metadata(None)
 
 
 def corpus_prep(

@@ -327,7 +327,9 @@ def lineitem_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
             .groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
             .sum()
         )
-        return pa.Table.from_pandas(part, preserve_index=False)
+        # metadata-less schema: keeps the shuffle aggregators on their
+        # schema-dedup fast path (metadata'd schemas are unhashable)
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]

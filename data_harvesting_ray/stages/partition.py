@@ -70,7 +70,13 @@ def add_bucket(
 
     def assign(t: pa.Table) -> pa.Table:
         h = _stable_hash_cols(t, keys)
-        return t.append_column("bucket", pa.array((h % b).astype(np.int64)))
+        # strip schema metadata (parquet/pandas provenance blobs): a
+        # pa.Schema with ANY metadata is unhashable, which knocks the
+        # shuffle aggregators off their schema-dedup fast path and logs
+        # a warning per aggregator; the metadata carries no data
+        return t.replace_schema_metadata(None).append_column(
+            "bucket", pa.array((h % b).astype(np.int64))
+        )
 
     return ds.map_batches(assign, batch_format="pyarrow")
 
