@@ -191,13 +191,70 @@ def run_scale_one() -> dict:
     }
 
 
-def run_scaling() -> dict:
+def run_scale_one_streaming() -> dict:
+    """One fresh-process scaling sample for the STREAMING engine (the
+    latency mode: epoch loop, watermarks, exactly-once sink) over the
+    large fixture.
+
+    Shard count: "auto" (default) uses the engine's CPU-proportional
+    default at each level — the realistic resize mode, because the
+    engine reshards checkpointed state on resume (reshard-on-resume is
+    a tested first-class path), so an N→4N cluster carries its state
+    into 4N-proportional shards rather than staying shard-bound.
+    GRAFT_SCALE_SHARDS=<int> pins a fixed count instead (measures the
+    shard-bound regime: 0.45 efficiency at 8 shards, 4→16 CPUs —
+    recorded in BASELINE.md for contrast)."""
+    import glob as _glob
+    import tempfile
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    import data_harvesting_ray
+
+    data_harvesting_ray.configure_session()
+    from data_harvesting_ray.fixtures.generator import GenParams, ensure_fixture
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+
+    scale_fixture = os.environ.get("GRAFT_SCALE_FIXTURE", "sfxxl")
+    d = ensure_fixture(scale_fixture, GenParams(n_convs=600_000))
+    files = sorted(_glob.glob(os.path.join(d, "epochs", "epoch=*", "part-*.parquet")))
+    n = rd.read_parquet(files, partitioning=None).count()  # warm page cache
+    shards_env = os.environ.get("GRAFT_SCALE_SHARDS", "auto")
+    shards = None if shards_env == "auto" else int(shards_env)
+    t0 = time.time()
+    eng = StreamingEngine(
+        tempfile.mkdtemp(prefix="scale-stream-"), num_shards=shards, checkpoint=True
+    )
+    eng.run(epochs_root=os.path.join(d, "epochs"))
+    dt = time.time() - t0
+    ray.shutdown()
+    return {
+        "value": round(dt, 3),
+        "n_turns": n,
+        "turns_per_sec": round(n / dt, 1),
+        "num_cpus": NUM_CPUS,
+        "num_shards": eng.num_shards,
+    }
+
+
+def run_scaling(which: str = "--scale-one") -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         best = None
         for _ in range(int(os.environ.get("GRAFT_SCALE_REPS", "2"))):
             res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-one"],
+                [sys.executable, os.path.abspath(__file__), which],
                 env=env,
                 capture_output=True,
                 text=True,
@@ -220,7 +277,11 @@ def run_scaling() -> dict:
     eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
     return {
         "metric": "scaling_efficiency",
-        "pipeline": "flagship_bounded (sessions+CEP+join, one shuffle)",
+        "pipeline": (
+            "streaming_engine (epochs, watermarks, exactly-once sink)"
+            if which == "--scale-one-streaming"
+            else "flagship_bounded (sessions+CEP+join, one shuffle)"
+        ),
         "cpus_lo": n_lo,
         "cpus_hi": n_hi,
         "sec_lo": lo["value"],
@@ -233,8 +294,12 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-streaming" in sys.argv:
+        print(json.dumps(run_scaling("--scale-one-streaming")))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--scale-one-streaming" in sys.argv:
+        print(json.dumps(run_scale_one_streaming()))
     elif "--scale-one" in sys.argv:
         print(json.dumps(run_scale_one()))
     else:

@@ -302,6 +302,82 @@ def epochs_root(sf_dir_or_name: str) -> str:
     return os.path.join(ensure_fixture(sf_dir_or_name), "epochs")
 
 
+def ivf_side_paths(
+    sf_dir_or_name: str,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 10,
+    sample_frac: float = 0.5,
+    seed: int = 13,
+) -> tuple[str, str]:
+    """(vec_id → IVF cell) assignments and (query_id → probed cell)
+    lists for an sf dir's embeddings, recomputed DRIVER-SIDE in plain
+    numpy with the SAME shared kernels the engine uses
+    (``similarity.ivf_sample_mask`` + ``kmeans_lloyd`` + argmax cell
+    assignment) and cached beside the fixtures.
+
+    This makes the IVF KNN query SQL-checkable: centroid training is
+    not SQL-expressible, but with assignments and probe lists as INPUT
+    tables DuckDB independently verifies the distributed part — the
+    probed-cell candidate scan, exclusion of self, cosine ranking and
+    top-k — via list_cosine_similarity over the embeddings view."""
+    import numpy as np
+
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    cells_out = os.path.join(out_dir, "ivf_cells.parquet")
+    probes_out = os.path.join(out_dir, "ivf_probes.parquet")
+    if os.path.exists(cells_out) and os.path.exists(probes_out):
+        return cells_out, probes_out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    from ..stages.similarity import (
+        _normalize_rows,
+        _stack,
+        ivf_sample_mask,
+        kmeans_lloyd,
+    )
+
+    emb = pq.read_table(
+        os.path.join(src_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    mraw = _stack(emb["embedding"])
+    # kmeans_lloyd normalizes internally — pass RAW rows exactly like
+    # the engine's train_centroids (a second normalization would move
+    # float bits and diverge the centroids)
+    cents = kmeans_lloyd(mraw[ivf_sample_mask(ids, sample_frac)], n_centroids, seed=seed)
+    m = _normalize_rows(mraw)
+    cell = np.argmax(m @ cents.T, axis=1).astype(np.int64)
+    qmask = ids < n_queries
+    order = np.argsort(ids[qmask])
+    qids, qn = ids[qmask][order], m[qmask][order]
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    os.makedirs(out_dir, exist_ok=True)
+    for out, table in (
+        (cells_out, pa.table({"vec_id": ids, "cell": cell})),
+        (
+            probes_out,
+            pa.table(
+                {
+                    "query_id": np.repeat(qids, nprobe),
+                    "cell": probe.reshape(-1).astype(np.int64),
+                }
+            ),
+        ),
+    ):
+        tmp = out + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            os.unlink(tmp)
+    return cells_out, probes_out
+
+
 def simhash_sigs_path(sf_dir_or_name: str) -> str:
     """(doc_id, simhash) side table for the documents of an sf dir,
     computed DRIVER-SIDE in plain pandas (no Ray) with the shared

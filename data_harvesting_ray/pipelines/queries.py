@@ -859,8 +859,16 @@ def q_v_group_centroid(sf_dir: str) -> Any:
 
 
 def q_v_knn_ivf(sf_dir: str) -> Any:
+    """SQL-checked via IVF side tables: centroid training is not
+    SQL-expressible, but the (vec_id, cell) assignments and per-query
+    probe lists — recomputed independently driver-side with the same
+    shared kernels (fixtures.generator.ivf_side_paths) — let DuckDB
+    verify the distributed probed-cell scan, self-exclusion, cosine
+    ranking and top-k."""
+    from ..fixtures.generator import ivf_side_paths
     from ..stages.similarity import knn_ivf
 
+    ivf_side_paths(sf_dir)  # ensure the oracle's input exists
     qids, qvecs = _query_vectors(sf_dir)
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_ivf(emb, qids, qvecs, k=5)
@@ -1187,11 +1195,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # -------------------------------------------------------------- oracle SQL
 def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
-    from ..fixtures.generator import neardup_embeddings_path, simhash_sigs_path
+    from ..fixtures.generator import (
+        ivf_side_paths,
+        neardup_embeddings_path,
+        simhash_sigs_path,
+    )
 
     p = transcripts_path(sf_name)  # ensures the fixture exists
     ep = neardup_embeddings_path(sf_name)  # planted-near-dup embeddings
     sp = simhash_sigs_path(sf_name)  # engine-kernel simhash signatures
+    ivf_cells, ivf_probes = ivf_side_paths(sf_name)  # IVF assignments/probes
     RAW = f"read_parquet('{p}')"
     T = f"(SELECT DISTINCT * FROM {RAW})"
     NORM = (
@@ -1605,6 +1618,26 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                               AS BIGINT) AS e_micro
                   FROM embeddings)
             GROUP BY label, dim
+        """,
+        "v_knn_ivf": f"""
+            WITH cells AS (SELECT * FROM read_parquet('{ivf_cells}')),
+            probes AS (SELECT * FROM read_parquet('{ivf_probes}')),
+            cand AS (
+              SELECT p.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS sim
+              FROM probes p
+              JOIN cells c ON c.cell = p.cell
+              JOIN embeddings e ON e.vec_id = c.vec_id
+              JOIN embeddings q ON q.vec_id = p.query_id
+              WHERE e.vec_id <> p.query_id
+            )
+            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rn
+              FROM cand
+            ) WHERE rn <= 5
         """,
         "v_knn": """
             SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (

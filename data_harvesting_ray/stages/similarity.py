@@ -74,14 +74,20 @@ def knn_bruteforce(
     return topk[["query_id", "neighbor_id", "rank"]]
 
 
-def train_centroids(
-    ds: ray.data.Dataset, n_centroids: int = 16, sample_frac: float = 0.5, iters: int = 10, seed: int = 13
+def ivf_sample_mask(ids: np.ndarray, sample_frac: float = 0.5) -> np.ndarray:
+    """Deterministic training-sample membership by golden-ratio integer
+    hash on the id — a pure function of the TABLE, reproducible in
+    plain pandas (the side-table oracle) and stable across block
+    layouts/parallelism (``ds.random_sample``'s per-block RNG is
+    neither)."""
+    return (ids.astype(np.int64) * 2654435761) % 1000 < int(sample_frac * 1000)
+
+
+def kmeans_lloyd(
+    sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 13
 ) -> np.ndarray:
-    """k-means on a driver-side sample (Lloyd, deterministic seed) —
-    the small-model-training step of an IVF index."""
-    sample = _stack(
-        ds.random_sample(sample_frac, seed=seed).select_columns(["embedding"]).to_pandas()["embedding"]
-    )
+    """Plain Lloyd k-means on an in-memory sample (deterministic seed) —
+    shared by the engine and the driver-side oracle recompute."""
     sample = _normalize_rows(sample)
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
@@ -93,6 +99,24 @@ def train_centroids(
                 cents[c] = members.mean(axis=0)
         cents = _normalize_rows(cents)
     return cents
+
+
+def train_centroids(
+    ds: ray.data.Dataset, n_centroids: int = 16, sample_frac: float = 0.5, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """k-means on a driver-side sample (Lloyd, deterministic seed) —
+    the small-model-training step of an IVF index. The sample is the
+    deterministic ``ivf_sample_mask`` subset, so the centroids are a
+    pure function of the table (the IVF side-table oracle recomputes
+    them independently)."""
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[ivf_sample_mask(df["vec_id"].to_numpy(), sample_frac)][
+            ["embedding"]
+        ]
+
+    sample = _stack(ds.map_batches(pick, batch_format="pandas").to_pandas()["embedding"])
+    return kmeans_lloyd(sample, n_centroids, iters=iters, seed=seed)
 
 
 def knn_ivf(
