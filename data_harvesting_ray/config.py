@@ -37,6 +37,11 @@ class EngineConfig:
     # emit the deduped on-time turn stream (incl. enrich-derived
     # columns) as a committed `turns` channel
     emit_turns: bool = False
+    # optional derived channels to compute/commit (None = all of
+    # tumbling/sliding/latency/rolling). At scale the full-volume
+    # derived channels dominate close/commit cost when unconsumed —
+    # this is output-side pruning, the sink analogue of `columns=`
+    channels: tuple[str, ...] | None = None
     tumble_s: int = 600
     slide_size_s: int = 600
     slide_step_s: int = 300
@@ -66,6 +71,13 @@ class EngineConfig:
             raise ValueError("window sizes must be positive")
         if self.state_ttl_s <= 0:
             raise ValueError("state_ttl_s must be positive")
+        if self.channels is not None:
+            allowed = {"tumbling", "sliding", "latency", "rolling"}
+            bad = set(self.channels) - allowed
+            if bad:
+                raise ValueError(
+                    f"unknown channels {sorted(bad)}; choose from {sorted(allowed)}"
+                )
         from .sinks.registry import get_format
 
         get_format(self.sink_format)  # raises on unregistered formats

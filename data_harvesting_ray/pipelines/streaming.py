@@ -309,6 +309,7 @@ class StreamingEngine:
                 slide_step_s=self.config.slide_step_s,
                 state_ttl_s=self.config.state_ttl_s,
                 emit_turns=self.config.emit_turns,
+                channels=self.config.channels,
             )
         return kw
 

@@ -137,7 +137,25 @@ class ShardState:
         slide_step_s: int = 300,
         state_ttl_s: int = 86400,
         emit_turns: bool = False,
+        channels: tuple[str, ...] | None = None,
     ):
+        # Optional DERIVED channels (the core sessions/matches/pairs/
+        # orphans always emit — they are the engine's contract). At
+        # scale the full-volume derived channels (latency, rolling)
+        # dominate close/commit cost when nobody consumes them —
+        # channel selection is the output-side analogue of column
+        # pruning at the read. Default: all on (back-compat).
+        optional = {"tumbling", "sliding", "latency", "rolling"}
+        if channels is None:
+            self.emit_channels = set(optional)
+        else:
+            unknown = set(channels) - optional
+            if unknown:
+                raise ValueError(
+                    f"unknown optional channels {sorted(unknown)}; "
+                    f"choose from {sorted(optional)}"
+                )
+            self.emit_channels = set(channels)
         self.gap_us = gap_s * US
         self.pattern = pattern or PatternSpec(skip_past_last=True, suppress_turns=0)
         self.dedup_horizon_us = dedup_horizon_s * US
@@ -256,30 +274,28 @@ class ShardState:
         sessions = self._advance_sessions(ready, wm, flush)
         matches = self._advance_cep(ready)
         pairs, orphans = self._advance_join(ready, flush)
-        tumbling = self._advance_tumbling(ready, wm, flush)
-        sliding = self._advance_sliding(ready, wm, flush)
-        latency = self._advance_latency(ready)
-        rolling = self._advance_rolling(ready)
+        out = {}
+        for name, advance in (
+            ("tumbling", lambda: self._advance_tumbling(ready, wm, flush)),
+            ("sliding", lambda: self._advance_sliding(ready, wm, flush)),
+            ("latency", lambda: self._advance_latency(ready)),
+            ("rolling", lambda: self._advance_rolling(ready)),
+        ):
+            if name in self.emit_channels:
+                out[name] = advance()
+                self.metrics[f"{name}_emitted"] += len(out[name])
         ttl_orphans = self._evict_expired(ready, wm)
         if len(ttl_orphans):
             orphans = pd.concat([orphans, ttl_orphans], ignore_index=True)
         self.metrics["sessions_emitted"] += len(sessions)
         self.metrics["matches_emitted"] += len(matches)
         self.metrics["pairs_emitted"] += len(pairs)
-        self.metrics["tumbling_emitted"] += len(tumbling)
-        self.metrics["sliding_emitted"] += len(sliding)
-        self.metrics["latency_emitted"] += len(latency)
-        self.metrics["rolling_emitted"] += len(rolling)
-        out = {
-            "sessions": sessions,
-            "matches": matches,
-            "pairs": pairs,
-            "orphans": orphans,
-            "tumbling": tumbling,
-            "sliding": sliding,
-            "latency": latency,
-            "rolling": rolling,
-        }
+        out.update(
+            sessions=sessions,
+            matches=matches,
+            pairs=pairs,
+            orphans=orphans,
+        )
         if self.emit_turns:
             turns = ready.drop(columns=["text"], errors="ignore").copy()
             turns["ts"] = turns.pop("ts_us").astype(np.int64).astype("datetime64[us]")
@@ -856,6 +872,8 @@ class ShardState:
             s.roll_window = 5
             s.roll_carry = _empty(["conv_id", "turn_idx", "is_call"])
         s.metrics.setdefault("rolling_emitted", 0)
+        if "emit_channels" not in s.__dict__:
+            s.emit_channels = {"tumbling", "sliding", "latency", "rolling"}
         return s
 
 
@@ -877,6 +895,11 @@ def reshard_states(blobs: list[bytes], num_shards: int, hash_fn) -> list[bytes]:
             s.state_ttl_us = states[0]["state_ttl_us"]
             s.emit_turns = states[0]["emit_turns"]
             s.roll_window = states[0].get("roll_window", 5)
+            s.emit_channels = set(
+                states[0].get(
+                    "emit_channels", {"tumbling", "sliding", "latency", "rolling"}
+                )
+            )
             s.max_ts = max(st["max_ts"] for st in states)
             s.frontier_wm = max(st["frontier_wm"] for st in states)
             if i == 0:  # cumulative metrics live on shard 0 after reshard

@@ -598,3 +598,37 @@ def test_explode_ngrams_boundaries(ray_session):
         }
     )
     assert_frames_equal(out, want, ["doc_id", "pos"])
+
+
+# --------------------------------------------------- channel selection (sink pruning)
+def test_streaming_channel_selection(ray_session, tmp_path, df_small):
+    """channels=("latency",) computes/commits only that derived channel
+    — the others are absent from the sink (output-side pruning); the
+    selected channel still equals the single-process reference."""
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+
+    eng = StreamingEngine(
+        str(tmp_path / "chan"),
+        num_shards=2,
+        config=EngineConfig(channels=("latency",)),
+    )
+    eng.run(epochs_root=epochs_root("sf0.001"))
+    assert len(eng.results_pandas("rolling")) == 0
+    assert len(eng.results_pandas("tumbling")) == 0
+    assert_frames_equal(
+        eng.results_pandas("latency"),
+        R.response_latency(df_small),
+        ["conv_id", "turn_idx"],
+    )
+    # core channels always emit
+    assert len(eng.results_pandas("sessions")) > 0
+
+
+def test_engine_config_rejects_unknown_channel(ray_session):
+    from data_harvesting_ray.config import EngineConfig
+
+    with pytest.raises(ValueError, match="unknown channels"):
+        EngineConfig(channels=("bogus",)).validate()
