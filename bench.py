@@ -232,9 +232,22 @@ def run_scale_one_streaming() -> dict:
     n = rd.read_parquet(files, partitioning=None).count()  # warm page cache
     shards_env = os.environ.get("GRAFT_SCALE_SHARDS", "auto")
     shards = None if shards_env == "auto" else int(shards_env)
+    # GRAFT_SCALE_CHANNELS: "all" (default), "core" (no derived
+    # channels), or a comma list of derived channel names
+    chan_env = os.environ.get("GRAFT_SCALE_CHANNELS", "all")
+    cfg = None
+    if chan_env != "all":
+        from data_harvesting_ray.config import EngineConfig
+
+        chans = () if chan_env == "core" else tuple(chan_env.split(","))
+        cfg = EngineConfig(channels=chans, num_shards=shards)
+        shards = None  # config carries it
     t0 = time.time()
     eng = StreamingEngine(
-        tempfile.mkdtemp(prefix="scale-stream-"), num_shards=shards, checkpoint=True
+        tempfile.mkdtemp(prefix="scale-stream-"),
+        num_shards=shards,
+        checkpoint=True,
+        config=cfg,
     )
     eng.run(epochs_root=os.path.join(d, "epochs"))
     dt = time.time() - t0
