@@ -302,6 +302,52 @@ def epochs_root(sf_dir_or_name: str) -> str:
     return os.path.join(ensure_fixture(sf_dir_or_name), "epochs")
 
 
+def late_epochs_root(
+    sf_dir_or_name: str, displace_every: int = 50, n_epochs: int = 4
+) -> str:
+    """Epoch layout with DETERMINISTIC late arrivals: the same rows as
+    the sf dir's transcript fixture, but every ``displace_every``-th
+    row (by stable hash of (conv_id, turn_idx)) is displaced one epoch
+    LATER than its event time says — under a tight watermark those
+    rows arrive after their window's frontier passed and land on the
+    late channel. This is the repair pipeline's test/gate input: the
+    ROW SET equals the fixture exactly, so bounded SQL oracles over
+    the raw table remain the ground truth."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name, "late_epochs")
+    if os.path.isdir(out_dir):
+        return out_dir
+    import numpy as np
+
+    from ..stages.partition import _stable_hash
+
+    table = pq.read_table(transcripts_path(sf_dir_or_name))
+    h = _stable_hash(table["conv_id"].to_numpy(zero_copy_only=False))
+    h = h * np.uint64(1_000_003) + _stable_hash(
+        table["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    total = table.num_rows
+    bounds = np.linspace(0, total, n_epochs + 1).astype(np.int64)
+    base = np.searchsorted(bounds[1:], np.arange(total), side="right")
+    displaced = (h % displace_every == 0) & (base < n_epochs - 1)
+    epoch = base + displaced.astype(np.int64)
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir), prefix=".late-")
+    for e in range(n_epochs):
+        sel = np.flatnonzero(epoch == e)
+        edir = os.path.join(tmp, f"epoch={e:03d}")
+        os.makedirs(edir, exist_ok=True)
+        pq.write_table(
+            table.take(sel), os.path.join(edir, "part-000.parquet")
+        )
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
 def ivf_side_paths(
     sf_dir_or_name: str,
     n_centroids: int = 16,

@@ -381,6 +381,31 @@ def q_t_streaming_rolling(sf_dir: str) -> Any:
     return _run_streaming(sf_dir).results("rolling")
 
 
+def q_t_sessions_repaired(sf_dir: str) -> Any:
+    """Late-data REPAIR invariant: a tight-watermark streaming run over
+    a deterministically disordered epoch layout (every 50th row arrives
+    one epoch late) plus the repair pass must equal the bounded/SQL
+    session truth — shares t_session_windows' oracle. The run would be
+    vacuous without late rows, so it asserts some exist."""
+    import tempfile
+
+    from ..config import EngineConfig
+    from ..fixtures.generator import late_epochs_root
+    from .repair import repair_sessions
+    from .streaming import StreamingEngine
+
+    root = late_epochs_root(sf_dir)
+    out = tempfile.mkdtemp(prefix="repair-gate-")
+    eng = StreamingEngine(
+        out, config=EngineConfig(channels=(), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    n_late = len(eng.results_pandas("late"))
+    if n_late == 0:
+        raise RuntimeError("repair gate is vacuous: no late rows produced")
+    return repair_sessions(out, root)
+
+
 def q_e_tumbling(sf_dir: str) -> Any:
     from ..stages.events import tumbling_events
 
@@ -1143,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_streaming_sliding": q_t_streaming_sliding,
         "t_streaming_latency": q_t_streaming_latency,
         "t_streaming_rolling": q_t_streaming_rolling,
+        "t_sessions_repaired": q_t_sessions_repaired,
         "e_tumbling": q_e_tumbling,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
@@ -2184,6 +2210,8 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sqls["t_streaming_sliding"] = sqls["t_sliding_windows"]
     sqls["t_streaming_latency"] = sqls["t_response_latency"]
     sqls["t_streaming_rolling"] = sqls["t_rolling_tool_rate"]
+    # tight-watermark streaming + late repair == the bounded truth
+    sqls["t_sessions_repaired"] = sqls["t_session_windows"]
     sqls["t_response_latency_salted"] = sqls["t_response_latency"]
     # broadcast plan must be output-identical to the shuffle plan
     sqls["t_stats_join_broadcast"] = sqls["t_stats_join"]

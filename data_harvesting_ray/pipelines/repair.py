@@ -1,0 +1,107 @@
+"""Late-data repair: the batch-correction half of a streaming+batch
+(lambda) flow.
+
+The streaming engine quarantines rows older than the watermark to a
+committed ``late`` channel (W7) instead of corrupting closed windows.
+This module turns that quarantine into a CORRECTION: conversations
+that received late rows are recomputed from the full source log with
+the bounded operator and spliced over their committed streaming
+results; every other conversation keeps its exactly-once committed
+rows untouched. The invariant (gated as ``t_sessions_repaired``):
+
+    tight-watermark streaming run + repair == the bounded/SQL truth
+
+Reference analogue: the reference has no late-data story at all (its
+arrival-order assumption, SURVEY §2.9 W3) — repair is what closes the
+gap the watermark design opened intentionally.
+
+Scale plan: the affected-conversation set is LATE-scale (ids only,
+broadcast once via ``ray.put``); the committed channel is filtered in
+parallel; the recompute reads the source pruned to affected
+conversations (broadcast-id semi-join at the read — payload of
+unaffected convs never moves) and runs the ordinary bounded operator.
+Nothing corpus-scale touches the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..schema import DEFAULT_SESSION_GAP_S
+from ..sinks.exactly_once import EpochSink
+from ..sources.epochs import discover_epochs
+from ..state.store import EMPTY_SCHEMAS, empty_frame
+
+
+def _affected_conv_ids(sink: EpochSink) -> np.ndarray:
+    files = sink.committed_files("late")
+    if not files:
+        return np.array([], dtype=object)
+    # NOTE: columns= together with partitioning=None trips a Ray
+    # read_parquet bug (UnboundLocalError in partition-column
+    # inference) — select after the read instead
+    ids = (
+        rd.read_parquet(files, partitioning=None)
+        .select_columns(["conv_id"])
+        .to_pandas()["conv_id"]
+        .to_numpy()
+    )
+    return np.unique(ids)
+
+
+def repair_sessions(
+    out_dir: str,
+    epochs_root: str,
+    gap_s: int = DEFAULT_SESSION_GAP_S,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Committed session windows with every late-affected conversation
+    recomputed from the full log (bounded ``session_windows``) —
+    see module docstring. Returns the merged, corrected channel."""
+    from ..stages.windows import session_windows
+
+    sink = EpochSink(out_dir)
+    schema = EMPTY_SCHEMAS["sessions"]
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({c: df[c].astype(t) for c, t in schema.items()})
+
+    sess_files = sink.committed_files("sessions")
+    committed = (
+        rd.read_parquet(sess_files, partitioning=None)
+        if sess_files
+        else rd.from_pandas(empty_frame("sessions"))
+    )
+    affected = _affected_conv_ids(sink)
+    if not len(affected):
+        return committed.map_batches(cast, batch_format="pandas")
+    ref = ray.put(np.sort(affected))
+
+    def drop_affected(t: pa.Table) -> pa.Table:
+        keep = ~np.isin(t["conv_id"].to_numpy(zero_copy_only=False), ray.get(ref))
+        return t.filter(pa.array(keep))
+
+    def keep_affected(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["conv_id"].to_numpy(zero_copy_only=False), ray.get(ref))
+        return t.filter(pa.array(keep))
+
+    kept = committed.map_batches(drop_affected, batch_format="pyarrow")
+    files = [f for _, fs in discover_epochs(epochs_root) for f in fs]
+    # select_columns (not columns=) — same Ray partitioning=None bug
+    # as above; the projection still prunes before the shuffle
+    turns = rd.read_parquet(files, partitioning=None).select_columns(
+        ["conv_id", "turn_idx", "ts"]
+    )
+    fixed = session_windows(
+        turns.map_batches(keep_affected, batch_format="pyarrow"),
+        gap_s=gap_s,
+        num_buckets=num_buckets,
+    )
+    return kept.map_batches(cast, batch_format="pandas").union(
+        fixed.map_batches(cast, batch_format="pandas")
+    )

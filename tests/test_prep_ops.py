@@ -632,3 +632,49 @@ def test_engine_config_rejects_unknown_channel(ray_session):
 
     with pytest.raises(ValueError, match="unknown channels"):
         EngineConfig(channels=("bogus",)).validate()
+
+
+# ---------------------------------------------------------------- late repair
+def test_late_repair_restores_bounded_truth(ray_session, tmp_path, df_small):
+    """Tight-watermark streaming over a disordered epoch layout
+    quarantines late rows; the repair pass recomputes affected convs
+    and the merged channel equals the single-process reference."""
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.fixtures.generator import late_epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.repair import repair_sessions
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+
+    root = late_epochs_root("sf0.001")
+    out = str(tmp_path / "repair")
+    eng = StreamingEngine(
+        out, num_shards=2, config=EngineConfig(channels=(), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    n_late = len(eng.results_pandas("late"))
+    assert n_late > 0  # the disordered layout must actually produce lates
+    # before repair the committed sessions DIVERGE from the truth
+    committed = eng.results_pandas("sessions")
+    want = R.session_windows(df_small)
+    assert not committed.sort_values(["conv_id", "session_id"]).reset_index(
+        drop=True
+    ).equals(want.sort_values(["conv_id", "session_id"]).reset_index(drop=True))
+    repaired = repair_sessions(out, root).to_pandas()
+    assert_frames_equal(repaired, want, ["conv_id", "session_id"])
+
+
+def test_late_repair_is_noop_without_late_rows(ray_session, tmp_path, df_small):
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.repair import repair_sessions
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+
+    root = epochs_root("sf0.001")  # ordered epochs: zero late rows
+    out = str(tmp_path / "norepair")
+    eng = StreamingEngine(out, num_shards=2)
+    eng.run(epochs_root=root)
+    assert len(eng.results_pandas("late")) == 0
+    repaired = repair_sessions(out, root).to_pandas()
+    assert_frames_equal(
+        repaired, R.session_windows(df_small), ["conv_id", "session_id"]
+    )
