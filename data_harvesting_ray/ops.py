@@ -134,4 +134,4 @@ from .stages.render import debug_render, render_conversations  # noqa: F401
 
 # composite pipelines
 from .pipelines.corpus_prep import corpus_prep  # noqa: F401
-from .pipelines.repair import repair_sessions  # noqa: F401
+from .pipelines.repair import repair_pairs, repair_sessions  # noqa: F401

@@ -406,6 +406,27 @@ def q_t_sessions_repaired(sf_dir: str) -> Any:
     return repair_sessions(out, root)
 
 
+def q_t_pairs_repaired(sf_dir: str) -> Any:
+    """Same repair invariant for the call↔response join channel —
+    shares t_tool_join's oracle."""
+    import tempfile
+
+    from ..config import EngineConfig
+    from ..fixtures.generator import late_epochs_root
+    from .repair import repair_pairs
+    from .streaming import StreamingEngine
+
+    root = late_epochs_root(sf_dir)
+    out = tempfile.mkdtemp(prefix="repair-pairs-gate-")
+    eng = StreamingEngine(
+        out, config=EngineConfig(channels=(), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    if len(eng.results_pandas("late")) == 0:
+        raise RuntimeError("repair gate is vacuous: no late rows produced")
+    return repair_pairs(out, root)
+
+
 def q_e_tumbling(sf_dir: str) -> Any:
     from ..stages.events import tumbling_events
 
@@ -1169,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_streaming_latency": q_t_streaming_latency,
         "t_streaming_rolling": q_t_streaming_rolling,
         "t_sessions_repaired": q_t_sessions_repaired,
+        "t_pairs_repaired": q_t_pairs_repaired,
         "e_tumbling": q_e_tumbling,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
@@ -2212,6 +2234,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sqls["t_streaming_rolling"] = sqls["t_rolling_tool_rate"]
     # tight-watermark streaming + late repair == the bounded truth
     sqls["t_sessions_repaired"] = sqls["t_session_windows"]
+    sqls["t_pairs_repaired"] = sqls["t_tool_join"]
     sqls["t_response_latency_salted"] = sqls["t_response_latency"]
     # broadcast plan must be output-identical to the shuffle plan
     sqls["t_stats_join_broadcast"] = sqls["t_stats_join"]

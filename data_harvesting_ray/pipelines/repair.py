@@ -54,28 +54,27 @@ def _affected_conv_ids(sink: EpochSink) -> np.ndarray:
     return np.unique(ids)
 
 
-def repair_sessions(
+def _repair_channel(
     out_dir: str,
     epochs_root: str,
-    gap_s: int = DEFAULT_SESSION_GAP_S,
-    num_buckets: int | None = None,
+    channel: str,
+    recompute,
+    read_cols: list[str] | None,
 ) -> rd.Dataset:
-    """Committed session windows with every late-affected conversation
-    recomputed from the full log (bounded ``session_windows``) —
-    see module docstring. Returns the merged, corrected channel."""
-    from ..stages.windows import session_windows
-
+    """Generic splice: committed ``channel`` rows of late-affected
+    conversations are replaced by ``recompute(affected turns)``; see
+    module docstring for the scale contract."""
     sink = EpochSink(out_dir)
-    schema = EMPTY_SCHEMAS["sessions"]
+    schema = EMPTY_SCHEMAS[channel]
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({c: df[c].astype(t) for c, t in schema.items()})
 
-    sess_files = sink.committed_files("sessions")
+    files_c = sink.committed_files(channel)
     committed = (
-        rd.read_parquet(sess_files, partitioning=None)
-        if sess_files
-        else rd.from_pandas(empty_frame("sessions"))
+        rd.read_parquet(files_c, partitioning=None)
+        if files_c
+        else rd.from_pandas(empty_frame(channel))
     )
     affected = _affected_conv_ids(sink)
     if not len(affected):
@@ -92,16 +91,54 @@ def repair_sessions(
 
     kept = committed.map_batches(drop_affected, batch_format="pyarrow")
     files = [f for _, fs in discover_epochs(epochs_root) for f in fs]
-    # select_columns (not columns=) — same Ray partitioning=None bug
-    # as above; the projection still prunes before the shuffle
-    turns = rd.read_parquet(files, partitioning=None).select_columns(
-        ["conv_id", "turn_idx", "ts"]
-    )
-    fixed = session_windows(
-        turns.map_batches(keep_affected, batch_format="pyarrow"),
-        gap_s=gap_s,
-        num_buckets=num_buckets,
-    )
+    # select_columns (not columns=) — Ray's read_parquet breaks when
+    # columns= is combined with partitioning=None; the projection
+    # still prunes before any shuffle
+    turns = rd.read_parquet(files, partitioning=None)
+    if read_cols is not None:
+        turns = turns.select_columns(read_cols)
+    fixed = recompute(turns.map_batches(keep_affected, batch_format="pyarrow"))
     return kept.map_batches(cast, batch_format="pandas").union(
         fixed.map_batches(cast, batch_format="pandas")
+    )
+
+
+def repair_sessions(
+    out_dir: str,
+    epochs_root: str,
+    gap_s: int = DEFAULT_SESSION_GAP_S,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Committed session windows with every late-affected conversation
+    recomputed from the full log (bounded ``session_windows``) —
+    see module docstring. Returns the merged, corrected channel."""
+    from ..stages.windows import session_windows
+
+    return _repair_channel(
+        out_dir,
+        epochs_root,
+        "sessions",
+        lambda ds: session_windows(ds, gap_s=gap_s, num_buckets=num_buckets),
+        ["conv_id", "turn_idx", "ts"],
+    )
+
+
+def repair_pairs(
+    out_dir: str,
+    epochs_root: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Committed call↔response pairs with late-affected conversations
+    recomputed via the bounded ``tool_join`` (normalization included —
+    call ids are parsed from the payload, so the full row rides only
+    for affected convs)."""
+    from ..stages.join import tool_join
+    from ..stages.normalize import normalize_turns
+
+    return _repair_channel(
+        out_dir,
+        epochs_root,
+        "pairs",
+        lambda ds: tool_join(normalize_turns(ds), num_buckets=num_buckets),
+        None,  # normalize needs the payload; affected-only rows ride
     )

@@ -678,3 +678,21 @@ def test_late_repair_is_noop_without_late_rows(ray_session, tmp_path, df_small):
     assert_frames_equal(
         repaired, R.session_windows(df_small), ["conv_id", "session_id"]
     )
+
+
+def test_late_repair_pairs(ray_session, tmp_path, df_small):
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.fixtures.generator import late_epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.repair import repair_pairs
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+
+    root = late_epochs_root("sf0.001")
+    out = str(tmp_path / "repair-pairs")
+    eng = StreamingEngine(
+        out, num_shards=2, config=EngineConfig(channels=(), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    assert len(eng.results_pandas("late")) > 0
+    repaired = repair_pairs(out, root).to_pandas()
+    assert_frames_equal(repaired, R.tool_join(df_small), ["conv_id", "call_turn_idx"])
