@@ -502,3 +502,58 @@ def test_streaming_randomized_differential_vs_reference(
         R.rolling_tool_rate(df),
         ["conv_id", "turn_idx"],
     )
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_late_repair_randomized_differential(ray_session, tmp_path, seed):
+    """Random corpus + random epoch disorder + TIGHT watermark (many
+    late rows) — repair must restore the bounded truth on both the
+    sessions and pairs channels."""
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.repair import repair_pairs, repair_sessions
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_harvesting_ray.schema import TRANSCRIPT_SCHEMA
+
+    rng = np.random.default_rng(seed * 77 + 5)
+    df = _random_stream(seed)
+    root = str(tmp_path / "epochs")
+    # cross-epoch displacement: ~10% of rows arrive one epoch AFTER
+    # their event time says (within-epoch shuffle alone never produces
+    # late rows — the watermark only advances at epoch boundaries)
+    order = df.sort_values("ts", kind="stable").reset_index(drop=True)
+    n_ep = 4
+    bounds = np.linspace(0, len(order), n_ep + 1).astype(int)
+    base = np.searchsorted(bounds[1:], np.arange(len(order)), side="right")
+    displaced = (rng.random(len(order)) < 0.1) & (base < n_ep - 1)
+    epoch = base + displaced.astype(int)
+    for e in range(n_ep):
+        part = order[epoch == e]
+        edir = os.path.join(root, f"epoch={e:03d}")
+        os.makedirs(edir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=TRANSCRIPT_SCHEMA, preserve_index=False),
+            os.path.join(edir, "part-000.parquet"),
+        )
+
+    out = str(tmp_path / "out")
+    eng = StreamingEngine(
+        out, num_shards=3, config=EngineConfig(channels=(), watermark_delay_s=60)
+    )
+    eng.run(discover_epochs(root))
+    assert len(eng.results_pandas("late")) > 0  # tight watermark bites
+    assert_frames_equal(
+        repair_sessions(out, root).to_pandas(),
+        R.session_windows(df),
+        ["conv_id", "session_id"],
+    )
+    assert_frames_equal(
+        repair_pairs(out, root).to_pandas(),
+        R.tool_join(df),
+        ["conv_id", "call_turn_idx"],
+    )
