@@ -314,7 +314,11 @@ def late_epochs_root(
     ROW SET equals the fixture exactly, so bounded SQL oracles over
     the raw table remain the ground truth."""
     name = os.path.basename(os.path.normpath(sf_dir_or_name))
-    out_dir = os.path.join(FIXTURE_ROOT, name, "late_epochs")
+    # parameter-keyed cache dir: a non-default call must never return a
+    # layout built with different displacement/epoch parameters
+    out_dir = os.path.join(
+        FIXTURE_ROOT, name, f"late_epochs_d{displace_every}_e{n_epochs}"
+    )
     if os.path.isdir(out_dir):
         return out_dir
     import numpy as np
@@ -371,8 +375,11 @@ def ivf_side_paths(
 
     name = os.path.basename(os.path.normpath(sf_dir_or_name))
     out_dir = os.path.join(FIXTURE_ROOT, name)
-    cells_out = os.path.join(out_dir, "ivf_cells.parquet")
-    probes_out = os.path.join(out_dir, "ivf_probes.parquet")
+    # parameter-keyed cache files (stale side tables from a different
+    # parameterization would silently verify the wrong plan)
+    tag = f"c{n_centroids}_p{nprobe}_q{n_queries}_f{int(sample_frac * 1000)}_s{seed}"
+    cells_out = os.path.join(out_dir, f"ivf_cells_{tag}.parquet")
+    probes_out = os.path.join(out_dir, f"ivf_probes_{tag}.parquet")
     if os.path.exists(cells_out) and os.path.exists(probes_out):
         return cells_out, probes_out
     src_dir = (

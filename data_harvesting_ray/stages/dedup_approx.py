@@ -117,10 +117,20 @@ class MinHasher:
         # "Mining of Massive Datasets" ch. 3). The previous 32x4 curve
         # (midpoint 0.42) admitted the corpus's ambient-similarity mass
         # as candidates: measured 703k candidates for 256 true pairs at
-        # 5k docs vs 422 with 16x8, recall 1.0 on both (every >= 0.7
-        # pair is caught; brute-force recall tests pin this). Tune
-        # ``bands`` whenever the verify threshold moves: b*r = num_perm
-        # with (1/b)^(1/r) just below t.
+        # 5k docs vs 422 with 16x8.
+        #
+        # RECALL IS THE S-CURVE, not 1.0: capture probability at
+        # J = 0.70 is ~0.61, ~0.95 at 0.80, ~0.9999 at 0.90 — LSH is
+        # probabilistic AT the midpoint by construction, and no (b, r)
+        # gives both near-1 recall at exactly t and a small candidate
+        # set. This default assumes (and the test fixtures satisfy) a
+        # MARGIN around the threshold: ambient pairs well below t, true
+        # near-dups well above it — the usual shape of duplicated
+        # corpora. Pairs sitting near t need either more bands at the
+        # same rows (recall up, candidates up: 32x4 gives ~0.9998 at
+        # 0.70) or the EXACT prefix-filter join
+        # (``ngram_jaccard_near_dups``), whose recall is 1.0 by
+        # construction at any threshold.
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)

@@ -108,23 +108,39 @@ def _distinct_keys(
     ds: ray.data.Dataset, on_keys: list[str], cap: int
 ) -> pd.DataFrame | None:
     """Distinct join-key tuples of a side (per-batch dedup partials,
-    final dedup on the driver — key-scale, never row-scale). Returns
-    None when the set exceeds ``cap``."""
+    streamed to the driver with incremental dedup and an EARLY ABORT —
+    the cap protects the driver during collection, not after it).
+    Returns None when the set exceeds ``cap``. Null-keyed rows are
+    excluded from the set (``_semi_filter`` passes them through
+    unconditionally, so they never affect the output)."""
+    import warnings
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df[on_keys].drop_duplicates()
+        d = df[on_keys].drop_duplicates()
+        return d[~d[on_keys].isna().any(axis=1)]
 
-    keys = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    keys = keys.drop_duplicates().reset_index(drop=True)
-    if len(keys) > cap:
-        import warnings
-
+    def too_many() -> None:
         warnings.warn(
-            f"equi_join prefilter skipped: {len(keys)} distinct keys "
-            f"exceed cap {cap}"
+            f"equi_join prefilter skipped: distinct keys exceed cap {cap}"
         )
-        return None
-    return keys
+
+    keys: pd.DataFrame | None = None
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=None
+    ):
+        # start from the first TYPED batch (concat with an empty
+        # object-dtype frame trips pandas' all-NA deprecation)
+        keys = (
+            b
+            if keys is None
+            else pd.concat([keys, b], ignore_index=True).drop_duplicates()
+        )
+        if len(keys) > cap:
+            too_many()
+            return None
+    if keys is None:
+        keys = pd.DataFrame({k: pd.Series(dtype=object) for k in on_keys})
+    return keys.reset_index(drop=True)
 
 
 def _semi_filter(
@@ -132,18 +148,28 @@ def _semi_filter(
 ) -> ray.data.Dataset:
     """Broadcast semi-join pushdown: drop rows whose join key cannot
     match (the bloom-filter pattern, exact — the key set is broadcast
-    once via ``ray.put``)."""
+    once via ``ray.put``). Null-keyed rows pass through UNCONDITIONALLY
+    (a superset filter is always output-safe: extra rows just reach the
+    bucket kernel, whose pandas merge is the single source of truth for
+    null-key semantics — and ``np.isin`` over object arrays containing
+    None would raise)."""
     import ray as _ray
 
     ref = _ray.put(keys)
 
     def filt(df: pd.DataFrame) -> pd.DataFrame:
         ks = _ray.get(ref)
+        null_mask = df[on_keys].isna().any(axis=1).to_numpy()
+        sub = df[~null_mask]
         if len(on_keys) == 1:
             k = on_keys[0]
-            return df[np.isin(df[k].to_numpy(), ks[k].to_numpy())]
-        m = df[on_keys].merge(ks.assign(__hit=1), on=on_keys, how="left")
-        return df[m["__hit"].notna().to_numpy()]
+            hit = np.isin(sub[k].to_numpy(), ks[k].to_numpy())
+        else:
+            m = sub[on_keys].merge(ks.assign(__hit=1), on=on_keys, how="left")
+            hit = m["__hit"].notna().to_numpy()
+        keep = null_mask.copy()
+        keep[~null_mask] = hit
+        return df[keep]
 
     return ds.map_batches(filt, batch_format="pandas")
 

@@ -68,7 +68,10 @@ def pack_sequences(
             }
         )
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    # consumed twice (pass-1 range totals, pass-2 bucketed offsets) —
+    # materialize so the upstream lineage (token counting, reads) runs
+    # once, not once per pass
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
 
     # Pass 1: per-batch partials, then a tiny groupby — the exchange
     # carries at most |ranges| rows per block.

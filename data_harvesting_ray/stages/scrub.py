@@ -54,13 +54,17 @@ def scrub_text(
     def kernel(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        cur = t[text_col]
+        # null text stays null with 0 redactions (a null through the
+        # count kernel becomes NaN and would astype to INT64_MIN)
+        isnull = pc.is_null(t[text_col])
+        cur = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
         total = np.zeros(len(t), dtype=np.int64)
         for pat, rep in rules:
             total += (
                 pc.count_substring_regex(cur, pat).to_numpy(zero_copy_only=False)
             ).astype(np.int64)
             cur = pc.replace_substring_regex(cur, pattern=pat, replacement=rep)
+        cur = pc.if_else(isnull, pa.scalar(None, pa.string()), cur)
         return pa.table(
             {id_col: t[id_col], out_col: cur, "n_redactions": pa.array(total)}
         )
@@ -81,7 +85,9 @@ def contamination_flags(
     The snippet list is deduplicated and shipped once (``ray.put``);
     ``n_hits`` counts DISTINCT contained snippets (one hit per snippet,
     not per occurrence). Returns (id_col, n_hits, contaminated)."""
-    uniq = sorted(set(snippets))
+    # drop empty snippets: "" is a substring of everything (including
+    # the null-coalesced empty text) and would flag the whole corpus
+    uniq = sorted(s for s in set(snippets) if s)
     ref = ray.put(uniq)
 
     def kernel(t: pa.Table) -> pa.Table:
@@ -89,7 +95,8 @@ def contamination_flags(
 
         snips = ray.get(ref)
         hits = np.zeros(len(t), dtype=np.int64)
-        col = t[text_col]
+        # null text counts as uncontaminated (see scrub_text)
+        col = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
         for s in snips:
             hits += (
                 pc.match_substring(col, s)

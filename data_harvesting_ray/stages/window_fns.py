@@ -114,6 +114,12 @@ def with_rank(
         oc, _ = pd.factorize(g[order].to_numpy(), sort=True)
         if descending:
             oc = -oc
+        # NULLS LAST in BOTH directions (DuckDB's default null order):
+        # factorize marks nulls as -1, which would otherwise sort FIRST
+        null_mask = pd.isna(g[order]).to_numpy()
+        if null_mask.any():
+            oc = oc.copy()
+            oc[null_mask] = oc.max() + 1 if len(oc) else 0
         idx = np.lexsort((oc, codes))
         g, codes, oc = g.iloc[idx], codes[idx], oc[idx]
         n = len(g)

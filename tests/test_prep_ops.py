@@ -696,3 +696,53 @@ def test_late_repair_pairs(ray_session, tmp_path, df_small):
     assert len(eng.results_pandas("late")) > 0
     repaired = repair_pairs(out, root).to_pandas()
     assert_frames_equal(repaired, R.tool_join(df_small), ["conv_id", "call_turn_idx"])
+
+
+# --------------------------------------------------- review-fix regressions
+def test_prefilter_null_keys_output_identical(ray_session):
+    """Null join keys must not change prefiltered output (they pass the
+    filter unconditionally; the bucket kernel decides) nor crash
+    np.isin on object arrays containing None."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    left = pd.DataFrame({"k": ["a", None, "b", None], "lv": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k": ["a", None, "c"], "rv": [10, 20, 30]})
+    base = equi_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how="inner", num_buckets=2
+    ).to_pandas()
+    pre = equi_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", how="inner", num_buckets=2, prefilter="right",
+    ).to_pandas()
+    assert_frames_equal(pre.fillna("∅"), base.fillna("∅"), ["lv", "rv"])
+
+
+def test_with_rank_nulls_last_both_directions(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import with_rank
+
+    df = pd.DataFrame({"k": ["a"] * 4, "v": [5.0, np.nan, 3.0, np.nan]})
+    for desc, want in [(False, [2, 3, 1, 3]), (True, [1, 3, 2, 3])]:
+        out = with_rank(
+            rd.from_pandas(df.assign(rid=np.arange(4))),
+            key="k", order="v", descending=desc, out_col="r", num_buckets=2,
+        ).to_pandas().sort_values("rid")
+        assert out["r"].tolist() == want, (desc, out["r"].tolist())
+
+
+def test_scrub_and_contamination_null_text(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.scrub import contamination_flags, scrub_text
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["a@b.io", None]})
+    s = scrub_text(rd.from_pandas(docs)).to_pandas().sort_values("doc_id")
+    assert s["n_redactions"].tolist() == [1, 0]
+    assert s["text_clean"].iloc[1] is None or pd.isna(s["text_clean"].iloc[1])
+    c = contamination_flags(
+        rd.from_pandas(docs), snippets=["a@b", ""]
+    ).to_pandas().sort_values("doc_id")
+    assert c["n_hits"].tolist() == [1, 0]  # empty snippet dropped, null text clean
