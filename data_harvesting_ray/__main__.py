@@ -21,6 +21,13 @@ layout; a downstream trainer reads ``split=train/`` directly):
     python -m data_harvesting_ray prep --docs documents.parquet \
         --out DIR [--lang en] [--min-tokens 20] [--min-stop-milli 30] \
         [--neardup-threshold-milli 700] [--keep min_id|best_tokens]
+
+The ``repair`` subcommand runs the late-data correction over a
+finished engine output: conversations with late rows are recomputed
+from the source log and the merged channel written as parquet:
+
+    python -m data_harvesting_ray repair --out ENGINE_OUT \
+        --epochs-root DIR --dest DIR [--channel sessions|pairs]
 """
 
 from __future__ import annotations
@@ -88,10 +95,40 @@ def prep_main(argv: list[str]) -> int:
     return 0
 
 
+def repair_main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="data_harvesting_ray repair")
+    p.add_argument("--out", required=True, help="finished engine output dir")
+    p.add_argument("--epochs-root", required=True, help="source epoch log")
+    p.add_argument("--dest", required=True, help="where to write the repaired channel")
+    p.add_argument("--channel", choices=("sessions", "pairs"), default="sessions")
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from . import configure_session
+    from .pipelines.repair import repair_pairs, repair_sessions
+
+    configure_session()
+    fn = repair_sessions if args.channel == "sessions" else repair_pairs
+    ds = fn(args.out, args.epochs_root)
+    ds.write_parquet(args.dest)
+    import ray.data as rd
+
+    print(json.dumps({"channel": args.channel, "rows": rd.read_parquet(args.dest).count(), "dest": args.dest}))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "prep":
         return prep_main(argv[1:])
+    if argv and argv[0] == "repair":
+        return repair_main(argv[1:])
     p = argparse.ArgumentParser(prog="data_harvesting_ray", description=__doc__)
     p.add_argument("--epochs-root", required=True, help="directory of epoch=*/ dirs")
     p.add_argument("--out", required=True, help="output directory (channels + manifests)")
