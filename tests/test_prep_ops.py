@@ -746,3 +746,34 @@ def test_scrub_and_contamination_null_text(ray_session):
         rd.from_pandas(docs), snippets=["a@b", ""]
     ).to_pandas().sort_values("doc_id")
     assert c["n_hits"].tolist() == [1, 0]  # empty snippet dropped, null text clean
+
+
+def test_repair_cli_roundtrip(ray_session, tmp_path, df_small):
+    """User story: finished engine output + `repair` subcommand in a
+    fresh process -> merged corrected channel on disk equals the
+    reference."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.fixtures.generator import late_epochs_root
+    from data_harvesting_ray.oracle import reference as R
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+
+    root = late_epochs_root("sf0.001")
+    out = str(tmp_path / "eng")
+    eng = StreamingEngine(
+        out, num_shards=2, config=EngineConfig(channels=(), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    dest = str(tmp_path / "repaired")
+    r = subprocess.run(
+        [sys.executable, "-m", "data_harvesting_ray", "repair",
+         "--out", out, "--epochs-root", root, "--dest", dest],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    got = pq.read_table(dest).to_pandas()
+    assert_frames_equal(got, R.session_windows(df_small), ["conv_id", "session_id"])
