@@ -351,12 +351,25 @@ def rollup_counts(
     re-aggregates the finest RESULT (|distinct key combos| rows, never
     the input again); the finest result is materialized once and
     shared. Key columns must be strings (the NULL fill is a typed
-    string null)."""
+    string null).
+
+    NULL input keys are real groups (SQL ROLLUP keeps them): they are
+    sentinel-encoded before the shuffle (pandas groupby and Ray's hash
+    partitioner both mishandle null keys) and decoded back to typed
+    nulls in ``widen``; the grand total therefore equals the input row
+    count including null-keyed rows."""
     if not keys:
         raise ValueError("rollup_counts needs at least one key")
 
+    # Record-separator control chars: no real key contains them, and
+    # pandas' object-key groupby hashtable truncates trailing NULs, so
+    # \x00 is unusable as a sentinel byte.
+    _NULL = "\x1e<null>\x1e"
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         base = df[keys].copy()
+        for k in keys:
+            base[k] = base[k].fillna(_NULL)
         base["n"] = np.int64(1)
         return base.groupby(keys, sort=False, as_index=False)["n"].sum()
 
@@ -368,11 +381,18 @@ def rollup_counts(
     )
 
     def widen(level: int):
-        # fill rolled-up key columns with typed nulls
+        # fill rolled-up key columns with typed nulls; decode the
+        # null sentinel in the kept key columns back to real nulls
         def fn(t: pa.Table) -> pa.Table:
             cols = {}
             for k in keys[:level]:
-                cols[k] = t[k]
+                col = t[k]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                col = pc.cast(col, pa.string())
+                cols[k] = pc.if_else(
+                    pc.equal(col, _NULL), pa.nulls(len(t), pa.string()), col
+                )
             for k in keys[level:]:
                 cols[k] = pa.nulls(len(t), pa.string())
             cols["n"] = t["n"]
