@@ -16,9 +16,12 @@ Scale plan (100 TB):
   rejected docs never reach the expensive sketch stage.
 - near-dup suppression runs the banded MinHash-LSH plan
   (``stages.dedup_approx``) over the *survivors only* — candidates,
-  verification and connected components all stay distributed; only the
-  final loser-id set (near-dup-scale, small by construction) lands on
-  the driver and is broadcast back via ``ray.put`` for the filter.
+  verification and connected components all stay distributed; the
+  final loser-id set lands on the driver and is broadcast back via
+  ``ray.put`` for the filter ONLY while it is provably small — past
+  ``losers_cap`` grouped ids the plan switches to a fully distributed
+  anti-join over survivor metadata (zero corpus-proportional driver
+  hops; the broadcast stays the fast path for realistic dup rates).
   Exact duplicates need no separate pass: identical texts share every
   shingle (Jaccard = 1000 >= any threshold), so the component's
   min-id keep-one subsumes exact dedup.
@@ -89,6 +92,7 @@ def corpus_prep(
     split_pct: tuple[int, int] = (90, 5),
     num_buckets: int | None = 16,
     keep: str = "min_id",
+    losers_cap: int = 2_000_000,
 ) -> ray.data.Dataset:
     """documents (doc_id, text) -> curated corpus manifest
     (doc_id, lang_pred, n_tokens, stop_ratio_milli, n_bpe_tokens, split).
@@ -125,9 +129,83 @@ def corpus_prep(
         threshold_milli=neardup_threshold_milli,
         num_buckets=num_buckets,
     )
-    groups = connected_components(
+    groups_ds = connected_components(
         ray.data.from_pandas(pairs), num_buckets=8
-    ).to_pandas()
+    ).materialize()
+
+    train_p, val_p = split_pct
+    meta_cols = [
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        "stop_ratio_milli",
+        "n_bpe_tokens",
+    ]
+
+    def split_batch(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy(dtype=np.int64) * 2654435761) % 1000
+        split = np.where(
+            h < train_p * 10,
+            "train",
+            np.where(h < (train_p + val_p) * 10, "val", "test"),
+        )
+        return pd.DataFrame(
+            {**{c: df[c].to_numpy() for c in meta_cols}, "split": split}
+        )
+
+    # Grouped-doc count is corpus-dup-rate-proportional: past the cap
+    # the loser-id set is no longer a safe driver hop + broadcast, so
+    # switch to the fully distributed anti-join plan (the exchange then
+    # moves survivor METADATA only — payload was already projected
+    # away). At or below the cap, keep the cheaper broadcast filter.
+    if keep not in ("min_id", "best_tokens"):
+        raise ValueError(f"unsupported keep={keep!r}")
+    if groups_ds.count() > losers_cap:
+        from ..stages.join import equi_join
+        from ..stages.partition import apply_per_bucket
+
+        if keep == "min_id":
+            def min_id_losers(t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.not_equal(t["doc_id"], t["group_id"])
+                ).select(["doc_id"])
+
+            losers_ds = groups_ds.map_batches(
+                min_id_losers, batch_format="pyarrow"
+            )
+        else:
+            scored = equi_join(
+                groups_ds,
+                survivors.select_columns(["doc_id", "n_bpe_tokens"]),
+                on="doc_id",
+                how="inner",
+                num_buckets=8,
+                # groups are dup-scale, survivors corpus-scale: the
+                # group-id key set prunes the survivor shuffle
+                prefilter="left",
+            )
+
+            def rank_losers(g: pd.DataFrame) -> pd.DataFrame:
+                g = g.sort_values(
+                    ["group_id", "n_bpe_tokens", "doc_id"],
+                    ascending=[True, False, True],
+                    kind="stable",
+                )
+                return g[g.duplicated("group_id")][["doc_id"]]
+
+            losers_ds = apply_per_bucket(
+                scored, rank_losers, key="group_id", num_buckets=8
+            )
+        kept = equi_join(
+            survivors.select_columns(meta_cols),
+            losers_ds,
+            on="doc_id",
+            how="anti",
+            num_buckets=num_buckets,
+        )
+        return kept.map_batches(split_batch, batch_format="pandas")
+
+    groups = groups_ds.to_pandas()
     if keep == "min_id":
         losers = groups.loc[
             groups["doc_id"].to_numpy() != groups["group_id"].to_numpy(), "doc_id"
@@ -153,30 +231,12 @@ def corpus_prep(
         losers = np.setdiff1d(
             groups["doc_id"].to_numpy().astype(np.int64), keepers
         )
-    else:
-        raise ValueError(f"unsupported keep={keep!r}")
-    losers_ref = ray.put(losers)  # near-dup-loser-scale: broadcast once
-
-    train_p, val_p = split_pct
+    losers_ref = ray.put(losers)  # at most losers_cap ids: broadcast once
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        drop = ray.get(losers_ref)
-        df = df[~df["doc_id"].isin(drop)]
-        h = (df["doc_id"].to_numpy(dtype=np.int64) * 2654435761) % 1000
-        split = np.where(
-            h < train_p * 10,
-            "train",
-            np.where(h < (train_p + val_p) * 10, "val", "test"),
-        )
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "lang_pred": df["lang_pred"].to_numpy(),
-                "n_tokens": df["n_tokens"].to_numpy(),
-                "stop_ratio_milli": df["stop_ratio_milli"].to_numpy(),
-                "n_bpe_tokens": df["n_bpe_tokens"].to_numpy(),
-                "split": split,
-            }
-        )
+        df = df[~df["doc_id"].isin(ray.get(losers_ref))]
+        return split_batch(df)
 
-    return survivors.map_batches(finalize, batch_format="pandas")
+    return survivors.select_columns(meta_cols).map_batches(
+        finalize, batch_format="pandas"
+    )

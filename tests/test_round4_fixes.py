@@ -56,6 +56,53 @@ def test_rollup_counts_keeps_null_key_groups(ray_session):
     assert int(got["n"].sum()) == int(want["n"].sum())
 
 
+# ------------------------------------------------- corpus_prep losers_cap
+def _dup_heavy_docs():
+    """Pathological dup-rate corpus: every doc passes the en/quality
+    gates and sits in a near-dup group (losers >> any tiny cap)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and the cat sat on "
+        "the mat with a friend of the family in the house for the day"
+    )
+    rows = []
+    for g in range(6):
+        for v in range(4):  # 4-member groups → 3 losers each
+            rows.append(
+                {
+                    "doc_id": np.int64(g * 10 + v),
+                    "text": base + f" group {g}" + (" extra" * v),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("keep", ["min_id", "best_tokens"])
+def test_corpus_prep_anti_join_path_matches_broadcast(ray_session, keep):
+    """VERDICT r3 item 1: past losers_cap the loser filter must run as
+    the distributed anti-join and produce exactly the broadcast path's
+    output."""
+    import ray.data as rd
+
+    from data_harvesting_ray.pipelines.corpus_prep import corpus_prep
+
+    df = _dup_heavy_docs()
+
+    def run(cap):
+        out = corpus_prep(
+            rd.from_pandas(df), keep=keep, losers_cap=cap
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    broadcast = run(10**9)
+    anti = run(0)  # every grouped id exceeds the cap → anti-join path
+    assert len(broadcast) > 0
+    # the fixture really exercises the dedup: losers were dropped
+    assert len(broadcast) < len(df)
+    pd.testing.assert_frame_equal(
+        anti[sorted(anti.columns)], broadcast[sorted(broadcast.columns)]
+    )
+
+
 def test_rollup_counts_no_nulls_unchanged(ray_session):
     import ray.data as rd
 
