@@ -376,8 +376,12 @@ def ivf_side_paths(
     name = os.path.basename(os.path.normpath(sf_dir_or_name))
     out_dir = os.path.join(FIXTURE_ROOT, name)
     # parameter-keyed cache files (stale side tables from a different
-    # parameterization would silently verify the wrong plan)
-    tag = f"c{n_centroids}_p{nprobe}_q{n_queries}_f{int(sample_frac * 1000)}_s{seed}"
+    # parameterization would silently verify the wrong plan); "b" keys
+    # the count-bounded sampling scheme version
+    tag = (
+        f"c{n_centroids}_p{nprobe}_q{n_queries}"
+        f"_f{int(sample_frac * 1000)}_s{seed}_b1"
+    )
     cells_out = os.path.join(out_dir, f"ivf_cells_{tag}.parquet")
     probes_out = os.path.join(out_dir, f"ivf_probes_{tag}.parquet")
     if os.path.exists(cells_out) and os.path.exists(probes_out):
@@ -391,6 +395,7 @@ def ivf_side_paths(
         _normalize_rows,
         _stack,
         ivf_sample_mask,
+        ivf_sample_threshold_micro,
         kmeans_lloyd,
     )
 
@@ -401,8 +406,13 @@ def ivf_side_paths(
     mraw = _stack(emb["embedding"])
     # kmeans_lloyd normalizes internally — pass RAW rows exactly like
     # the engine's train_centroids (a second normalization would move
-    # float bits and diverge the centroids)
-    cents = kmeans_lloyd(mraw[ivf_sample_mask(ids, sample_frac)], n_centroids, seed=seed)
+    # float bits and diverge the centroids); the sampling threshold is
+    # recomputed INDEPENDENTLY from the same row count + params, so the
+    # oracle verifies the engine's count-bounded sampling too
+    thr = ivf_sample_threshold_micro(len(ids), sample_frac)
+    cents = kmeans_lloyd(
+        mraw[ivf_sample_mask(ids, threshold_micro=thr)], n_centroids, seed=seed
+    )
     m = _normalize_rows(mraw)
     cell = np.argmax(m @ cents.T, axis=1).astype(np.int64)
     qmask = ids < n_queries

@@ -74,13 +74,44 @@ def knn_bruteforce(
     return topk[["query_id", "neighbor_id", "rank"]]
 
 
-def ivf_sample_mask(ids: np.ndarray, sample_frac: float = 0.5) -> np.ndarray:
+# Expected row budget for driver-side centroid training: the sample
+# lands on the driver, so it must be bounded by a CONSTANT, not a
+# fraction of the corpus (a fractional sample of 10^9 embeddings is a
+# driver OOM). ~64k rows x 64 float64 dims = 32 MB.
+IVF_SAMPLE_BUDGET = 65_536
+
+
+def ivf_sample_threshold_micro(
+    n_rows: int,
+    sample_frac: float = 0.5,
+    sample_budget: int = IVF_SAMPLE_BUDGET,
+) -> int:
+    """Count-bounded sampling threshold (micro-units, of 1e6): the
+    effective fraction is ``min(sample_frac, sample_budget / n_rows)``,
+    so the expected driver-side sample stays ~``sample_budget`` rows at
+    ANY corpus size. Pure function of (count, params) — the side-table
+    oracle recomputes it from the same inputs."""
+    frac = min(float(sample_frac), sample_budget / max(int(n_rows), 1))
+    return max(1, min(1_000_000, int(frac * 1_000_000)))
+
+
+def ivf_sample_mask(
+    ids: np.ndarray,
+    sample_frac: float = 0.5,
+    threshold_micro: int | None = None,
+) -> np.ndarray:
     """Deterministic training-sample membership by golden-ratio integer
     hash on the id — a pure function of the TABLE, reproducible in
     plain pandas (the side-table oracle) and stable across block
     layouts/parallelism (``ds.random_sample``'s per-block RNG is
-    neither)."""
-    return (ids.astype(np.int64) * 2654435761) % 1000 < int(sample_frac * 1000)
+    neither). Pass ``threshold_micro`` (from
+    ``ivf_sample_threshold_micro``) for the count-bounded form."""
+    t = (
+        int(threshold_micro)
+        if threshold_micro is not None
+        else int(sample_frac * 1_000_000)
+    )
+    return (ids.astype(np.int64) * 2654435761) % 1_000_000 < t
 
 
 def kmeans_lloyd(
@@ -102,18 +133,27 @@ def kmeans_lloyd(
 
 
 def train_centroids(
-    ds: ray.data.Dataset, n_centroids: int = 16, sample_frac: float = 0.5, iters: int = 10, seed: int = 13
+    ds: ray.data.Dataset,
+    n_centroids: int = 16,
+    sample_frac: float = 0.5,
+    iters: int = 10,
+    seed: int = 13,
+    sample_budget: int = IVF_SAMPLE_BUDGET,
 ) -> np.ndarray:
     """k-means on a driver-side sample (Lloyd, deterministic seed) —
     the small-model-training step of an IVF index. The sample is the
-    deterministic ``ivf_sample_mask`` subset, so the centroids are a
-    pure function of the table (the IVF side-table oracle recomputes
-    them independently)."""
+    deterministic ``ivf_sample_mask`` subset with a COUNT-BOUNDED
+    threshold (expected ~``sample_budget`` rows at any corpus size —
+    the one deliberate driver hop in the IVF plan stays constant-size),
+    so the centroids remain a pure function of the table (the IVF
+    side-table oracle recomputes the same threshold from the same
+    count)."""
+    thr = ivf_sample_threshold_micro(ds.count(), sample_frac, sample_budget)
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        return df[ivf_sample_mask(df["vec_id"].to_numpy(), sample_frac)][
-            ["embedding"]
-        ]
+        return df[
+            ivf_sample_mask(df["vec_id"].to_numpy(), threshold_micro=thr)
+        ][["embedding"]]
 
     sample = _stack(ds.map_batches(pick, batch_format="pandas").to_pandas()["embedding"])
     return kmeans_lloyd(sample, n_centroids, iters=iters, seed=seed)

@@ -103,6 +103,60 @@ def test_corpus_prep_anti_join_path_matches_broadcast(ray_session, keep):
     )
 
 
+# --------------------------------------------- count-bounded IVF sampling
+def test_ivf_sample_size_flat_across_fixture_sizes(ray_session):
+    """VERDICT r3 item 2: the centroid-training driver sample must stay
+    ~sample_budget rows as the corpus grows (count-bounded threshold,
+    not a corpus fraction)."""
+    from data_harvesting_ray.stages.similarity import (
+        ivf_sample_mask,
+        ivf_sample_threshold_micro,
+    )
+
+    budget = 2_000
+    sizes = (20_000, 160_000)
+    got = []
+    for n in sizes:
+        ids = np.arange(n, dtype=np.int64)
+        thr = ivf_sample_threshold_micro(n, sample_frac=0.5, sample_budget=budget)
+        got.append(int(ivf_sample_mask(ids, threshold_micro=thr).sum()))
+    # both sample sizes within 25% of the budget despite an 8x corpus
+    for n, s in zip(sizes, got):
+        assert abs(s - budget) < budget * 0.25, (n, s)
+    # small corpora keep the plain fractional sample
+    thr_small = ivf_sample_threshold_micro(1_000, 0.5, budget)
+    assert thr_small == 500_000
+
+
+def test_knn_ivf_matches_driver_side_recompute(ray_session):
+    """Engine centroids (count-bounded sample over Ray) must equal the
+    side-table oracle's independent numpy recompute."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import (
+        _normalize_rows,
+        _stack,
+        ivf_sample_mask,
+        ivf_sample_threshold_micro,
+        kmeans_lloyd,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 3_000
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.normal(size=(n, 8)).astype(np.float64)),
+        }
+    )
+    cents = train_centroids(rd.from_pandas(emb), n_centroids=4, sample_budget=512)
+    thr = ivf_sample_threshold_micro(n, 0.5, 512)
+    mask = ivf_sample_mask(emb["vec_id"].to_numpy(), threshold_micro=thr)
+    want = kmeans_lloyd(_stack(emb["embedding"][mask]), 4)
+    assert np.array_equal(cents, want)
+
+
 def test_rollup_counts_no_nulls_unchanged(ray_session):
     import ray.data as rd
 
