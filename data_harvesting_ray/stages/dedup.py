@@ -18,13 +18,16 @@ Physical plan (round 2 — the payload never shuffles):
 
 Fingerprint collisions are conservative-safe: a colliding unique row
 is merely routed to the (exact, true-key) dedup path. The dup-fp set
-is broadcast via ``ray.put``; at a dup rate where it outgrows worker
-memory, the documented fallback is to carry (input_file, row_group)
-provenance through the key pass and re-partition the keep-list by
-provenance instead of broadcasting (two key-only shuffles, payload
-still never moves). The input dataset's lineage executes twice (both
-passes stream from the source) — the 100 TB trade is two streaming
-reads vs shuffling every payload byte once.
+never visits the driver: the per-bucket dup arrays stay in the object
+store and one remote task concatenates them into the single sorted
+membership array (plasma holds it once per node; split tasks read it
+zero-copy). Past ``dup_fp_cap`` dup fingerprints the membership array
+itself is no longer a safe per-node broadcast, and the plan degrades
+(with a warning naming the cap) to the standard one-shuffle keyed
+dedup — payload moves once, correct at any dup rate. The input
+dataset's lineage executes twice on the fast path (both passes stream
+from the source) — the 100 TB trade is two streaming reads vs
+shuffling every payload byte once.
 """
 
 from __future__ import annotations
@@ -73,11 +76,12 @@ def _key_fp(t: pa.Table) -> np.ndarray:
     ).astype(np.int64)
 
 
-def _dup_fps(ds: ray.data.Dataset, num_buckets: int | None = None) -> np.ndarray:
-    """Fingerprints with global multiplicity > 1. Partial (fp, n)
-    counts per block, hash-repartitioned by fp (the engine's shared
-    bucket primitive — far cheaper than a groupby().aggregate() actor
-    round for a single int column), summed per partition."""
+def _dup_fps_ds(ds: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
+    """Fingerprints with global multiplicity > 1, as a DATASET (one
+    int64 column ``fp``). Partial (fp, n) counts per block,
+    hash-repartitioned by fp (the engine's shared bucket primitive —
+    far cheaper than a groupby().aggregate() actor round for a single
+    int column), summed per partition."""
     b = num_buckets or default_num_buckets()
 
     def partial_counts(t: pa.Table) -> pa.Table:
@@ -103,12 +107,54 @@ def _dup_fps(ds: ray.data.Dataset, num_buckets: int | None = None) -> np.ndarray
     parts = ds.map_batches(partial_counts, batch_format="pyarrow").repartition(
         b, keys=["bucket"], sort=False
     )
-    out = parts.map_batches(dups_in_bucket, batch_format="pyarrow").to_pandas()
+    return parts.map_batches(dups_in_bucket, batch_format="pyarrow")
+
+
+def _dup_fps(ds: ray.data.Dataset, num_buckets: int | None = None) -> np.ndarray:
+    """Driver-side form of ``_dup_fps_ds`` (tests / small inputs)."""
+    out = _dup_fps_ds(ds, num_buckets).to_pandas()
     return np.sort(out["fp"].to_numpy().astype(np.int64))
 
 
-def dedup_exact(ds: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
-    dup_set = ray.put(_dup_fps(ds, num_buckets))
+@ray.remote
+def _assemble_sorted(*chunks: pa.Table) -> np.ndarray:
+    """Concatenate + sort the per-bucket dup-fp chunks INSIDE a task —
+    the membership array is born in the object store and the driver
+    only ever holds its ref."""
+    # empty blocks come back with an EMPTY schema (no "fp" column)
+    arrs = [
+        c["fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for c in chunks
+        if "fp" in c.column_names
+    ]
+    dropped = [c for c in chunks if "fp" not in c.column_names]
+    assert all(c.num_rows == 0 for c in dropped), "non-empty chunk without fp"
+    if not arrs:
+        return np.array([], dtype=np.int64)
+    return np.sort(np.concatenate(arrs))
+
+
+# Above this many dup fingerprints the sorted membership array (~8 B
+# each) stops being a safe per-node plasma object + per-task np.isin
+# probe, and dedup degrades to the full keyed shuffle.
+DUP_FP_CAP = 100_000_000
+
+
+def dedup_exact(
+    ds: ray.data.Dataset,
+    num_buckets: int | None = None,
+    dup_fp_cap: int = DUP_FP_CAP,
+) -> ray.data.Dataset:
+    import warnings
+
+    fps = _dup_fps_ds(ds, num_buckets).materialize()
+    if fps.count() > dup_fp_cap:
+        warnings.warn(
+            f"dedup_exact: dup fingerprints exceed dup_fp_cap={dup_fp_cap}; "
+            "falling back to the full keyed shuffle (payload moves once)"
+        )
+        return apply_per_bucket(ds, dedup_kernel, num_buckets=num_buckets)
+    dup_set = _assemble_sorted.remote(*fps.to_arrow_refs())
 
     def split(t: pa.Table, want_dups: bool) -> pa.Table:
         fps = _key_fp(t)
