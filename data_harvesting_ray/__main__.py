@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -102,6 +103,11 @@ def repair_main(argv: list[str]) -> int:
     p.add_argument("--dest", required=True, help="where to write the repaired channel")
     p.add_argument("--channel", choices=("sessions", "pairs"), default="sessions")
     args = p.parse_args(argv)
+
+    # a rerun into a non-empty dest would append parquet files beside
+    # the old ones and double-count the re-read row count below
+    if os.path.isdir(args.dest) and os.listdir(args.dest):
+        p.error(f"--dest {args.dest!r} is not empty; refusing to append")
 
     import ray
 

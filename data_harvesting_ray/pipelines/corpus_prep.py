@@ -44,6 +44,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..stages.partition import to_clean_arrow
 from ..stages.text import BPE_ISH_PATTERN, LangId, quality_batch
 
 
@@ -79,7 +80,7 @@ def _gate(df: pd.DataFrame, lang: str, min_tokens: int, min_stop_milli: int) -> 
     # Arrow out, metadata-less: pandas blocks carry an unhashable
     # schema that knocks every downstream shuffle aggregator off its
     # schema-dedup fast path (logged once per aggregator)
-    return pa.Table.from_pandas(df[keep], preserve_index=False).replace_schema_metadata(None)
+    return to_clean_arrow(df[keep])
 
 
 def corpus_prep(

@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
-from .partition import apply_per_bucket
+from .partition import apply_per_bucket, to_clean_arrow
 
 
 def stride_sample(ds: ray.data.Dataset, k: int = 4) -> ray.data.Dataset:
@@ -329,7 +329,7 @@ def lineitem_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
         # metadata-less schema: keeps the shuffle aggregators on their
         # schema-dedup fast path (metadata'd schemas are unhashable)
-        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
+        return to_clean_arrow(part)
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]

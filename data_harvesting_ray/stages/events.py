@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from .partition import apply_per_bucket
+from .partition import apply_per_bucket, to_clean_arrow
 
 US = 1_000_000
 
@@ -45,7 +45,7 @@ def tumbling_events(ds: ray.data.Dataset, size_s: int = 3600) -> ray.data.Datase
             .sum()
         )
         part["window_start"] = part["window_start"].astype("datetime64[us]")
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return to_clean_arrow(part)
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["user_id", "window_start"]
@@ -87,7 +87,7 @@ def sliding_events(
             .sum()
         )
         part["window_start"] = part["window_start"].astype("datetime64[us]")
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return to_clean_arrow(part)
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["user_id", "window_start"]

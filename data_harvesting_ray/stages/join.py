@@ -124,23 +124,41 @@ def _distinct_keys(
             f"equi_join prefilter skipped: distinct keys exceed cap {cap}"
         )
 
-    keys: pd.DataFrame | None = None
+    # Amortized collection: buffer pre-deduped batches and only run the
+    # global drop_duplicates when the buffered row count doubles past
+    # the last deduped size (O(n log n) total instead of O(batches * n)
+    # re-dedup per batch as the set approaches the cap).
+    deduped: pd.DataFrame | None = None
+    pending: list[pd.DataFrame] = []
+    pending_rows = 0
+
+    def merge() -> pd.DataFrame:
+        nonlocal deduped, pending, pending_rows
+        parts = ([deduped] if deduped is not None else []) + pending
+        deduped = pd.concat(parts, ignore_index=True).drop_duplicates()
+        pending, pending_rows = [], 0
+        return deduped
+
     for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
         batch_format="pandas", batch_size=None
     ):
         # start from the first TYPED batch (concat with an empty
         # object-dtype frame trips pandas' all-NA deprecation)
-        keys = (
-            b
-            if keys is None
-            else pd.concat([keys, b], ignore_index=True).drop_duplicates()
-        )
-        if len(keys) > cap:
+        if len(b):
+            pending.append(b)
+            pending_rows += len(b)
+        base = len(deduped) if deduped is not None else 0
+        if pending_rows >= max(base, 1024) and len(merge()) > cap:
             too_many()
             return None
-    if keys is None:
-        keys = pd.DataFrame({k: pd.Series(dtype=object) for k in on_keys})
-    return keys.reset_index(drop=True)
+    if pending:
+        merge()
+    if deduped is not None and len(deduped) > cap:
+        too_many()
+        return None
+    if deduped is None:
+        deduped = pd.DataFrame({k: pd.Series(dtype=object) for k in on_keys})
+    return deduped.reset_index(drop=True)
 
 
 def _semi_filter(

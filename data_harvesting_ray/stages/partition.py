@@ -30,6 +30,19 @@ import pyarrow as pa
 import ray.data
 
 
+def to_clean_arrow(df: pd.DataFrame) -> pa.Table:
+    """pandas -> Arrow WITHOUT pandas schema metadata. Every engine
+    stage that emits an Arrow batch built from a DataFrame must use
+    this: ``pa.Schema`` with metadata is UNHASHABLE (``hash()`` raises
+    on the metadata dict), which silently knocks Ray's hash-shuffle
+    aggregators off their schema-dedup fast path — one warning per
+    aggregator per shuffle and a slow unify instead (r2 regression,
+    structurally guarded since r4)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+        None
+    )
+
+
 def _stable_hash(arr: np.ndarray) -> np.ndarray:
     """Deterministic (cross-process, cross-run) vectorized hash for
     string or integer key columns."""

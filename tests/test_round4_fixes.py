@@ -103,6 +103,72 @@ def test_corpus_prep_anti_join_path_matches_broadcast(ray_session, keep):
     )
 
 
+# ----------------------------------------------- schema-metadata guard
+def test_no_bare_from_pandas_in_stages_or_pipelines():
+    """VERDICT r3 item 8: every pandas->Arrow conversion in engine
+    stages/pipelines must go through to_clean_arrow (pandas schema
+    metadata is unhashable and breaks the shuffle fast path)."""
+    import pathlib
+
+    root = pathlib.Path("data_harvesting_ray")
+    offenders = []
+    for sub in ("stages", "pipelines", "sinks", "state", "sources"):
+        for f in (root / sub).glob("*.py"):
+            src = f.read_text()
+            if "pa.Table.from_pandas" in src and f.name != "partition.py":
+                # writer-only call sites (pq.write_table) never feed a
+                # shuffle; flag anything else
+                for line in src.splitlines():
+                    if "pa.Table.from_pandas" in line and "pq.write_table" not in line:
+                        offenders.append((str(f), line.strip()))
+    assert not offenders, offenders
+
+
+def test_to_clean_arrow_strips_metadata_and_hashable():
+    from data_harvesting_ray.stages.partition import to_clean_arrow
+
+    t = to_clean_arrow(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}))
+    assert t.schema.metadata is None
+    hash(t.schema)  # must not raise
+
+
+# ------------------------------------------------------ repair dest guard
+def test_repair_cli_refuses_nonempty_dest(tmp_path):
+    """ADVICE r3: a rerun into a non-empty --dest must be refused, not
+    silently appended + double-counted."""
+    from data_harvesting_ray.__main__ import repair_main
+
+    dest = tmp_path / "dest"
+    dest.mkdir()
+    (dest / "stale.parquet").write_bytes(b"x")
+    with pytest.raises(SystemExit) as e:
+        repair_main(
+            [
+                "--out", str(tmp_path / "out"),
+                "--epochs-root", str(tmp_path / "epochs"),
+                "--dest", str(dest),
+            ]
+        )
+    assert e.value.code == 2
+    assert (dest / "stale.parquet").read_bytes() == b"x"
+
+
+# ------------------------------------------- incremental _distinct_keys
+def test_distinct_keys_incremental(ray_session):
+    """ADVICE r3: amortized dedup — same result set, cap still aborts."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import _distinct_keys
+
+    df = pd.DataFrame({"k": [f"k{i % 57}" for i in range(5_000)], "v": 0})
+    ds = rd.from_pandas(df).repartition(8)
+    keys = _distinct_keys(ds, ["k"], cap=1_000)
+    assert keys is not None
+    assert sorted(keys["k"]) == sorted(f"k{i}" for i in range(57))
+    with pytest.warns(UserWarning, match="prefilter skipped"):
+        assert _distinct_keys(ds, ["k"], cap=10) is None
+
+
 # ---------------------------------------------- dedup_exact dup_fp fallback
 def test_dedup_exact_fallback_matches_fast_path(ray_session):
     """VERDICT r3 item 3: past dup_fp_cap the full keyed shuffle must
