@@ -112,23 +112,46 @@ def quality_score(ds: ray.data.Dataset) -> ray.data.Dataset:
 class LangId:
     """Heuristic stopword-profile language id — a stateful enrichment
     stage shaped like the reference's model scorer (ST1: load once per
-    actor in __init__, score per batch)."""
+    actor in __init__, score per batch).
+
+    Fully vectorized (r3 verdict item 6): Arrow lower/trim/regex-split
+    explodes tokens once, one ``pc.is_in`` membership probe per
+    profile, segmented per-doc counts via ``np.bincount`` over the
+    repeat-index — no Python loop over rows or tokens. Tie semantics
+    match the original per-row loop exactly: first profile in
+    ``LANG_PROFILES`` order with the strictly-highest hit count wins;
+    zero hits everywhere → "unknown"."""
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
+        self.langs = list(LANG_PROFILES)
+        self.value_sets = [
+            pa.array(sorted(LANG_PROFILES[lang])) for lang in self.langs
+        ]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.lower().str.split()
+        import pyarrow.compute as pc
 
-        def guess(ws: list[str]) -> str:
-            best, best_n = "unknown", 0
-            for lang, prof in self.profiles.items():
-                n = sum(1 for w in ws if w in prof)
-                if n > best_n:
-                    best, best_n = lang, n
-            return best
-
-        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": toks.map(guess)})
+        n = len(df)
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(
+                pc.utf8_lower(pa.array(df["text"], pa.string()))
+            ),
+            pattern=r"\s+",
+        )
+        lengths = (
+            pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(lists)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        counts = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, vs in enumerate(self.value_sets):
+            hit = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+            if hit.any():
+                counts[:, j] = np.bincount(doc_idx[hit], minlength=n)
+        best = counts.argmax(axis=1)  # first max = LANG_PROFILES order
+        lang = np.asarray(self.langs, dtype=object)[best]
+        lang[counts.max(axis=1, initial=0) == 0] = "unknown"
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": lang})
 
 
 def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:

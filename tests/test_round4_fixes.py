@@ -103,6 +103,40 @@ def test_corpus_prep_anti_join_path_matches_broadcast(ray_session, keep):
     )
 
 
+# ------------------------------------------------------- vectorized LangId
+def test_langid_vectorized_matches_row_loop():
+    """VERDICT r3 item 6: the Arrow/bincount LangId must reproduce the
+    original per-row loop bit-for-bit, including ties (first profile in
+    LANG_PROFILES order wins) and zero-hit -> unknown."""
+    from data_harvesting_ray.stages.text import LANG_PROFILES, LangId
+
+    profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
+
+    def row_guess(text):
+        ws = text.lower().split()
+        best, best_n = "unknown", 0
+        for lang, prof in profiles.items():
+            n = sum(1 for w in ws if w in prof)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    vocab = sorted({w for p in LANG_PROFILES.values() for w in p}) + [
+        "zz", "qqq", "x1",
+    ]
+    rng = np.random.default_rng(17)
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+        for _ in range(500)
+    ] + ["", "   ", "the the der der", "le le la la", "ZZ qqq"]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    got = LangId()(df)["lang_pred"].tolist()
+    want = [row_guess(t) for t in texts]
+    assert got == want
+
+
 # ----------------------------------------------- schema-metadata guard
 def test_no_bare_from_pandas_in_stages_or_pipelines():
     """VERDICT r3 item 8: every pandas->Arrow conversion in engine
