@@ -27,7 +27,8 @@ finished engine output: conversations with late rows are recomputed
 from the source log and the merged channel written as parquet:
 
     python -m data_harvesting_ray repair --out ENGINE_OUT \
-        --epochs-root DIR --dest DIR [--channel sessions|pairs]
+        --epochs-root DIR --dest DIR \
+        [--channel sessions|pairs|matches|orphans]
 """
 
 from __future__ import annotations
@@ -101,7 +102,11 @@ def repair_main(argv: list[str]) -> int:
     p.add_argument("--out", required=True, help="finished engine output dir")
     p.add_argument("--epochs-root", required=True, help="source epoch log")
     p.add_argument("--dest", required=True, help="where to write the repaired channel")
-    p.add_argument("--channel", choices=("sessions", "pairs"), default="sessions")
+    p.add_argument(
+        "--channel",
+        choices=("sessions", "pairs", "matches", "orphans"),
+        default="sessions",
+    )
     args = p.parse_args(argv)
 
     # a rerun into a non-empty dest would append parquet files beside
@@ -115,10 +120,20 @@ def repair_main(argv: list[str]) -> int:
     if owns_session:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from . import configure_session
-    from .pipelines.repair import repair_pairs, repair_sessions
+    from .pipelines.repair import (
+        repair_matches,
+        repair_orphans,
+        repair_pairs,
+        repair_sessions,
+    )
 
     configure_session()
-    fn = repair_sessions if args.channel == "sessions" else repair_pairs
+    fn = {
+        "sessions": repair_sessions,
+        "pairs": repair_pairs,
+        "matches": repair_matches,
+        "orphans": repair_orphans,
+    }[args.channel]
     ds = fn(args.out, args.epochs_root)
     ds.write_parquet(args.dest)
     import ray.data as rd

@@ -427,6 +427,50 @@ def q_t_pairs_repaired(sf_dir: str) -> Any:
     return repair_pairs(out, root)
 
 
+def q_t_matches_repaired(sf_dir: str) -> Any:
+    """Same repair invariant for the CEP matches channel — a late turn
+    can create or shift a role-sequence match; shares t_cep_matches'
+    oracle."""
+    import tempfile
+
+    from ..config import EngineConfig
+    from ..fixtures.generator import late_epochs_root
+    from .repair import repair_matches
+    from .streaming import StreamingEngine
+
+    root = late_epochs_root(sf_dir)
+    out = tempfile.mkdtemp(prefix="repair-matches-gate-")
+    eng = StreamingEngine(
+        out, config=EngineConfig(channels=(), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    if len(eng.results_pandas("late")) == 0:
+        raise RuntimeError("repair gate is vacuous: no late rows produced")
+    return repair_matches(out, root)
+
+
+def q_t_orphans_repaired(sf_dir: str) -> Any:
+    """Same repair invariant for the orphan-calls channel — a late
+    response RETIRES a committed orphan, the retraction case only the
+    repair pass can express; shares t_orphan_calls' oracle."""
+    import tempfile
+
+    from ..config import EngineConfig
+    from ..fixtures.generator import late_epochs_root
+    from .repair import repair_orphans
+    from .streaming import StreamingEngine
+
+    root = late_epochs_root(sf_dir)
+    out = tempfile.mkdtemp(prefix="repair-orphans-gate-")
+    eng = StreamingEngine(
+        out, config=EngineConfig(channels=(), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    if len(eng.results_pandas("late")) == 0:
+        raise RuntimeError("repair gate is vacuous: no late rows produced")
+    return repair_orphans(out, root)
+
+
 def q_e_tumbling(sf_dir: str) -> Any:
     from ..stages.events import tumbling_events
 
@@ -1191,6 +1235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_streaming_rolling": q_t_streaming_rolling,
         "t_sessions_repaired": q_t_sessions_repaired,
         "t_pairs_repaired": q_t_pairs_repaired,
+        "t_matches_repaired": q_t_matches_repaired,
+        "t_orphans_repaired": q_t_orphans_repaired,
         "e_tumbling": q_e_tumbling,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
@@ -2235,6 +2281,8 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     # tight-watermark streaming + late repair == the bounded truth
     sqls["t_sessions_repaired"] = sqls["t_session_windows"]
     sqls["t_pairs_repaired"] = sqls["t_tool_join"]
+    sqls["t_matches_repaired"] = sqls["t_cep_matches"]
+    sqls["t_orphans_repaired"] = sqls["t_orphan_calls"]
     sqls["t_response_latency_salted"] = sqls["t_response_latency"]
     # broadcast plan must be output-identical to the shuffle plan
     sqls["t_stats_join_broadcast"] = sqls["t_stats_join"]

@@ -142,3 +142,46 @@ def repair_pairs(
         lambda ds: tool_join(normalize_turns(ds), num_buckets=num_buckets),
         None,  # normalize needs the payload; affected-only rows ride
     )
+
+
+def repair_matches(
+    out_dir: str,
+    epochs_root: str,
+    spec=None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Committed CEP matches with late-affected conversations
+    recomputed via the bounded NFA pass (``cep_matches``) — a late
+    turn can create, destroy, or shift a role-sequence match, so the
+    whole conversation's match set is recomputed, never patched."""
+    from ..stages.cep import cep_matches
+
+    return _repair_channel(
+        out_dir,
+        epochs_root,
+        "matches",
+        lambda ds: cep_matches(ds, spec, num_buckets=num_buckets),
+        ["conv_id", "turn_idx", "role"],
+    )
+
+
+def repair_orphans(
+    out_dir: str,
+    epochs_root: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Committed orphan calls (tool calls with no later response) with
+    late-affected conversations recomputed via the bounded anti-join —
+    a late response turn RETIRES a committed orphan, the repair case
+    splicing alone can express (the streaming engine rightly never
+    retracts committed rows)."""
+    from ..stages.join import orphan_calls
+    from ..stages.normalize import normalize_turns
+
+    return _repair_channel(
+        out_dir,
+        epochs_root,
+        "orphans",
+        lambda ds: orphan_calls(normalize_turns(ds), num_buckets=num_buckets),
+        None,  # normalize parses call ids from the payload
+    )

@@ -507,11 +507,16 @@ def test_streaming_randomized_differential_vs_reference(
 @pytest.mark.parametrize("seed", [21, 22])
 def test_late_repair_randomized_differential(ray_session, tmp_path, seed):
     """Random corpus + random epoch disorder + TIGHT watermark (many
-    late rows) — repair must restore the bounded truth on both the
-    sessions and pairs channels."""
+    late rows) — repair must restore the bounded truth on all four
+    core channels (sessions, pairs, matches, orphans)."""
     from data_harvesting_ray.config import EngineConfig
     from data_harvesting_ray.oracle import reference as R
-    from data_harvesting_ray.pipelines.repair import repair_pairs, repair_sessions
+    from data_harvesting_ray.pipelines.repair import (
+        repair_matches,
+        repair_orphans,
+        repair_pairs,
+        repair_sessions,
+    )
     from data_harvesting_ray.pipelines.streaming import StreamingEngine
     from data_harvesting_ray.sources.epochs import discover_epochs
 
@@ -555,5 +560,16 @@ def test_late_repair_randomized_differential(ray_session, tmp_path, seed):
     assert_frames_equal(
         repair_pairs(out, root).to_pandas(),
         R.tool_join(df),
+        ["conv_id", "call_turn_idx"],
+    )
+    assert_frames_equal(
+        # the oracle omits the constant pattern-name column
+        repair_matches(out, root).to_pandas().drop(columns=["pattern"]),
+        R.cep_matches(df),
+        ["conv_id", "start_turn_idx"],
+    )
+    assert_frames_equal(
+        repair_orphans(out, root).to_pandas(),
+        R.orphan_calls(df),
         ["conv_id", "call_turn_idx"],
     )
