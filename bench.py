@@ -197,13 +197,14 @@ def run_scale_one_streaming() -> dict:
     large fixture.
 
     Shard count: "auto" (default) uses the engine's CPU-proportional
-    default at each level — the realistic resize mode, because the
-    engine reshards checkpointed state on resume (reshard-on-resume is
-    a tested first-class path), so an N→4N cluster carries its state
-    into 4N-proportional shards rather than staying shard-bound.
-    GRAFT_SCALE_SHARDS=<int> pins a fixed count instead (measures the
-    shard-bound regime: 0.45 efficiency at 8 shards, 4→16 CPUs —
-    recorded in BASELINE.md for contrast)."""
+    default at each level (shards = CPUs since round 4 — close-path
+    parallelism tracks shard count) — the realistic resize mode,
+    because the engine reshards checkpointed state on resume
+    (reshard-on-resume is a tested first-class path), so an N→4N
+    cluster carries its state into 4N-proportional shards rather than
+    staying shard-bound. GRAFT_SCALE_SHARDS=<int> pins a fixed count
+    instead (measures the shard-bound regime: 0.45 efficiency at 8
+    shards, 4→16 CPUs — recorded in BASELINE.md for contrast)."""
     import glob as _glob
     import tempfile
 
