@@ -67,20 +67,30 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')")
 
     qs, sqls = queries(), oracle_sql(sf_name)
+    results: dict[str, dict] = {}
+    json_out = os.environ.get("GRAFT_GATE_JSON")  # write per-query log here
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        res = fn(sf_dir)
-        if hasattr(res, "to_pandas"):
-            got = res.to_pandas()
-        else:
-            got = res
+        try:
+            res = fn(sf_dir)
+            got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        except Exception as e:  # a crashed query is a failure, not a skip
+            failures += 1
+            print(f"{name:24s} ERROR {type(e).__name__}: {e}")
+            results[name] = {"status": "error", "err": f"{type(e).__name__}: {e}"}
+            continue
         ray_s = time.time() - t0
         sql = sqls.get(name)
         if sql is None:
             print(f"{name:24s} rows-only: {len(got):8d} rows   ({ray_s:5.1f}s)")
+            results[name] = {
+                "status": "rows_only",
+                "rows": int(len(got)),
+                "ray_s": round(ray_s, 2),
+            }
             continue
         t0 = time.time()
         want = con.sql(sql).df()
@@ -107,6 +117,30 @@ def main() -> int:
                         print(f"   col {c}: ray={g[c].head(3).tolist()} duck={w[c].head(3).tolist()}")
         else:
             print(f"{name:24s} OK    {len(g):8d} rows   (ray {ray_s:5.1f}s, duck {duck_s:5.1f}s)")
+        results[name] = {
+            "status": "ok" if ok else "fail",
+            "rows_ray": int(len(g)),
+            "rows_duck": int(len(w)),
+            "ray_s": round(ray_s, 2),
+            "duck_s": round(duck_s, 2),
+        }
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_checked": len(results),
+            "n_ok": sum(r["status"] == "ok" for r in results.values()),
+            "n_rows_only": sum(
+                r["status"] == "rows_only" for r in results.values()
+            ),
+            "n_fail": failures,
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {summary['n_ok']} ok / "
+              f"{summary['n_rows_only']} rows-only / {failures} fail")
     ray.shutdown()
     return 1 if failures else 0
 
