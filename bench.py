@@ -102,15 +102,22 @@ def run_bench() -> dict:
         timed("cep_matches", lambda: Q.q_t_cep_matches(SF_DIR))
         timed("turn_stats", lambda: Q.q_t_turn_stats(SF_DIR))
         timed("window_lag", lambda: Q.q_t_response_latency(SF_DIR))
-        timed("minhash_near_dups", lambda: Q.q_d_minhash_near_dups(SF_DIR))
-        # d_jaccard_near_dups (exact prefix-filter join) is gated for
-        # correctness at sf0.01 but is NOT a headline: on the synthetic
-        # fixture every document draws from one small shingle
-        # vocabulary, so the exact join approaches all-pairs by
-        # construction (~50 s at sf0.1, measured; see BASELINE.md) —
-        # MinHash is the scalable near-dup path on such corpora.
-        timed("corpus_prep", lambda: Q.q_d_corpus_prep(SF_DIR))
-        timed("knn", lambda: Q.q_v_knn(SF_DIR))
+        # The document/embedding headliners need the driver's
+        # documents/embeddings tables; transcript-only fixtures (the
+        # sfxxl scale point: GRAFT_SF_DIR=sfxxl) run just the
+        # transcript pipelines.
+        if os.path.isdir(SF_DIR) and os.path.exists(
+            os.path.join(SF_DIR, "documents.parquet")
+        ):
+            timed("minhash_near_dups", lambda: Q.q_d_minhash_near_dups(SF_DIR))
+            # d_jaccard_near_dups (exact prefix-filter join) is gated for
+            # correctness at sf0.01 but is NOT a headline: on the synthetic
+            # fixture every document draws from one small shingle
+            # vocabulary, so the exact join approaches all-pairs by
+            # construction (~50 s at sf0.1, measured; see BASELINE.md) —
+            # MinHash is the scalable near-dup path on such corpora.
+            timed("corpus_prep", lambda: Q.q_d_corpus_prep(SF_DIR))
+            timed("knn", lambda: Q.q_v_knn(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
