@@ -1160,6 +1160,49 @@ def q_t_turn_rank(sf_dir: str) -> Any:
     )
 
 
+def q_t_turn_ntile(sf_dir: str) -> Any:
+    """NTILE(4) window function: each turn's conversation-progress
+    quartile (position binning for curriculum sampling / per-quartile
+    quotas) over deduped turns, ordered by the tie-free turn_idx —
+    NTILE is tie-sensitive, so the order key must be unique per
+    conversation for the SQL gate to hold."""
+    from ..stages.dedup import dedup_kernel
+    from ..stages.window_fns import with_ntile
+
+    return with_ntile(
+        _t(sf_dir, ["conv_id", "turn_idx"]),
+        key="conv_id",
+        order="turn_idx",
+        n_tiles=4,
+        out_col="quartile",
+        prepare=dedup_kernel,
+    )
+
+
+# Fixed query-term set for the TF-IDF gate (drawn from the fixture
+# vocabulary; the oracle SQL is GENERATED from the same list so both
+# sides sum per-document scores in the same term order).
+_TFIDF_TERMS = ("join", "window", "hash", "stream", "vector")
+
+
+def q_d_tfidf(sf_dir: str) -> Any:
+    """TF-IDF relevance of every document to a fixed query-term set:
+    one bounded DF pass (≤|terms|+1 rows reach the driver) + one
+    embarrassingly parallel scoring pass."""
+    from ..stages.relevance import tfidf_scores
+
+    return tfidf_scores(_docs(sf_dir), terms=_TFIDF_TERMS)
+
+
+def q_d_window_dups(sf_dir: str) -> Any:
+    """Exact substring-overlap dedup: distinct document pairs sharing
+    a verbatim 8-token window. Key-only shuffles; exactness certified
+    (hot windows past df_cap raise, never silently skip)."""
+    from ..stages.dedup_approx import window_dup_pairs
+
+    return window_dup_pairs(_docs(sf_dir), n=8)
+
+
 def q_m_binary_meta(sf_dir: str) -> Any:
     from ..stages.multimodal import binary_meta
 
@@ -1275,6 +1318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_trigram_explode": q_d_trigram_explode,
         "d_lang_rollup": q_d_lang_rollup,
         "t_turn_rank": q_t_turn_rank,
+        "t_turn_ntile": q_t_turn_ntile,
+        "d_tfidf": q_d_tfidf,
+        "d_window_dups": q_d_window_dups,
         "v_knn": q_v_knn,
         "v_group_centroid": q_v_group_centroid,
         "v_knn_ivf": q_v_knn_ivf,
@@ -2267,6 +2313,34 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    PARTITION BY conv_id ORDER BY n_chars DESC) AS BIGINT)
                    AS len_rank
         FROM t
+    """
+    sqls["t_turn_ntile"] = f"""
+        WITH t AS (
+          SELECT DISTINCT conv_id, turn_idx FROM {RAW}
+        )
+        SELECT conv_id, turn_idx,
+               CAST(NTILE(4) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+                   AS quartile
+        FROM t
+    """
+    from ..stages.relevance import tfidf_oracle_sql
+
+    sqls["d_tfidf"] = tfidf_oracle_sql("documents", _TFIDF_TERMS)
+    sqls["d_window_dups"] = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
+          FROM t, LATERAL (SELECT unnest(generate_series(
+              1, greatest(len(toks) - 7, 0))) AS i)
+        ),
+        d AS (SELECT DISTINCT doc_id, ngram FROM g)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b USING (ngram)
+        WHERE a.doc_id < b.doc_id
     """
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).

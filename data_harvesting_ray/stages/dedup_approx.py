@@ -788,3 +788,89 @@ def ngram_jaccard_near_dups(
         )
     out = out.drop_duplicates()
     return out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)
+
+
+def window_dup_pairs(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    df_cap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT substring-overlap dedup: every document pair sharing at
+    least one verbatim ``n``-token window — the substring-granular
+    duplicate detector of the training-data literature (boilerplate,
+    quoted spans, template reuse that whole-document hashing misses).
+    Output: distinct (doc_a, doc_b) with doc_a < doc_b. Deterministic
+    and exact — unlike MinHash there is no probabilistic miss, which
+    is why the driver gate can hold it to an exact SQL self-join.
+
+    Scale plan: one-to-many window expansion is embarrassingly
+    parallel (the shared vectorized ``explode_ngrams`` kernel); only
+    (id, ngram) KEY rows shuffle — payload never moves — with a
+    per-batch distinct partial so repeated windows inside a document
+    ship once. Pairs are emitted per hash(ngram) bucket by a
+    vectorized self-merge, then made globally distinct by one
+    key-only pair shuffle. A web-scale corpus has boilerplate
+    n-grams shared by millions of documents, which would go O(n²):
+    any window with document frequency > ``df_cap`` RAISES with the
+    cap named (the certified-exactness contract of heavy_hitters) —
+    callers either raise the cap knowingly or drop stop-windows
+    upstream; silently skipping hot windows would turn an exact
+    operator into an approximate one.
+
+    Reference analogue: D2's tolerance-based duplicate suppression
+    (``condition.py:66-77``), at span rather than detection
+    granularity."""
+    from .partition import apply_per_bucket
+    from .text import explode_ngrams
+
+    grams = explode_ngrams(ds, n=n, text_col=text_col, id_col=id_col)
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        # per-batch (id, ngram) distinct BEFORE the shuffle: a window
+        # repeated inside one document ships once
+        df = t.select([id_col, "ngram"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    keyed = grams.map_batches(distinct_partial, batch_format="pyarrow")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], dtype=np.int64),
+                    "doc_b": np.array([], dtype=np.int64),
+                }
+            )
+        g = g.drop_duplicates()  # cross-batch repeats of (id, ngram)
+        sizes = g.groupby("ngram", sort=False)[id_col].transform("size")
+        hot = int(sizes.max())
+        if hot > df_cap:
+            culprit = g.loc[sizes.idxmax(), "ngram"]
+            raise ValueError(
+                f"window_dup_pairs: {n}-token window shared by {hot} "
+                f"documents exceeds df_cap={df_cap} (window "
+                f"{culprit!r:.80}); raise df_cap or drop stop-windows "
+                "upstream — skipping it silently would make an exact "
+                "operator approximate"
+            )
+        m = g.merge(g, on="ngram", suffixes=("_l", "_r"))
+        keep = m[f"{id_col}_l"] < m[f"{id_col}_r"]
+        out = m.loc[keep, [f"{id_col}_l", f"{id_col}_r"]].drop_duplicates()
+        out.columns = ["doc_a", "doc_b"]
+        return out
+
+    pairs = apply_per_bucket(keyed, emit_pairs, key="ngram", num_buckets=num_buckets)
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    # same pair can surface from several windows in different ngram
+    # buckets: one key-only shuffle of the (small) pair list dedups
+    return apply_per_bucket(
+        pairs, distinct_pairs, key=["doc_a", "doc_b"], num_buckets=num_buckets
+    )

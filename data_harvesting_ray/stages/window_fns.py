@@ -143,6 +143,68 @@ def with_rank(
     return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
 
 
+def with_ntile(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    n_tiles: int,
+    descending: bool = False,
+    out_col: str = "tile",
+    prepare=None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY order [DESC])``:
+    split each key's rows into ``n_tiles`` contiguous buckets of
+    near-equal size — the first ``count % n`` tiles get one extra row
+    (the SQL-standard fill rule). The position/recency/quality binning
+    step of curriculum sampling and quota-per-quantile corpus gates.
+
+    NTILE is tie-SENSITIVE: tied order values land in different tiles
+    depending on their arbitrary relative order, so deterministic
+    callers (and the SQL-gated query) must pass a tie-free ``order``
+    within each key. Same one-shuffle factorized-codes plan as
+    ``with_rank``; tile assignment is pure arithmetic on the row's
+    0-based offset within its key group — no per-key loop."""
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if prepare is not None:
+            g = prepare(g)
+        if not len(g):
+            return g.assign(**{out_col: np.array([], dtype=np.int64)})
+        codes, _ = pd.factorize(g[key].to_numpy(), sort=False)
+        oc, _ = pd.factorize(g[order].to_numpy(), sort=True)
+        if descending:
+            oc = -oc
+        null_mask = pd.isna(g[order]).to_numpy()
+        if null_mask.any():  # NULLS LAST, both directions
+            oc = oc.copy()
+            oc[null_mask] = oc.max() + 1 if len(oc) else 0
+        idx = np.lexsort((oc, codes))
+        g, codes = g.iloc[idx], codes[idx]
+        n = len(g)
+        i = np.arange(n)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = codes[1:] != codes[:-1]
+        starts = np.maximum.accumulate(np.where(new_grp, i, 0))
+        rn = i - starts  # 0-based row number within the key group
+        size = np.bincount(codes, minlength=codes.max() + 1)[codes]
+        base = size // n_tiles  # rows per small tile (0 when size<n)
+        rem = size % n_tiles  # first `rem` tiles get base+1 rows
+        cutoff = rem * (base + 1)
+        big = rn < cutoff
+        # guard div-by-zero past the cutoff when size < n_tiles (base
+        # 0): every row is inside the cutoff there, value unused
+        tile = np.where(
+            big, rn // (base + 1), rem + (rn - cutoff) // np.maximum(base, 1)
+        )
+        return g.assign(**{out_col: (tile + 1).astype(np.int64)})
+
+    return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
+
+
 def rolling_sum(
     ds: ray.data.Dataset,
     key: str,

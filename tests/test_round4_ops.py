@@ -1,0 +1,232 @@
+"""Round-4 operator additions: NTILE window function, TF-IDF query
+scoring, exact substring-window dedup — randomized differentials
+against DuckDB / brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+# ------------------------------------------------------------- with_ntile
+@pytest.mark.parametrize("n_tiles", [1, 3, 4, 7])
+def test_with_ntile_randomized_vs_duckdb(ray_session, n_tiles):
+    """NTILE over a tie-free order column must equal DuckDB's NTILE
+    for every tile count, including tiles > group size."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import with_ntile
+
+    rng = np.random.default_rng(41 + n_tiles)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 37, n).astype(str),
+            "v": rng.permutation(n).astype(np.int64),  # tie-free order
+        }
+    )
+    got = (
+        with_ntile(
+            rd.from_pandas(df), key="k", order="v", n_tiles=n_tiles, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        f"SELECT k, v, CAST(NTILE({n_tiles}) OVER "
+        "(PARTITION BY k ORDER BY v) AS BIGINT) AS tile "
+        "FROM t ORDER BY k, v"
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "tile"]], want, check_dtype=False
+    )
+
+
+def test_with_ntile_descending_and_small_groups(ray_session):
+    """DESC ordering and groups smaller than n_tiles (one row per
+    tile, trailing tiles empty — SQL semantics: tile = row number)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import with_ntile
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "b", "c", "c", "c"], "v": [1, 2, 5, 9, 8, 7]}
+    )
+    got = (
+        with_ntile(
+            rd.from_pandas(df),
+            key="k",
+            order="v",
+            n_tiles=4,
+            descending=True,
+            num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT k, v, CAST(NTILE(4) OVER "
+        "(PARTITION BY k ORDER BY v DESC) AS BIGINT) AS tile "
+        "FROM t ORDER BY k, v"
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(got[["k", "v", "tile"]], want, check_dtype=False)
+
+
+def test_with_ntile_rejects_bad_tile_count(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.window_fns import with_ntile
+
+    with pytest.raises(ValueError, match="n_tiles"):
+        with_ntile(
+            rd.from_pandas(pd.DataFrame({"k": ["a"], "v": [1]})),
+            key="k",
+            order="v",
+            n_tiles=0,
+        )
+
+
+# ----------------------------------------------------------------- tf-idf
+def test_tfidf_scores_randomized_vs_duckdb(ray_session):
+    """tfidf_scores must equal its generated SQL oracle on a random
+    corpus that includes an empty document and a term absent from the
+    corpus (df=0 — the smoothed IDF keeps both sides total)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.relevance import (
+        tfidf_oracle_sql,
+        tfidf_scores,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = np.array(["join", "scan", "hash", "sort", "merge", "window"])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 30))) for _ in range(200)
+    ]
+    texts[13] = ""  # empty doc: one empty token, matches nothing
+    texts[77] = "   join   join \t hash  "  # irregular whitespace
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+    terms = ("join", "window", "nosuchterm")
+
+    got = (
+        tfidf_scores(rd.from_pandas(df), terms=terms)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", df)
+    want = (
+        con.execute(tfidf_oracle_sql("docs", terms))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert (got["doc_id"] == want["doc_id"]).all()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=1e-12)
+    # empty doc and df=0 term contribute nothing
+    assert got.loc[got["doc_id"] == 13, "score"].iloc[0] == 0.0
+
+
+def test_tfidf_df_pass_is_bounded(ray_session):
+    """term_doc_frequencies returns |terms| dfs + N regardless of
+    corpus size (the driver hop is bounded by the QUERY)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.relevance import term_doc_frequencies
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(50, dtype=np.int64),
+            "text": ["join scan"] * 25 + ["sort"] * 25,
+        }
+    )
+    dfs, n = term_doc_frequencies(rd.from_pandas(df), ["join", "sort", "zz"])
+    assert n == 50
+    assert dfs.tolist() == [25, 25, 0]
+
+
+def test_tfidf_oracle_sql_rejects_unsafe_terms():
+    from data_harvesting_ray.stages.relevance import tfidf_oracle_sql
+
+    with pytest.raises(ValueError, match="SQL-literal-safe"):
+        tfidf_oracle_sql("docs", ["fine", "bad'term"])
+
+
+# ------------------------------------------------------- window_dup_pairs
+def _brute_window_pairs(df: pd.DataFrame, n: int) -> set[tuple[int, int]]:
+    grams: dict[int, set] = {}
+    for _, r in df.iterrows():
+        toks = r["text"].strip().split()
+        grams[r["doc_id"]] = {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+    ids = sorted(grams)
+    return {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if grams[a] & grams[b]
+    }
+
+
+def test_window_dup_pairs_randomized_vs_brute_force(ray_session):
+    """Distinct pairs sharing any verbatim n-token window — exact, so
+    brute force over token-set intersections is the oracle."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.dedup_approx import window_dup_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(300)])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 40))) for _ in range(80)
+    ]
+    # plant shared spans: doc 80/81 copy spans from docs 0/1
+    texts.append(texts[0][:60] + " unique tail here")
+    texts.append("prefix differs " + texts[1])
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+
+    got = (
+        window_dup_pairs(rd.from_pandas(df), n=4, num_buckets=4)
+        .to_pandas()
+        .itertuples(index=False)
+    )
+    assert set(map(tuple, got)) == _brute_window_pairs(df, 4)
+
+
+def test_window_dup_pairs_df_cap_raises(ray_session):
+    """A window shared by more documents than df_cap must RAISE (the
+    certified-exactness contract), not silently skip."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.dedup_approx import window_dup_pairs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "text": ["same exact boilerplate window here"] * 10,
+        }
+    )
+    with pytest.raises(Exception, match="df_cap"):
+        window_dup_pairs(rd.from_pandas(df), n=5, df_cap=4, num_buckets=1).to_pandas()
+    # and passes when the cap admits the group
+    out = window_dup_pairs(
+        rd.from_pandas(df), n=5, df_cap=16, num_buckets=1
+    ).to_pandas()
+    assert len(out) == 45  # C(10,2): all pairs share the window
