@@ -1203,6 +1203,37 @@ def q_d_window_dups(sf_dir: str) -> Any:
     return window_dup_pairs(_docs(sf_dir), n=8)
 
 
+def q_d_repetition(sf_dir: str) -> Any:
+    """Within-doc trigram repetition (the Gopher-style repetition
+    quality gate): total vs distinct windows + integer milli dup
+    ratio. Embarrassingly parallel — nothing shuffles."""
+    from ..stages.text import ngram_repetition
+
+    return ngram_repetition(_docs(sf_dir), n=3)
+
+
+def q_d_lang_cube(sf_dir: str) -> Any:
+    """GROUP BY CUBE (lang, source): counts at every key subset in one
+    input pass (every set re-aggregates the materialized finest
+    result)."""
+    import data_harvesting_ray
+
+    from ..stages.aggregates import cube_counts
+
+    data_harvesting_ray.configure_session()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return cube_counts(ds, keys=["lang", "source"])
+
+
+def q_d_split_contamination(sf_dir: str) -> Any:
+    """Cross-split substring leakage: val/test docs sharing a verbatim
+    8-token window with any train doc (the engine's deterministic
+    split hash — no join). Key-only shuffles, no pair blowup."""
+    from ..stages.scrub import cross_split_contamination
+
+    return cross_split_contamination(_docs(sf_dir), n=8)
+
+
 def q_m_binary_meta(sf_dir: str) -> Any:
     from ..stages.multimodal import binary_meta
 
@@ -1321,6 +1352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_turn_ntile": q_t_turn_ntile,
         "d_tfidf": q_d_tfidf,
         "d_window_dups": q_d_window_dups,
+        "d_repetition": q_d_repetition,
+        "d_lang_cube": q_d_lang_cube,
+        "d_split_contamination": q_d_split_contamination,
         "v_knn": q_v_knn,
         "v_group_centroid": q_v_group_centroid,
         "v_knn_ivf": q_v_knn_ivf,
@@ -2341,6 +2375,50 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM d a JOIN d b USING (ngram)
         WHERE a.doc_id < b.doc_id
+    """
+    sqls["d_repetition"] = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS ngram
+          FROM t, LATERAL (SELECT unnest(generate_series(
+              1, greatest(len(toks) - 2, 0))) AS i)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(count(DISTINCT ngram) AS BIGINT) AS n_distinct,
+               CAST((count(*) - count(DISTINCT ngram)) * 1000
+                    // count(*) AS BIGINT) AS dup_ratio_milli
+        FROM g GROUP BY doc_id
+    """
+    sqls["d_lang_cube"] = """
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY CUBE (lang, source)
+    """
+    sqls["d_split_contamination"] = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
+          FROM t, LATERAL (SELECT unnest(generate_series(
+              1, greatest(len(toks) - 7, 0))) AS i)
+        ),
+        d AS (SELECT DISTINCT doc_id, ngram FROM g),
+        s AS (
+          SELECT doc_id,
+                 CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+                      WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        x AS (SELECT d.doc_id, d.ngram, s.split FROM d JOIN s USING (doc_id))
+        SELECT DISTINCT e.doc_id, e.split
+        FROM x e JOIN x tr ON e.ngram = tr.ngram AND tr.split = 'train'
+        WHERE e.split <> 'train'
     """
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).

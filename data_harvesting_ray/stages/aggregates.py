@@ -339,27 +339,30 @@ def lineitem_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def rollup_counts(
-    ds: ray.data.Dataset, keys: list[str]
+def grouping_sets_counts(
+    ds: ray.data.Dataset, keys: list[str], sets: list[tuple[str, ...]]
 ) -> ray.data.Dataset:
-    """``GROUP BY ROLLUP (k1, ..., kn)`` row counts: exact counts at
-    every prefix level of ``keys`` plus the grand total, rolled-up key
-    columns emitted as NULL (the SQL ROLLUP convention).
+    """``GROUP BY GROUPING SETS (...)`` row counts — the shared engine
+    under ROLLUP and CUBE: exact counts at every requested subset of
+    ``keys``, dropped key columns emitted as NULL (the SQL convention).
 
     Scale plan: ONE pass over the input — per-batch partial counts,
-    one hash groupby at the FINEST level — then every coarser level
-    re-aggregates the finest RESULT (|distinct key combos| rows, never
-    the input again); the finest result is materialized once and
-    shared. Key columns must be strings (the NULL fill is a typed
-    string null).
+    one hash groupby at the FINEST level (all ``keys``) — then every
+    requested set re-aggregates the finest RESULT (|distinct key
+    combos| rows, never the input again); the finest result is
+    materialized once and shared. Key columns must be strings (the
+    NULL fill is a typed string null).
 
-    NULL input keys are real groups (SQL ROLLUP keeps them): they are
+    NULL input keys are real groups (SQL keeps them): they are
     sentinel-encoded before the shuffle (pandas groupby and Ray's hash
     partitioner both mishandle null keys) and decoded back to typed
-    nulls in ``widen``; the grand total therefore equals the input row
-    count including null-keyed rows."""
+    nulls in ``widen``; the grand total (the empty set) therefore
+    equals the input row count including null-keyed rows."""
     if not keys:
-        raise ValueError("rollup_counts needs at least one key")
+        raise ValueError("grouping_sets_counts needs at least one key")
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of keys {keys!r}")
 
     # Record-separator control chars: no real key contains them, and
     # pandas' object-key groupby hashtable truncates trailing NULs, so
@@ -380,44 +383,83 @@ def rollup_counts(
         .materialize()
     )
 
-    def widen(level: int):
-        # fill rolled-up key columns with typed nulls; decode the
-        # null sentinel in the kept key columns back to real nulls
+    def widen(kept: tuple[str, ...]):
+        # fill dropped key columns with typed nulls; decode the null
+        # sentinel in the kept key columns back to real nulls
         def fn(t: pa.Table) -> pa.Table:
             cols = {}
-            for k in keys[:level]:
-                col = t[k]
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                col = pc.cast(col, pa.string())
-                cols[k] = pc.if_else(
-                    pc.equal(col, _NULL), pa.nulls(len(t), pa.string()), col
-                )
-            for k in keys[level:]:
-                cols[k] = pa.nulls(len(t), pa.string())
+            for k in keys:
+                if k in kept:
+                    col = t[k]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    col = pc.cast(col, pa.string())
+                    cols[k] = pc.if_else(
+                        pc.equal(col, _NULL), pa.nulls(len(t), pa.string()), col
+                    )
+                else:
+                    cols[k] = pa.nulls(len(t), pa.string())
             cols["n"] = t["n"]
             return pa.table(cols)
 
         return fn
 
-    out = finest.map_batches(widen(len(keys)), batch_format="pyarrow")
-    for level in range(len(keys) - 1, 0, -1):
-        lvl = (
-            finest.groupby(keys[:level])
-            .aggregate(Sum("n", alias_name="n"))
-            .map_batches(widen(level), batch_format="pyarrow")
+    out = None
+    for s in sets:
+        if set(s) == set(keys):
+            lvl = finest.map_batches(widen(tuple(keys)), batch_format="pyarrow")
+        elif s:
+            lvl = (
+                finest.groupby(list(s))
+                .aggregate(Sum("n", alias_name="n"))
+                .map_batches(widen(tuple(s)), batch_format="pyarrow")
+            )
+        else:  # the grand total: empty grouping set
+            total = int(finest.sum("n") or 0)
+            lvl = ray.data.from_arrow(
+                pa.table(
+                    {
+                        **{k: pa.nulls(1, pa.string()) for k in keys},
+                        "n": pa.array([total], pa.int64()),
+                    }
+                )
+            )
+        out = lvl if out is None else out.union(lvl)
+    return out
+
+
+def rollup_counts(
+    ds: ray.data.Dataset, keys: list[str]
+) -> ray.data.Dataset:
+    """``GROUP BY ROLLUP (k1, ..., kn)`` row counts: exact counts at
+    every prefix level of ``keys`` plus the grand total — the prefix
+    grouping sets, on the shared one-input-pass GROUPING SETS plan."""
+    if not keys:
+        raise ValueError("rollup_counts needs at least one key")
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_counts(ds, keys, sets)
+
+
+def cube_counts(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+    """``GROUP BY CUBE (k1, ..., kn)`` row counts: exact counts at
+    EVERY subset of ``keys`` (2^n grouping sets) on the shared
+    one-input-pass plan — the input streams once, every subset
+    re-aggregates the materialized finest result. Capped at 4 keys
+    (16 sets): a wider cube is 2^n small shuffles of the finest table
+    and almost never what an analyst wants — ask for explicit
+    GROUPING SETS instead."""
+    if not keys:
+        raise ValueError("cube_counts needs at least one key")
+    if len(keys) > 4:
+        raise ValueError(
+            f"cube over {len(keys)} keys = {2 ** len(keys)} grouping sets; "
+            "capped at 4 — pass explicit sets to grouping_sets_counts"
         )
-        out = out.union(lvl)
-    total = int(finest.sum("n") or 0)
-    grand = ray.data.from_arrow(
-        pa.table(
-            {
-                **{k: pa.nulls(1, pa.string()) for k in keys},
-                "n": pa.array([total], pa.int64()),
-            }
-        )
-    )
-    return out.union(grand)
+    sets = [
+        tuple(k for k in keys if (mask >> keys.index(k)) & 1)
+        for mask in range((1 << len(keys)) - 1, -1, -1)
+    ]
+    return grouping_sets_counts(ds, keys, sets)
 
 
 def value_histogram(

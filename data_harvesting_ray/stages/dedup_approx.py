@@ -823,7 +823,7 @@ def window_dup_pairs(
     Reference analogue: D2's tolerance-based duplicate suppression
     (``condition.py:66-77``), at span rather than detection
     granularity."""
-    from .partition import apply_per_bucket
+    from .partition import apply_per_bucket, to_clean_arrow
     from .text import explode_ngrams
 
     grams = explode_ngrams(ds, n=n, text_col=text_col, id_col=id_col)
@@ -832,9 +832,7 @@ def window_dup_pairs(
         # per-batch (id, ngram) distinct BEFORE the shuffle: a window
         # repeated inside one document ships once
         df = t.select([id_col, "ngram"]).to_pandas()
-        return pa.Table.from_pandas(
-            df.drop_duplicates(), preserve_index=False
-        ).replace_schema_metadata(None)
+        return to_clean_arrow(df.drop_duplicates())
 
     keyed = grams.map_batches(distinct_partial, batch_format="pyarrow")
 

@@ -112,3 +112,74 @@ def contamination_flags(
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def cross_split_contamination(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    pct: tuple[int, int] = (90, 5),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Test-set decontamination at SUBSTRING granularity: every val /
+    test document that shares a verbatim ``n``-token window with ANY
+    train document — the leakage whole-document dedup misses (a test
+    doc quoting a train doc's paragraph is still leaked). Split
+    assignment is the engine's deterministic ``train_split`` hash, so
+    no join is needed to label rows and the SQL oracle reproduces it
+    exactly. Output: distinct (id, split) of contaminated eval docs.
+
+    Scale plan: the window expansion is the shared vectorized kernel
+    with per-batch (id, ngram) distinct partials; only KEY rows
+    shuffle, grouped by hash(ngram). Per bucket, a C-level
+    transform('max') flags windows seen in train and emits the eval
+    docs under them; one final key-only distinct. Unlike
+    ``window_dup_pairs`` there is no pair blowup — hot boilerplate
+    windows emit their eval docs linearly, so no df cap is needed."""
+    import pandas as pd
+
+    from .partition import apply_per_bucket, to_clean_arrow
+    from .text import _ngram_arrays
+
+    train_p, val_p = pct
+
+    def grams_with_split(t: pa.Table) -> pa.Table:
+        ids, _, grams = _ngram_arrays(t, n, text_col, id_col)
+        df = pd.DataFrame({id_col: ids, "ngram": grams}).drop_duplicates()
+        h = (df[id_col].astype(np.int64) * 2654435761) % 1000
+        df["split"] = np.where(
+            h < train_p * 10,
+            "train",
+            np.where(h < (train_p + val_p) * 10, "val", "test"),
+        )
+        return to_clean_arrow(df)
+
+    keyed = ds.map_batches(grams_with_split, batch_format="pyarrow")
+
+    def eval_docs_under_train_windows(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: np.array([], dtype=np.int64),
+                    "split": np.array([], dtype=object),
+                }
+            )
+        g = g.drop_duplicates()  # cross-batch repeats of (id, ngram)
+        is_train = (g["split"] == "train").to_numpy()
+        has_train = (
+            pd.Series(is_train).groupby(g["ngram"].to_numpy()).transform("max")
+        ).to_numpy()
+        out = g.loc[has_train & ~is_train, [id_col, "split"]]
+        return out.drop_duplicates()
+
+    flagged = apply_per_bucket(
+        keyed, eval_docs_under_train_windows, key="ngram", num_buckets=num_buckets
+    )
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    # the same eval doc can surface under windows in different ngram
+    # buckets: one key-only distinct of the (small) flagged list
+    return apply_per_bucket(flagged, distinct, key=id_col, num_buckets=num_buckets)

@@ -219,32 +219,93 @@ def explode_ngrams(
         raise ValueError("n must be >= 1")
 
     def kernel(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        lists = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(t[text_col]), pattern=r"\s+"
-        )
-        lengths = (
-            pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        flat = pd.Series(pc.list_flatten(lists).to_pandas(), dtype=object)
-        total = int(lengths.sum())
-        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets, lengths)
-        doc_len = np.repeat(lengths, lengths)
-        valid = pos <= doc_len - n  # window stays inside its document
-        if total and n > 1:
-            grams = flat.copy()
-            for k in range(1, n):
-                grams = grams + " " + flat.shift(-k)
-        else:
-            grams = flat
-        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lengths)
+        ids, pos, grams = _ngram_arrays(t, n, text_col, id_col)
         return pa.table(
             {
-                id_col: pa.array(ids[valid]),
-                "pos": pa.array(pos[valid]),
-                "ngram": pa.array(grams.to_numpy()[valid], pa.string()),
+                id_col: pa.array(ids),
+                "pos": pa.array(pos),
+                "ngram": pa.array(grams, pa.string()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _ngram_arrays(t: pa.Table, n: int, text_col: str, id_col: str):
+    """Shared vectorized n-gram expansion over one batch: (doc ids,
+    in-doc positions, ngram strings) for every valid window. One Arrow
+    split, n-1 shifted object-array concatenations over the FLAT token
+    array; windows crossing a document boundary are masked by
+    position — no per-document loop."""
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(t[text_col]), pattern=r"\s+"
+    )
+    lengths = (
+        pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    flat = pd.Series(pc.list_flatten(lists).to_pandas(), dtype=object)
+    total = int(lengths.sum())
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets, lengths)
+    doc_len = np.repeat(lengths, lengths)
+    valid = pos <= doc_len - n  # window stays inside its document
+    if total and n > 1:
+        grams = flat.copy()
+        for k in range(1, n):
+            grams = grams + " " + flat.shift(-k)
+    else:
+        grams = flat
+    ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lengths)
+    return ids[valid], pos[valid], grams.to_numpy()[valid]
+
+
+def ngram_repetition(
+    ds: ray.data.Dataset,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Within-document n-gram repetition — the published
+    repetition-based quality gate (Gopher / MassiveText-style filters:
+    a document whose n-grams are mostly repeats of themselves is
+    boilerplate or degenerate generation). Output per document with
+    ≥ n tokens: total windows, distinct windows, and
+    ``dup_ratio_milli = (total - distinct) * 1000 // total`` — integer
+    milli-units so the SQL oracle compares exactly (the d_quality
+    convention). Documents shorter than ``n`` tokens emit nothing
+    (they have no window), matching the SQL explode.
+
+    Embarrassingly parallel: the shared vectorized window expansion
+    runs per batch and the distinct count is a C-level per-batch
+    drop_duplicates — documents never leave their batch, nothing
+    shuffles."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids, _, grams = _ngram_arrays(t, n, text_col, id_col)
+        if not len(ids):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_ngrams": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "dup_ratio_milli": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame({id_col: ids, "ngram": grams})
+        tot = df.groupby(id_col, sort=True).size()
+        dis = df.drop_duplicates().groupby(id_col, sort=True).size()
+        tot_v = tot.to_numpy().astype(np.int64)
+        dis_v = dis.to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(tot.index.to_numpy()),
+                "n_ngrams": pa.array(tot_v),
+                "n_distinct": pa.array(dis_v),
+                "dup_ratio_milli": pa.array((tot_v - dis_v) * 1000 // tot_v),
             }
         )
 

@@ -230,3 +230,189 @@ def test_window_dup_pairs_df_cap_raises(ray_session):
         rd.from_pandas(df), n=5, df_cap=16, num_buckets=1
     ).to_pandas()
     assert len(out) == 45  # C(10,2): all pairs share the window
+
+
+# -------------------------------------------------------- ngram_repetition
+def test_ngram_repetition_randomized_vs_duckdb(ray_session):
+    """Gopher-style within-doc repetition vs a DuckDB explode+GROUP BY
+    oracle, incl. short docs (< n tokens: no output row) and a fully
+    repetitive doc (ratio -> 1000-ish)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import ngram_repetition
+
+    rng = np.random.default_rng(5)
+    vocab = np.array(["a", "b", "c", "d", "e"])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 25))) for _ in range(150)
+    ]
+    texts[3] = "x y"  # < 3 tokens: no window, no row
+    texts[7] = "r s t " * 40  # highly repetitive
+    df = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64), "text": texts})
+
+    got = (
+        ngram_repetition(rd.from_pandas(df), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS ngram
+          FROM t, LATERAL (SELECT unnest(generate_series(
+              1, greatest(len(toks) - 2, 0))) AS i)
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(count(DISTINCT ngram) AS BIGINT) AS n_distinct,
+               CAST((count(*) - count(DISTINCT ngram)) * 1000
+                    // count(*) AS BIGINT) AS dup_ratio_milli
+        FROM g GROUP BY doc_id ORDER BY doc_id
+        """
+    ).df()
+    con.close()
+    assert 3 not in got["doc_id"].to_numpy()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------- cube / grouping sets
+def test_cube_counts_with_null_keys_vs_duckdb(ray_session):
+    """CUBE over keys INCLUDING nulls must match DuckDB GROUP BY CUBE
+    as a multiset (rolled-up NULL and genuine NULL collide in the flat
+    output on both sides — the documented rollup convention)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import cube_counts
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", None, "x", None, "y", "x", "y"],
+            "b": ["p", "p", None, None, "q", "p", "q"],
+        }
+    )
+    got = cube_counts(rd.from_pandas(df), keys=["a", "b"]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT a, b, count(*) AS n FROM t GROUP BY CUBE (a, b)"
+    ).df()
+    con.close()
+
+    def canon(d):
+        return sorted(
+            (
+                "" if pd.isna(r.a) else r.a,
+                "" if pd.isna(r.b) else r.b,
+                int(r.n),
+            )
+            for r in d.itertuples()
+        )
+
+    assert canon(got) == canon(want)
+
+
+def test_cube_counts_caps_key_width(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import cube_counts
+
+    df = pd.DataFrame({k: ["v"] for k in "abcde"})
+    with pytest.raises(ValueError, match="capped at 4"):
+        cube_counts(rd.from_pandas(df), keys=list("abcde"))
+
+
+def test_grouping_sets_explicit_subset(ray_session):
+    """Explicit GROUPING SETS: only the requested sets appear."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import grouping_sets_counts
+
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": ["p", "q", "p"]}
+    )
+    got = grouping_sets_counts(
+        rd.from_pandas(df), keys=["a", "b"], sets=[("b",), ()]
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        # `a` is in no requested set, so it cannot be selected bare —
+        # project the NULL it would widen to
+        "SELECT CAST(NULL AS VARCHAR) AS a, b, count(*) AS n "
+        "FROM t GROUP BY GROUPING SETS ((b), ())"
+    ).df()
+    con.close()
+    k = lambda d: sorted(
+        ("" if pd.isna(r.a) else r.a, "" if pd.isna(r.b) else r.b, int(r.n))
+        for r in d.itertuples()
+    )
+    assert k(got) == k(want)
+
+    with pytest.raises(ValueError, match="not a subset"):
+        grouping_sets_counts(rd.from_pandas(df), keys=["a"], sets=[("z",)])
+
+
+# ------------------------------------------------ cross-split contamination
+def test_cross_split_contamination_vs_brute_force(ray_session):
+    """Planted leakage: an eval doc quoting a train doc's 8-token span
+    must be flagged; clean eval docs must not. Brute force over window
+    sets is the oracle."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.scrub import cross_split_contamination
+
+    rng = np.random.default_rng(23)
+    vocab = np.array([f"w{i}" for i in range(400)])
+    n_docs = 120
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(12, 40)))
+        for _ in range(n_docs)
+    ]
+    # the engine's split hash: (id * 2654435761) % 1000
+    split = lambda i: (
+        "train"
+        if (i * 2654435761) % 1000 < 900
+        else ("val" if (i * 2654435761) % 1000 < 950 else "test")
+    )
+    train_ids = [i for i in range(n_docs) if split(i) == "train"]
+    eval_ids = [i for i in range(n_docs) if split(i) != "train"]
+    # plant: first eval doc quotes an 8-token span of a train doc
+    leak_src, leak_dst = train_ids[0], eval_ids[0]
+    texts[leak_dst] = (
+        "unrelated prefix "
+        + " ".join(texts[leak_src].split()[2:10])
+        + " unrelated suffix tokens"
+    )
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts}
+    )
+
+    got = (
+        cross_split_contamination(rd.from_pandas(df), n=8, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force
+    def windows(text, n=8):
+        toks = text.strip().split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+
+    train_windows = set().union(*(windows(texts[i]) for i in train_ids))
+    want = sorted(
+        (i, split(i)) for i in eval_ids if windows(texts[i]) & train_windows
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    assert (leak_dst, split(leak_dst)) in want  # the plant was caught
