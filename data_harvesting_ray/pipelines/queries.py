@@ -1225,6 +1225,16 @@ def q_d_lang_cube(sf_dir: str) -> Any:
     return cube_counts(ds, keys=["lang", "source"])
 
 
+def q_t_echo_rate(sf_dir: str) -> Any:
+    """Assistant echo rate: fraction of each assistant turn's distinct
+    tokens already present in the immediately preceding user turn
+    (prompt-parroting signal). One conv-keyed shuffle, vectorized
+    token-set intersection per bucket."""
+    from ..stages.text import assistant_echo_rate
+
+    return assistant_echo_rate(_t(sf_dir, ["conv_id", "turn_idx", "role", "text"]))
+
+
 def q_d_split_contamination(sf_dir: str) -> Any:
     """Cross-split substring leakage: val/test docs sharing a verbatim
     8-token window with any train doc (the engine's deterministic
@@ -1355,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_repetition": q_d_repetition,
         "d_lang_cube": q_d_lang_cube,
         "d_split_contamination": q_d_split_contamination,
+        "t_echo_rate": q_t_echo_rate,
         "v_knn": q_v_knn,
         "v_group_centroid": q_v_group_centroid,
         "v_knn_ivf": q_v_knn_ivf,
@@ -2347,6 +2358,27 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    PARTITION BY conv_id ORDER BY n_chars DESC) AS BIGINT)
                    AS len_rank
         FROM t
+    """
+    sqls["t_echo_rate"] = f"""
+        WITH t AS (
+          SELECT DISTINCT conv_id, turn_idx, role, text FROM {RAW}
+        ),
+        p AS (
+          SELECT conv_id, turn_idx, role, text,
+                 lag(role) OVER w AS prev_role,
+                 lag(text) OVER w AS prev_text
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ),
+        a AS (
+          SELECT conv_id, turn_idx,
+                 list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+                 list_distinct(regexp_split_to_array(trim(prev_text), '\\s+')) AS ptoks
+          FROM p WHERE role = 'assistant' AND prev_role = 'user'
+        )
+        SELECT conv_id, turn_idx,
+               CAST(len(list_intersect(toks, ptoks)) * 1000
+                    // greatest(len(toks), 1) AS BIGINT) AS echo_milli
+        FROM a
     """
     sqls["t_turn_ntile"] = f"""
         WITH t AS (

@@ -322,3 +322,89 @@ def doc_dedup_exact(ds: ray.data.Dataset) -> ray.data.Dataset:
     return fp.groupby("fp").aggregate(
         Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups")
     )
+
+
+def assistant_echo_rate(
+    ds: ray.data.Dataset, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Transcript-native quality signal: for every assistant turn
+    whose PREVIOUS turn (in turn order) is a user turn, the fraction
+    of the assistant's distinct tokens that already appear in that
+    user turn — ``echo_milli = 1000 * |A ∩ U| // |A|`` on distinct
+    token sets. High echo = the assistant is parroting the prompt
+    (low-value training signal); the per-turn twin of the corpus
+    repetition gate.
+
+    One hash(conv_id) shuffle of (conv, turn, role, text); per bucket
+    the previous row comes from the shared dedup+sort pass
+    (``prepare_bucket``) and a factorized-code boundary mask, token
+    sets from ONE Arrow split per column + C-level distinct, and the
+    intersection from a vectorized (row, token) self-merge — no
+    per-row Python.
+
+    Reference analogue: M2's skip-counter compares each detection to
+    the PREVIOUS state of its track before keeping it
+    (``condition.py:79-101``); here the "previous state" is the prior
+    turn's token set."""
+    from .dedup import prepare_bucket
+    from .partition import apply_per_bucket
+
+    def _explode_distinct(texts: np.ndarray) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pa.array(texts, pa.string())), pattern=r"\s+"
+        )
+        lengths = (
+            pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        row = np.repeat(np.arange(len(texts), dtype=np.int64), lengths)
+        return pd.DataFrame(
+            {"r": row, "tok": pc.list_flatten(lists).to_pandas()}
+        ).drop_duplicates()
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = prepare_bucket(g)
+        empty = pd.DataFrame(
+            {
+                "conv_id": np.array([], dtype=object),
+                "turn_idx": np.array([], dtype=np.int64),
+                "echo_milli": np.array([], dtype=np.int64),
+            }
+        )
+        if not len(g):
+            return empty
+        codes, _ = pd.factorize(g["conv_id"].to_numpy(), sort=False)
+        same_conv = np.empty(len(g), dtype=bool)
+        same_conv[0] = False
+        same_conv[1:] = codes[1:] == codes[:-1]
+        role = g["role"].to_numpy()
+        text = g["text"].to_numpy()
+        prev_role = np.roll(role, 1)
+        prev_text = np.roll(text, 1)
+        mask = same_conv & (role == "assistant") & (prev_role == "user")
+        if not mask.any():
+            return empty
+        cur = text[mask]
+        prev = prev_text[mask]
+        a = _explode_distinct(cur)
+        u = _explode_distinct(prev)
+        n = int(mask.sum())
+        inter = (
+            a.merge(u, on=["r", "tok"]).groupby("r").size()
+            .reindex(range(n), fill_value=0)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        denom = (
+            a.groupby("r").size().reindex(range(n), fill_value=1).to_numpy()
+        ).astype(np.int64)  # split of any string yields >= 1 token
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy()[mask],
+                "turn_idx": g["turn_idx"].to_numpy()[mask],
+                "echo_milli": inter * 1000 // np.maximum(denom, 1),
+            }
+        )
+
+    return apply_per_bucket(ds, kernel, key="conv_id", num_buckets=num_buckets)

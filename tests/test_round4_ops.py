@@ -416,3 +416,88 @@ def test_cross_split_contamination_vs_brute_force(ray_session):
     )
     assert list(map(tuple, got.itertuples(index=False))) == want
     assert (leak_dst, split(leak_dst)) in want  # the plant was caught
+
+
+# ----------------------------------------------------------- echo rate
+def test_assistant_echo_rate_randomized_vs_duckdb(ray_session):
+    """Echo rate vs a DuckDB lag + list_intersect oracle on a random
+    transcript with duplicate rows (dedup first), role gaps, and empty
+    texts."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import assistant_echo_rate
+
+    rng = np.random.default_rng(31)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    rows = []
+    for c in range(40):
+        for t in range(rng.integers(2, 9)):
+            role = rng.choice(["user", "assistant", "system"], p=[0.45, 0.45, 0.1])
+            text = " ".join(rng.choice(vocab, size=rng.integers(0, 8))) or ""
+            rows.append((f"conv-{c}", t, role, text))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    df = pd.concat([df, df.head(30)], ignore_index=True)  # dup arrivals
+
+    got = (
+        assistant_echo_rate(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("raw", df)
+    want = con.execute(
+        r"""
+        WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, text FROM raw),
+        p AS (
+          SELECT conv_id, turn_idx, role, text,
+                 lag(role) OVER w AS prev_role,
+                 lag(text) OVER w AS prev_text
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ),
+        a AS (
+          SELECT conv_id, turn_idx,
+                 list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks,
+                 list_distinct(regexp_split_to_array(trim(prev_text), '\s+')) AS ptoks
+          FROM p WHERE role = 'assistant' AND prev_role = 'user'
+        )
+        SELECT conv_id, turn_idx,
+               CAST(len(list_intersect(toks, ptoks)) * 1000
+                    // greatest(len(toks), 1) AS BIGINT) AS echo_milli
+        FROM a ORDER BY conv_id, turn_idx
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_assistant_echo_rate_full_and_zero_echo(ray_session):
+    """A verbatim parrot scores 1000; a disjoint reply scores 0; an
+    assistant turn after another assistant turn emits nothing."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import assistant_echo_rate
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 5,
+            "turn_idx": [0, 1, 2, 3, 4],
+            "role": ["user", "assistant", "user", "assistant", "assistant"],
+            "text": [
+                "repeat after me",
+                "repeat after me",
+                "say something new",
+                "totally different words",
+                "chained assistant turn",
+            ],
+        }
+    )
+    got = (
+        assistant_echo_rate(rd.from_pandas(df), num_buckets=1)
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert got["turn_idx"].tolist() == [1, 3]  # turn 4 follows assistant
+    assert got["echo_milli"].tolist() == [1000, 0]
