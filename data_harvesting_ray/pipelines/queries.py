@@ -1244,6 +1244,16 @@ def q_d_split_contamination(sf_dir: str) -> Any:
     return cross_split_contamination(_docs(sf_dir), n=8)
 
 
+def q_d_surprisal(sf_dir: str) -> Any:
+    """CCNet-style unigram surprisal per document: mean per-token
+    integer-micro surprisal under the corpus's own unigram model —
+    counts joined by key (never broadcast), per-token floor makes the
+    sum order-independent."""
+    from ..stages.relevance import unigram_surprisal
+
+    return unigram_surprisal(_docs(sf_dir))
+
+
 def q_m_binary_meta(sf_dir: str) -> Any:
     from ..stages.multimodal import binary_meta
 
@@ -1366,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_lang_cube": q_d_lang_cube,
         "d_split_contamination": q_d_split_contamination,
         "t_echo_rate": q_t_echo_rate,
+        "d_surprisal": q_d_surprisal,
         "v_knn": q_v_knn,
         "v_group_centroid": q_v_group_centroid,
         "v_knn_ivf": q_v_knn_ivf,
@@ -2358,6 +2369,22 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    PARTITION BY conv_id ORDER BY n_chars DESC) AS BIGINT)
                    AS len_rank
         FROM t
+    """
+    sqls["d_surprisal"] = r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents
+        ),
+        cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        tot AS (SELECT count(*) AS n FROM tok),
+        s AS (
+          SELECT t.doc_id,
+                 CAST(floor(ln(CAST(n AS DOUBLE) / c) * 1e6) AS BIGINT) AS surp
+          FROM tok t JOIN cnt USING (token), tot
+        )
+        SELECT doc_id,
+               CAST(sum(surp) // count(*) AS BIGINT) AS mean_surprisal_micro
+        FROM s GROUP BY doc_id
     """
     sqls["t_echo_rate"] = f"""
         WITH t AS (

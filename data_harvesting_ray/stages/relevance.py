@@ -166,4 +166,86 @@ def tfidf_oracle_sql(
     """
 
 
-__all__ = ["term_doc_frequencies", "tfidf_scores", "tfidf_oracle_sql"]
+__all__ = [
+    "term_doc_frequencies",
+    "tfidf_scores",
+    "tfidf_oracle_sql",
+    "unigram_surprisal",
+]
+
+
+def unigram_surprisal(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Unigram LM surprisal per document — the CCNet-style
+    perplexity quality filter (documents whose tokens are improbable
+    under the corpus's own unigram model are noise; suspiciously
+    probable ones are boilerplate). Score: mean over the document's
+    tokens of ``floor(ln(N_tokens / count(token)) * 1e6)`` — each
+    token's surprisal is quantized to integer MICRO-units BEFORE the
+    per-document sum, so the aggregate is integer addition:
+    order-independent across shuffle/batch boundaries and exactly
+    reproducible by the SQL oracle (float SUM order is unspecified in
+    both engines; per-term floor removes it from the contract).
+
+    Scale plan: the model is the corpus itself, never a driver-side
+    table — (1) one explode + partial-count pass builds the (token,
+    count) table with a vocabulary-scale groupby; (2) the corpus total
+    is a distributed scalar sum; (3) token rows JOIN their counts with
+    the engine's generic hash equi-join (key-only co-location — the
+    count table is vocabulary-scale and is never broadcast); (4)
+    per-document partial sums reduce to one row per document. Four
+    exchanges, all key- or vocab-scale; payload text never moves."""
+    from .join import equi_join
+    from .text import explode_tokens
+
+    tok = explode_tokens(ds, text_col=text_col, id_col=id_col).select_columns(
+        [id_col, "token"]
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", sort=False, as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    cnt = (
+        tok.map_batches(count_partial, batch_format="pandas")
+        .groupby("token")
+        .sum("c")
+        .map_batches(
+            lambda t: t.rename_columns(["token", "c"]), batch_format="pyarrow"
+        )
+    )
+    cnt = cnt.materialize()  # consumed twice: the total and the join
+    n_total = int(cnt.sum("c") or 0)
+
+    joined = equi_join(tok, cnt, on="token", num_buckets=num_buckets)
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        surp = np.floor(
+            np.log(float(n_total) / df["c"].to_numpy(np.float64)) * 1e6
+        ).astype(np.int64)
+        out = pd.DataFrame({id_col: df[id_col], "s": surp, "k": np.int64(1)})
+        return out.groupby(id_col, sort=False, as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    per_doc = (
+        joined.map_batches(doc_partial, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(Sum("s", alias_name="s"), Sum("k", alias_name="k"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "mean_surprisal_micro": pa.array(s // np.maximum(k, 1)),
+            }
+        )
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")

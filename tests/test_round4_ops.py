@@ -501,3 +501,58 @@ def test_assistant_echo_rate_full_and_zero_echo(ray_session):
     )
     assert got["turn_idx"].tolist() == [1, 3]  # turn 4 follows assistant
     assert got["echo_milli"].tolist() == [1000, 0]
+
+
+# ------------------------------------------------------ unigram surprisal
+def test_unigram_surprisal_randomized_vs_duckdb(ray_session):
+    """Corpus-unigram surprisal vs the DuckDB explode+join oracle on a
+    skewed random corpus (rare tokens score high, stop-ish tokens low);
+    per-token integer quantization makes both sides exactly equal."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.relevance import unigram_surprisal
+
+    rng = np.random.default_rng(17)
+    # zipf-ish: token w0 very common, tail rare
+    vocab = np.array([f"w{i}" for i in range(50)])
+    probs = 1.0 / np.arange(1, 51)
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30), p=probs))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": texts})
+
+    got = (
+        unigram_surprisal(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents
+        ),
+        cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        tot AS (SELECT count(*) AS n FROM tok),
+        s AS (
+          SELECT t.doc_id,
+                 CAST(floor(ln(CAST(n AS DOUBLE) / c) * 1e6) AS BIGINT) AS surp
+          FROM tok t JOIN cnt USING (token), tot
+        )
+        SELECT doc_id,
+               CAST(sum(surp) // count(*) AS BIGINT) AS mean_surprisal_micro
+        FROM s GROUP BY doc_id ORDER BY doc_id
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sanity: a doc of only the most common token scores lower than a
+    # doc of only the rarest observed token
+    common = got["mean_surprisal_micro"].min()
+    assert common >= 0 and got["mean_surprisal_micro"].max() > common
