@@ -1254,6 +1254,16 @@ def q_d_surprisal(sf_dir: str) -> Any:
     return unigram_surprisal(_docs(sf_dir))
 
 
+def q_d_keywords(sf_dir: str) -> Any:
+    """Top-3 TF-IDF keywords per document (salient-term extraction):
+    tf completes inside the doc batch, df by vocabulary-scale groupby,
+    counts joined by key, per-block top-k pruning before the final
+    shuffle. Integer-micro scores for the exact SQL gate."""
+    from ..stages.relevance import doc_keywords
+
+    return doc_keywords(_docs(sf_dir), k=3)
+
+
 def q_m_binary_meta(sf_dir: str) -> Any:
     from ..stages.multimodal import binary_meta
 
@@ -1377,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_split_contamination": q_d_split_contamination,
         "t_echo_rate": q_t_echo_rate,
         "d_surprisal": q_d_surprisal,
+        "d_keywords": q_d_keywords,
         "v_knn": q_v_knn,
         "v_group_centroid": q_v_group_centroid,
         "v_knn_ivf": q_v_knn_ivf,
@@ -2385,6 +2396,31 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT doc_id,
                CAST(sum(surp) // count(*) AS BIGINT) AS mean_surprisal_micro
         FROM s GROUP BY doc_id
+    """
+    sqls["d_keywords"] = r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        nd AS (SELECT count(*) AS n FROM documents),
+        s AS (
+          SELECT doc_id, token,
+                 CAST(floor(CAST(tf AS DOUBLE)
+                      * ln(CAST(n AS DOUBLE) / dfc) * 1e6) AS BIGINT)
+                     AS score_micro
+          FROM tf JOIN dfq USING (token), nd
+        ),
+        r AS (
+          SELECT doc_id, token, score_micro,
+                 row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY score_micro DESC, token) AS rnk
+          FROM s
+        )
+        SELECT doc_id, token, score_micro, CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 3
     """
     sqls["t_echo_rate"] = f"""
         WITH t AS (

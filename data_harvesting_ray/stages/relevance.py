@@ -171,6 +171,7 @@ __all__ = [
     "tfidf_scores",
     "tfidf_oracle_sql",
     "unigram_surprisal",
+    "doc_keywords",
 ]
 
 
@@ -249,3 +250,89 @@ def unigram_surprisal(
         )
 
     return per_doc.map_batches(finalize, batch_format="pyarrow")
+
+
+def doc_keywords(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Top-``k`` TF-IDF keywords per document — the salient-term
+    extraction step of retrieval indexing and topic tagging. Output:
+    (id, token, score_micro, rank) with rank 1..k ordered by score
+    desc, token asc.
+
+    Scale plan: (1) tf per (doc, token) is computed INSIDE the
+    document batch (a document is one atomic row, so its token counts
+    complete within one kernel call — no tf shuffle); (2) document
+    frequency reduces tf rows with a vocabulary-scale groupby; (3) tf
+    rows JOIN their df by key (never broadcast — same discipline as
+    ``unigram_surprisal``); (4) ``topk_per_key`` prunes every block to
+    ≤ k rows per doc BEFORE its shuffle. Scores are
+    floor(tf · ln(N/df) · 1e6) integer micro-units, so ranking and
+    values are exactly reproducible by the SQL oracle."""
+    from .aggregates import topk_per_key
+    from .join import equi_join
+
+    if n_docs is None:
+        n_docs = ds.count()
+    n_docs_f = float(n_docs)
+
+    def tf_kernel(t: pa.Table) -> pa.Table:
+        flat, doc_idx = _tokenize(t, text_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {id_col: ids[doc_idx], "token": flat.to_pandas()}
+        )
+        out = df.groupby([id_col, "token"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy()),
+                "token": pa.array(out["token"], pa.string()),
+                "tf": pa.array(out["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    tf = ds.map_batches(tf_kernel, batch_format="pyarrow")
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # tf rows are globally unique per (doc, token): counting rows
+        # per token IS the document frequency partial
+        out = df.groupby("token", sort=False, as_index=False).size()
+        return out.rename(columns={"size": "dfc"})
+
+    dfreq = (
+        tf.map_batches(df_partial, batch_format="pandas")
+        .groupby("token")
+        .sum("dfc")
+        .map_batches(
+            lambda t: t.rename_columns(["token", "dfc"]), batch_format="pyarrow"
+        )
+    )
+
+    joined = equi_join(tf, dfreq, on="token", num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_v = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfc = t["dfc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        micro = np.floor(tf_v * np.log(n_docs_f / dfc) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "token": t["token"],
+                "score_micro": pa.array(micro),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return topk_per_key(
+        scored,
+        key=id_col,
+        value="score_micro",
+        k=k,
+        tie="token",
+        num_buckets=num_buckets,
+    )

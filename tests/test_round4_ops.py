@@ -556,3 +556,65 @@ def test_unigram_surprisal_randomized_vs_duckdb(ray_session):
     # doc of only the rarest observed token
     common = got["mean_surprisal_micro"].min()
     assert common >= 0 and got["mean_surprisal_micro"].max() > common
+
+
+# ---------------------------------------------------------- doc keywords
+def test_doc_keywords_randomized_vs_duckdb(ray_session):
+    """Top-k TF-IDF keywords per doc vs the DuckDB window oracle —
+    ranks, tokens, and integer-micro scores all exact, incl. ties
+    (same score -> token asc) and docs with < k distinct tokens."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.relevance import doc_keywords
+
+    rng = np.random.default_rng(29)
+    vocab = np.array([f"w{i}" for i in range(40)])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 20))) for _ in range(100)
+    ]
+    texts[5] = "solo"  # 1 distinct token: fewer than k rows
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64), "text": texts})
+
+    got = (
+        doc_keywords(rd.from_pandas(df), k=3, num_buckets=4)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        nd AS (SELECT count(*) AS n FROM documents),
+        s AS (
+          SELECT doc_id, token,
+                 CAST(floor(CAST(tf AS DOUBLE)
+                      * ln(CAST(n AS DOUBLE) / dfc) * 1e6) AS BIGINT)
+                     AS score_micro
+          FROM tf JOIN dfq USING (token), nd
+        ),
+        r AS (
+          SELECT doc_id, token, score_micro,
+                 row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY score_micro DESC, token) AS rnk
+          FROM s
+        )
+        SELECT doc_id, token, score_micro, CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 3 ORDER BY doc_id, rank
+        """
+    ).df()
+    con.close()
+    assert (got[got["doc_id"] == 5]["rank"].tolist()) == [1]
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "token", "score_micro", "rank"]],
+        want,
+        check_dtype=False,
+    )
