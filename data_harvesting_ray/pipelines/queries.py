@@ -1264,6 +1264,22 @@ def q_d_keywords(sf_dir: str) -> Any:
     return doc_keywords(_docs(sf_dir), k=3)
 
 
+def q_e_props_extract(sf_dir: str) -> Any:
+    """Semi-structured extraction + aggregate: parse the integer field
+    out of the JSON-ish props column with one vectorized RE2 pass and
+    reduce (count, sum) per event_type — partials before the
+    shuffle."""
+    import data_harvesting_ray
+
+    from ..stages.events import props_extract_agg
+
+    data_harvesting_ray.configure_session()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return props_extract_agg(ds)
+
+
 def q_m_binary_meta(sf_dir: str) -> Any:
     from ..stages.multimodal import binary_meta
 
@@ -1388,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_echo_rate": q_t_echo_rate,
         "d_surprisal": q_d_surprisal,
         "d_keywords": q_d_keywords,
+        "e_props_extract": q_e_props_extract,
         "v_knn": q_v_knn,
         "v_group_centroid": q_v_group_centroid,
         "v_knn_ivf": q_v_knn_ivf,
@@ -2396,6 +2413,13 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT doc_id,
                CAST(sum(surp) // count(*) AS BIGINT) AS mean_surprisal_micro
         FROM s GROUP BY doc_id
+    """
+    sqls["e_props_extract"] = r"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1),
+                                  '') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
     """
     sqls["d_keywords"] = r"""
         WITH tok AS (

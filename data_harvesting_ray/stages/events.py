@@ -243,3 +243,59 @@ def funnel_events(
     return out.sort_values("step_idx").reset_index(drop=True).astype(
         {"step_idx": np.int64, "n_users": np.int64}
     )
+
+
+def props_extract_agg(
+    ds: ray.data.Dataset,
+    pattern: str = r'"k":\s*(-?\d+)',
+    props_col: str = "props",
+    key_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Semi-structured column extraction + aggregate: pull an integer
+    field out of a JSON-ish string column with ONE vectorized RE2 pass
+    (``pc.extract_regex`` — compiled once inside Arrow, no per-row
+    Python or JSON parser) and reduce per key with the
+    partial-before-shuffle discipline. The everyday ETL shape "parse
+    the props blob, aggregate by type" — the exchange moves one
+    (key, n, sum) row per key per block, never the events.
+
+    Rows whose props do not match the pattern are counted with a NULL
+    contribution (n counts all rows; sum skips non-matches), matching
+    SQL's ``sum(CAST(regexp_extract(...) AS BIGINT))`` null semantics.
+
+    Reference analogue: M8/M9's per-record payload field extraction
+    before aggregation (``utils/TranslateObject.py:1-23``)."""
+    import pyarrow.compute as pc
+
+    rx = pattern if "(?P<" in pattern else pattern.replace("(", "(?P<v>", 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[props_col], rx)
+        v = pc.struct_field(m, "v")  # null where no match
+        k = pc.cast(v, pa.int64())
+        df = pd.DataFrame(
+            {
+                key_col: t[key_col].to_pandas(),
+                "n": np.int64(1),
+                "sum_k": pd.array(
+                    k.to_pandas(), dtype="Int64"
+                ),  # nullable: non-matches drop out of the sum
+            }
+        )
+        out = df.groupby(key_col, sort=False, as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        # a key whose props NEVER match sums to 0 here (pandas
+        # min_count=0), where the SQL twin yields NULL — callers
+        # needing SQL null semantics should gate on a match count
+        out["sum_k"] = out["sum_k"].astype(np.int64)
+        from .partition import to_clean_arrow
+
+        return to_clean_arrow(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+    )

@@ -618,3 +618,43 @@ def test_doc_keywords_randomized_vs_duckdb(ray_session):
         want,
         check_dtype=False,
     )
+
+
+# ------------------------------------------------------- props extraction
+def test_props_extract_agg_vs_duckdb_and_non_matches(ray_session):
+    """Vectorized RE2 extraction from a JSON-ish column + per-key
+    (count, sum): matches DuckDB regexp_extract; non-matching rows
+    count toward n but not the sum."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.events import props_extract_agg
+
+    rng = np.random.default_rng(43)
+    types = rng.choice(["click", "view", "buy"], size=200)
+    props = [f'{{"k": {int(v)}}}' for v in rng.integers(-50, 500, size=200)]
+    props[7] = '{"other": 1}'  # no k field: null contribution
+    props[11] = "not json at all"
+    df = pd.DataFrame({"event_type": types, "props": props})
+
+    got = (
+        props_extract_agg(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(
+        r"""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1),
+                                  '') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        got[["event_type", "n", "sum_k"]], want, check_dtype=False
+    )
+    assert got["n"].sum() == 200  # non-matches still counted
