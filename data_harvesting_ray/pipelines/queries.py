@@ -1318,6 +1318,33 @@ def q_lineitem_rollup(sf_dir: str) -> Any:
     )
 
 
+def q_h_revenue_topk(sf_dir: str) -> Any:
+    """Three-table analytics (TPC-H Q3 shape): top-10 BUILDING-segment
+    orders by integer-micro line-item revenue — per-order partial
+    reduction, distributed semi join against filtered customer keys,
+    key join, per-block top-k pruning."""
+    import data_harvesting_ray
+
+    from ..stages.aggregates import segment_revenue_topk
+
+    data_harvesting_ray.configure_session()
+    return segment_revenue_topk(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ),
+        segment="BUILDING",
+        k=10,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "t_normalize": q_t_normalize,
@@ -1414,6 +1441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_frame_sample": q_m_frame_sample,
         "m_resize": q_m_resize,
         "lineitem_rollup": q_lineitem_rollup,
+        "h_revenue_topk": q_h_revenue_topk,
     }
 
 
@@ -2413,6 +2441,22 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT doc_id,
                CAST(sum(surp) // count(*) AS BIGINT) AS mean_surprisal_micro
         FROM s GROUP BY doc_id
+    """
+    sqls["h_revenue_topk"] = """
+        WITH rev AS (
+          SELECT l_orderkey AS o_orderkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6)
+                          AS BIGINT)) AS BIGINT) AS revenue_micro
+          FROM lineitem GROUP BY 1
+        ),
+        seg AS (
+          SELECT o_orderkey, o_orderdate
+          FROM orders JOIN customer ON c_custkey = o_custkey
+          WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT s.o_orderkey, s.o_orderdate, r.revenue_micro
+        FROM rev r JOIN seg s USING (o_orderkey)
+        ORDER BY revenue_micro DESC, o_orderkey LIMIT 10
     """
     sqls["e_props_extract"] = r"""
         SELECT event_type,

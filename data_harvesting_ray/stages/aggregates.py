@@ -505,3 +505,77 @@ def pivot_counts(
 
     aggs = [Sum(f"n_{v}", alias_name=f"n_{v}") for v in values]
     return ds.map_batches(partial, batch_format="pandas").groupby(key).aggregate(*aggs)
+
+
+def segment_revenue_topk(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    segment: str,
+    k: int = 10,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Classic three-table analytics (the TPC-H Q3 shape): top-``k``
+    orders of one market segment by line-item revenue. Demonstrates
+    the engine's cross-table composition — per-row revenue quantized
+    to integer micro-units (floor(price·(1-disc)·1e6), identical
+    doubles in numpy and SQL) so the per-order sum is
+    order-independent integer addition, then:
+
+    1. line items reduce to per-order revenue with per-batch partials
+       before ONE order-key groupby (revenue rows, never line items,
+       cross the exchange);
+    2. the segment's orders survive a distributed SEMI join against
+       the filtered customer keys (`equi_join(how="semi")` — the
+       customer side is corpus-scale, never broadcast);
+    3. revenue joins the surviving orders by key;
+    4. a per-block partial top-k prunes to ≤ k rows per block and the
+       final ≤ k·blocks rows sort on the driver (bounded by k, not
+       the data).
+    """
+    import pyarrow.compute as _pc
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        micro = np.floor(price * (1.0 - disc) * 1e6).astype(np.int64)
+        df = pd.DataFrame(
+            {"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False), "r": micro}
+        )
+        out = df.groupby("o_orderkey", sort=False, as_index=False)["r"].sum()
+        from .partition import to_clean_arrow
+
+        return to_clean_arrow(out)
+
+    rev = (
+        lineitem.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("r", alias_name="revenue_micro"))
+    )
+
+    from .join import equi_join
+
+    seg_keys = customer.filter(
+        expr=f"c_mktsegment == '{segment}'"
+    ).select_columns(["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    )
+    seg_orders = equi_join(
+        orders, seg_keys, on="o_custkey", how="semi", num_buckets=num_buckets
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    joined = equi_join(
+        rev, seg_orders, on="o_orderkey", how="inner", num_buckets=num_buckets
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_micro", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    top = joined.map_batches(prune, batch_format="pandas").to_pandas()
+    top = top.sort_values(
+        ["revenue_micro", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).head(k)
+    top["revenue_micro"] = top["revenue_micro"].astype(np.int64)
+    return top[["o_orderkey", "o_orderdate", "revenue_micro"]].reset_index(drop=True)

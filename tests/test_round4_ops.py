@@ -658,3 +658,69 @@ def test_props_extract_agg_vs_duckdb_and_non_matches(ray_session):
         got[["event_type", "n", "sum_k"]], want, check_dtype=False
     )
     assert got["n"].sum() == 200  # non-matches still counted
+
+
+# -------------------------------------------------- 3-table revenue top-k
+def test_segment_revenue_topk_vs_duckdb(ray_session):
+    """TPC-H-Q3-shaped composition on random tables: integer-micro
+    revenue, semi-join segment filter, global top-k — exact vs DuckDB
+    incl. ties and orders with no line items."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import segment_revenue_topk
+
+    rng = np.random.default_rng(47)
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(30, dtype=np.int64),
+            "c_mktsegment": rng.choice(["A", "B"], 30),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(100, dtype=np.int64),
+            "o_custkey": rng.integers(0, 30, 100),
+            "o_orderdate": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 90, 100), unit="D"),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, 95, 400),  # orders 95-99: no items
+            "l_extendedprice": rng.uniform(10, 5000, 400).round(2),
+            "l_discount": rng.choice([0.0, 0.05, 0.1], 400),
+        }
+    )
+    got = segment_revenue_topk(
+        rd.from_pandas(li),
+        rd.from_pandas(orders),
+        rd.from_pandas(cust),
+        segment="A",
+        k=5,
+        num_buckets=4,
+    )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    con.register("orders", orders)
+    con.register("customer", cust)
+    want = con.execute(
+        """
+        WITH rev AS (
+          SELECT l_orderkey AS o_orderkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6)
+                          AS BIGINT)) AS BIGINT) AS revenue_micro
+          FROM lineitem GROUP BY 1
+        ),
+        seg AS (
+          SELECT o_orderkey, o_orderdate
+          FROM orders JOIN customer ON c_custkey = o_custkey
+          WHERE c_mktsegment = 'A'
+        )
+        SELECT s.o_orderkey, s.o_orderdate, r.revenue_micro
+        FROM rev r JOIN seg s USING (o_orderkey)
+        ORDER BY revenue_micro DESC, o_orderkey LIMIT 5
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
