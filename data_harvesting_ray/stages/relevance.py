@@ -193,23 +193,38 @@ def unigram_surprisal(
     both engines; per-term floor removes it from the contract).
 
     Scale plan: the model is the corpus itself, never a driver-side
-    table — (1) one explode + partial-count pass builds the (token,
-    count) table with a vocabulary-scale groupby; (2) the corpus total
-    is a distributed scalar sum; (3) token rows JOIN their counts with
-    the engine's generic hash equi-join (key-only co-location — the
-    count table is vocabulary-scale and is never broadcast); (4)
+    table — (1) tf per (doc, token) completes INSIDE the document
+    batch (a document is one atomic row), so the exchange carries
+    tf-COMPRESSED rows, not raw token occurrences (all occurrences of
+    a token in a doc share one surprisal: ``tf · floor(ln(N/c)·1e6)``
+    equals the sum of per-occurrence floors exactly); (2) the (token,
+    count) table reduces tf rows with a vocabulary-scale groupby and
+    the corpus total is a distributed scalar sum; (3) tf rows JOIN
+    their counts with the engine's generic hash equi-join (key-only
+    co-location — the count table is never broadcast); (4)
     per-document partial sums reduce to one row per document. Four
-    exchanges, all key- or vocab-scale; payload text never moves."""
+    exchanges, all tf-, key- or vocab-scale; payload text never
+    moves."""
     from .join import equi_join
-    from .text import explode_tokens
 
-    tok = explode_tokens(ds, text_col=text_col, id_col=id_col).select_columns(
-        [id_col, "token"]
-    )
+    def tf_kernel(t: pa.Table) -> pa.Table:
+        flat, doc_idx = _tokenize(t, text_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({id_col: ids[doc_idx], "token": flat.to_pandas()})
+        out = df.groupby([id_col, "token"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy()),
+                "token": pa.array(out["token"], pa.string()),
+                "tf": pa.array(out["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    tok = ds.map_batches(tf_kernel, batch_format="pyarrow")
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("token", sort=False, as_index=False).size()
-        return out.rename(columns={"size": "c"})
+        out = df.groupby("token", sort=False, as_index=False)["tf"].sum()
+        return out.rename(columns={"tf": "c"})
 
     cnt = (
         tok.map_batches(count_partial, batch_format="pandas")
@@ -225,10 +240,11 @@ def unigram_surprisal(
     joined = equi_join(tok, cnt, on="token", num_buckets=num_buckets)
 
     def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf_v = df["tf"].to_numpy(np.int64)
         surp = np.floor(
             np.log(float(n_total) / df["c"].to_numpy(np.float64)) * 1e6
         ).astype(np.int64)
-        out = pd.DataFrame({id_col: df[id_col], "s": surp, "k": np.int64(1)})
+        out = pd.DataFrame({id_col: df[id_col], "s": surp * tf_v, "k": tf_v})
         return out.groupby(id_col, sort=False, as_index=False).sum()
 
     from ray.data.aggregate import Sum
