@@ -1345,6 +1345,16 @@ def q_h_revenue_topk(sf_dir: str) -> Any:
     )
 
 
+def q_d_collocations(sf_dir: str) -> Any:
+    """Top-10 word bigrams by PMI (phrase detection / collocation
+    mining): vocab-scale count reductions, two key joins for the part
+    counts, per-block top-k pruning; integer-micro PMI for the exact
+    SQL gate."""
+    from ..stages.relevance import top_collocations
+
+    return top_collocations(_docs(sf_dir), k=10, min_count=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "t_normalize": q_t_normalize,
@@ -1442,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_resize": q_m_resize,
         "lineitem_rollup": q_lineitem_rollup,
         "h_revenue_topk": q_h_revenue_topk,
+        "d_collocations": q_d_collocations,
     }
 
 
@@ -2441,6 +2452,33 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT doc_id,
                CAST(sum(surp) // count(*) AS BIGINT) AS mean_surprisal_micro
         FROM s GROUP BY doc_id
+    """
+    sqls["d_collocations"] = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT unnest(toks) AS token FROM t),
+        uni AS (SELECT token, count(*) AS c1 FROM tok GROUP BY token),
+        t1 AS (SELECT count(*) AS n1 FROM tok),
+        bg AS (
+          SELECT toks[i] AS w1, toks[i+1] AS w2
+          FROM t, LATERAL (SELECT unnest(generate_series(
+              1, greatest(len(toks) - 1, 0))) AS i)
+        ),
+        big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        t2 AS (SELECT count(*) AS n2 FROM bg),
+        s AS (
+          SELECT w1, w2, c2,
+                 CAST(floor(ln((CAST(c2 AS DOUBLE) * n1 * n1)
+                      / (CAST(n2 AS DOUBLE) * a.c1 * b.c1)) * 1e6) AS BIGINT)
+                     AS pmi_micro
+          FROM big JOIN uni a ON a.token = w1 JOIN uni b ON b.token = w2,
+               t1, t2
+          WHERE c2 >= 5
+        )
+        SELECT w1, w2, CAST(c2 AS BIGINT) AS n, pmi_micro
+        FROM s ORDER BY pmi_micro DESC, w1, w2 LIMIT 10
     """
     sqls["h_revenue_topk"] = """
         WITH rev AS (

@@ -352,3 +352,134 @@ def doc_keywords(
         tie="token",
         num_buckets=num_buckets,
     )
+
+
+def top_collocations(
+    ds: ray.data.Dataset,
+    k: int = 10,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Collocation mining: the corpus's top-``k`` word bigrams by
+    pointwise mutual information — the phrase-detection pass of
+    word2vec-style preprocessing ("new york" scores high because its
+    parts rarely occur apart). ``PMI = ln(p(w1 w2) / (p(w1)·p(w2)))``
+    with counts from the corpus itself, floored to integer micro-units
+    so ranking and values are exactly SQL-reproducible; bigrams below
+    ``min_count`` are noise-gated (PMI's low-count pathology).
+
+    Scale plan: unigram and bigram counts reduce per-batch partials
+    with vocabulary-scale groupbys (documents are atomic rows — the
+    partials complete in-batch); bigram rows fetch BOTH word counts
+    via two key equi-joins (never broadcast); the final top-k prunes
+    per block before a k-bounded driver finish. Five exchanges, all
+    vocab-scale."""
+    from .aggregates import Sum
+    from .join import equi_join
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokenize(t, text_col)
+        out = (
+            pd.DataFrame({"token": flat.to_pandas()})
+            .groupby("token", sort=False, as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "token": pa.array(out["token"], pa.string()),
+                "c1": pa.array(out["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c1", alias_name="c1"))
+        .materialize()
+    )
+    n1 = int(uni.sum("c1") or 0)
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        lists = _pc.split_pattern_regex(
+            _pc.utf8_trim_whitespace(t[text_col]), pattern=r"\s+"
+        )
+        lengths = (
+            _pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = lists.combine_chunks().flatten() if isinstance(
+            lists, pa.ChunkedArray
+        ) else lists.flatten()
+        toks = flat.to_pandas().to_numpy(dtype=object)
+        total = int(lengths.sum())
+        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets, lengths)
+        doc_len = np.repeat(lengths, lengths)
+        valid = pos <= doc_len - 2  # bigram stays inside its document
+        w1 = toks[:-1][valid[:-1]] if total else toks[:0]
+        w2 = toks[1:][valid[:-1]] if total else toks[:0]
+        out = (
+            pd.DataFrame({"w1": w1, "w2": w2})
+            .groupby(["w1", "w2"], sort=False, as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "w1": pa.array(out["w1"], pa.string()),
+                "w2": pa.array(out["w2"], pa.string()),
+                "c2": pa.array(out["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    big = (
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c2", alias_name="c2"))
+        .materialize()
+    )
+    n2 = int(big.sum("c2") or 0)
+    gated = big.filter(expr=f"c2 >= {int(min_count)}")
+
+    uni_a = uni.map_batches(
+        lambda t: t.rename_columns(["w1", "c1a"]), batch_format="pyarrow"
+    )
+    uni_b = uni.map_batches(
+        lambda t: t.rename_columns(["w2", "c1b"]), batch_format="pyarrow"
+    )
+    joined = equi_join(
+        equi_join(gated, uni_a, on="w1", num_buckets=num_buckets),
+        uni_b,
+        on="w2",
+        num_buckets=num_buckets,
+    )
+
+    n1f, n2f = float(n1), float(n2)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c2 = df["c2"].to_numpy(np.float64)
+        c1a = df["c1a"].to_numpy(np.float64)
+        c1b = df["c1b"].to_numpy(np.float64)
+        # left-associated exactly like the SQL twin's expression
+        pmi = np.floor(
+            np.log((c2 * n1f * n1f) / (n2f * c1a * c1b)) * 1e6
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "w1": df["w1"],
+                "w2": df["w2"],
+                "n": df["c2"].to_numpy(np.int64),
+                "pmi_micro": pmi,
+            }
+        )
+        return out.sort_values(
+            ["pmi_micro", "w1", "w2"], ascending=[False, True, True], kind="stable"
+        ).head(k)
+
+    top = joined.map_batches(score, batch_format="pandas").to_pandas()
+    top = top.sort_values(
+        ["pmi_micro", "w1", "w2"], ascending=[False, True, True], kind="stable"
+    ).head(k)
+    return top.reset_index(drop=True)

@@ -724,3 +724,59 @@ def test_segment_revenue_topk_vs_duckdb(ray_session):
     ).df()
     con.close()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ----------------------------------------------------------- collocations
+def test_top_collocations_randomized_vs_duckdb(ray_session):
+    """PMI collocations vs the DuckDB oracle on a corpus with one
+    planted collocation (two rare tokens that only occur together)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.relevance import top_collocations
+
+    rng = np.random.default_rng(53)
+    vocab = np.array(["a", "b", "c", "d", "e", "f"])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 25))) for _ in range(150)
+    ]
+    for i in range(0, 150, 10):  # plant "neo tokyo" 15 times
+        texts[i] = texts[i] + " neo tokyo"
+    df = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64), "text": texts})
+
+    got = top_collocations(rd.from_pandas(df), k=5, min_count=5, num_buckets=4)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT unnest(toks) AS token FROM t),
+        uni AS (SELECT token, count(*) AS c1 FROM tok GROUP BY token),
+        t1 AS (SELECT count(*) AS n1 FROM tok),
+        bg AS (
+          SELECT toks[i] AS w1, toks[i+1] AS w2
+          FROM t, LATERAL (SELECT unnest(generate_series(
+              1, greatest(len(toks) - 1, 0))) AS i)
+        ),
+        big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        t2 AS (SELECT count(*) AS n2 FROM bg),
+        s AS (
+          SELECT w1, w2, c2,
+                 CAST(floor(ln((CAST(c2 AS DOUBLE) * n1 * n1)
+                      / (CAST(n2 AS DOUBLE) * a.c1 * b.c1)) * 1e6) AS BIGINT)
+                     AS pmi_micro
+          FROM big JOIN uni a ON a.token = w1 JOIN uni b ON b.token = w2,
+               t1, t2
+          WHERE c2 >= 5
+        )
+        SELECT w1, w2, CAST(c2 AS BIGINT) AS n, pmi_micro
+        FROM s ORDER BY pmi_micro DESC, w1, w2 LIMIT 5
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted phrase is the top collocation
+    assert (got.iloc[0]["w1"], got.iloc[0]["w2"]) == ("neo", "tokyo")
