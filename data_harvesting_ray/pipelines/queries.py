@@ -17,6 +17,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1355,6 +1357,29 @@ def q_d_collocations(sf_dir: str) -> Any:
     return top_collocations(_docs(sf_dir), k=10, min_count=5)
 
 
+def q_v_centroids_distributed(sf_dir: str) -> Any:
+    """Fully distributed Lloyd k-means over the whole embeddings table
+    (no vector payload on the driver; integer-micro partials make the
+    result layout-invariant). Non-SQL-expressible: rows-only driver
+    check; exactness is pytest-gated against a single-process
+    reference of the same quantized algorithm."""
+    import data_harvesting_ray
+
+    from ..stages.similarity import train_centroids_distributed
+
+    data_harvesting_ray.configure_session()
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = train_centroids_distributed(ds, n_centroids=8, iters=5)
+    out = pd.DataFrame(
+        np.floor(cents * 1e6).astype(np.int64),
+        columns=[f"c{j}" for j in range(cents.shape[1])],
+    )
+    out.insert(0, "centroid", np.arange(len(cents), dtype=np.int64))
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "t_normalize": q_t_normalize,
@@ -1453,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": q_lineitem_rollup,
         "h_revenue_topk": q_h_revenue_topk,
         "d_collocations": q_d_collocations,
+        "v_centroids_distributed": q_v_centroids_distributed,
     }
 
 

@@ -467,3 +467,87 @@ def group_centroids(
         )
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def train_centroids_distributed(
+    ds: ray.data.Dataset,
+    n_centroids: int = 16,
+    iters: int = 10,
+    seed: int = 13,
+    init_budget: int = 4096,
+) -> np.ndarray:
+    """Fully DISTRIBUTED Lloyd k-means over the WHOLE corpus — the
+    scale path past ``train_centroids``' count-bounded driver sample:
+    no vector payload ever reaches the driver. Per iteration, the k×d
+    centroid matrix broadcasts once (``ray.put``); every batch assigns
+    its vectors (one matmul) and emits EXACT integer-micro partial
+    sums per centroid (``floor(x·1e6)`` int64 — the group_centroids
+    discipline), reduced by one k-row-per-block groupby; the driver
+    touches only the k×(d+1) reduced table. Integer partials make the
+    result independent of partitioning/batch layout, so the trainer is
+    a pure function of (table, params) — conformance-tested against a
+    single-process reference of the same quantized algorithm.
+
+    Initialization draws from the deterministic hash-mask pool
+    (expected ~``init_budget`` rows — the only, constant-size, driver
+    hop) with the same seeded choice as ``kmeans_lloyd``. Empty
+    centroids keep their previous position (same as Lloyd's
+    no-members case)."""
+    from ray.data.aggregate import Sum
+
+    n_rows = int(ds.count())
+    thr = ivf_sample_threshold_micro(n_rows, 1.0, init_budget)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[ivf_sample_mask(df["vec_id"].to_numpy(), threshold_micro=thr)][
+            ["embedding"]
+        ]
+
+    pool = _normalize_rows(
+        _stack(ds.map_batches(pick, batch_format="pandas").to_pandas()["embedding"])
+    )
+    rng = np.random.default_rng(seed)
+    cents = pool[
+        rng.choice(len(pool), size=min(n_centroids, len(pool)), replace=False)
+    ].copy()
+    k, d = cents.shape
+    sum_cols = [f"s{j}" for j in range(d)]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            m = _normalize_rows(_stack(df["embedding"]))
+            assign = np.argmax(m @ c.T, axis=1)
+            micro = np.floor(m * 1e6).astype(np.int64)
+            order = np.argsort(assign, kind="stable")
+            a_sorted = assign[order]
+            boundaries = np.concatenate(
+                ([0], np.nonzero(np.diff(a_sorted))[0] + 1)
+            )
+            sums = np.add.reduceat(micro[order], boundaries, axis=0)
+            labels = a_sorted[boundaries]
+            counts = np.bincount(assign, minlength=len(c))[labels]
+            out = pd.DataFrame(sums, columns=sum_cols)
+            out.insert(0, "centroid", labels.astype(np.int64))
+            out.insert(1, "n", counts.astype(np.int64))
+            return out
+
+        red = (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby("centroid")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                *[Sum(c, alias_name=c) for c in sum_cols],
+            )
+            .to_pandas()  # ≤ k rows: bounded by the model, not the data
+        )
+        new = cents.copy()
+        lbl = red["centroid"].to_numpy().astype(np.int64)
+        n = red["n"].to_numpy().astype(np.float64)
+        s = red[sum_cols].to_numpy().astype(np.float64)
+        nonzero = n > 0
+        new[lbl[nonzero]] = (s[nonzero] / 1e6) / n[nonzero, None]
+        cents = _normalize_rows(new)
+    return cents

@@ -780,3 +780,53 @@ def test_top_collocations_randomized_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # the planted phrase is the top collocation
     assert (got.iloc[0]["w1"], got.iloc[0]["w2"]) == ("neo", "tokyo")
+
+
+# ------------------------------------------------- distributed k-means
+def test_train_centroids_distributed_matches_reference(ray_session):
+    """The distributed Lloyd trainer must equal a single-process
+    reference of the SAME quantized algorithm exactly, and be
+    invariant to partitioning (integer-micro partials are associative)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import (
+        _normalize_rows,
+        ivf_sample_mask,
+        ivf_sample_threshold_micro,
+        train_centroids_distributed,
+    )
+
+    rng = np.random.default_rng(61)
+    n, d, k = 600, 16, 4
+    vecs = rng.normal(size=(n, d))
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.astype(np.float32) for v in vecs],
+        }
+    )
+
+    got2 = train_centroids_distributed(
+        rd.from_pandas(df).repartition(2), n_centroids=k, iters=5
+    )
+    got7 = train_centroids_distributed(
+        rd.from_pandas(df).repartition(7), n_centroids=k, iters=5
+    )
+    np.testing.assert_array_equal(got2, got7)  # layout-invariant
+
+    # single-process reference of the same quantized Lloyd
+    m = _normalize_rows(np.stack([np.asarray(v, np.float64) for v in df["embedding"]]))
+    thr = ivf_sample_threshold_micro(n, 1.0, 4096)
+    pool = m[ivf_sample_mask(df["vec_id"].to_numpy(), threshold_micro=thr)]
+    r = np.random.default_rng(13)
+    cents = pool[r.choice(len(pool), size=k, replace=False)].copy()
+    for _ in range(5):
+        assign = np.argmax(m @ cents.T, axis=1)
+        micro = np.floor(m * 1e6).astype(np.int64)
+        new = cents.copy()
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                new[c] = (micro[mask].sum(axis=0) / 1e6) / mask.sum()
+        cents = _normalize_rows(new)
+    np.testing.assert_array_equal(got2, cents)
