@@ -1357,6 +1357,17 @@ def q_d_collocations(sf_dir: str) -> Any:
     return top_collocations(_docs(sf_dir), k=10, min_count=5)
 
 
+def q_d_weighted_sample(sf_dir: str) -> Any:
+    """Deterministic weighted Bernoulli sample: longer docs likelier
+    kept (weight = min(n_tokens*20, 900) milli); hash-coin membership
+    is a pure row predicate — embarrassingly parallel, SQL-exact."""
+    from ..stages.projection import weighted_sample
+
+    return weighted_sample(_docs(sf_dir)).select_columns(
+        ["doc_id", "weight_milli"]
+    )
+
+
 def q_v_centroids_distributed(sf_dir: str) -> Any:
     """Fully distributed Lloyd k-means over the whole embeddings table
     (no vector payload on the driver; integer-micro partials make the
@@ -1479,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h_revenue_topk": q_h_revenue_topk,
         "d_collocations": q_d_collocations,
         "v_centroids_distributed": q_v_centroids_distributed,
+        "d_weighted_sample": q_d_weighted_sample,
     }
 
 
@@ -2478,6 +2490,16 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT doc_id,
                CAST(sum(surp) // count(*) AS BIGINT) AS mean_surprisal_micro
         FROM s GROUP BY doc_id
+    """
+    sqls["d_weighted_sample"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 least(len(regexp_split_to_array(trim(text), '\s+')) * 20,
+                       900) AS weight_milli
+          FROM documents
+        )
+        SELECT doc_id, CAST(weight_milli AS BIGINT) AS weight_milli
+        FROM w WHERE (doc_id * 2654435761) % 1000 < weight_milli
     """
     sqls["d_collocations"] = r"""
         WITH t AS (

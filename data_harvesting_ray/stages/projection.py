@@ -187,3 +187,39 @@ def systematic_sample(ds: ray.data.Dataset, pct: int = 10) -> ray.data.Dataset:
         return df[key < pct * 10]
 
     return ds.map_batches(gate, batch_format="pandas")
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    weight_expr=None,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic weighted Bernoulli sample: keep each row with
+    probability proportional to a per-row integer milli-weight — the
+    quality-weighted downsampling step of corpus curation (keep good
+    documents with high probability, noise with low, without a global
+    sort or shuffle). The coin is the golden-ratio integer hash of the
+    id (the train_split/systematic_sample discipline), so membership
+    is a pure row predicate: reproducible across runs, machines,
+    partitionings, and the SQL oracle — and embarrassingly parallel.
+
+    ``weight_expr``: callable(pd.DataFrame) -> int64 milli-weights in
+    [0, 1000] (values are clipped). Default: longer documents are
+    likelier kept — ``min(n_tokens * 20, 900)``."""
+
+    def default_weight(df: pd.DataFrame) -> np.ndarray:
+        n_tokens = (
+            df["text"].str.strip().str.split().map(len).to_numpy(dtype=np.int64)
+        )
+        return np.minimum(n_tokens * 20, 900)
+
+    weight = weight_expr or default_weight
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        w = np.clip(np.asarray(weight(df), dtype=np.int64), 0, 1000)
+        h = (df[id_col].to_numpy(dtype=np.int64) * 2654435761) % 1000
+        out = df[h < w].copy()
+        out["weight_milli"] = w[h < w]
+        return out
+
+    return ds.map_batches(gate, batch_format="pandas")

@@ -830,3 +830,38 @@ def test_train_centroids_distributed_matches_reference(ray_session):
                 new[c] = (micro[mask].sum(axis=0) / 1e6) / mask.sum()
         cents = _normalize_rows(new)
     np.testing.assert_array_equal(got2, cents)
+
+
+# --------------------------------------------------------- weighted sample
+def test_weighted_sample_deterministic_and_proportional(ray_session):
+    """Membership is a pure row predicate (identical across
+    partitionings); zero-weight rows never survive, weight-1000 rows
+    always do; keep rate tracks the weight."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.projection import weighted_sample
+
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["x"] * 1000 + ["a b c d e f g h i j " * 5] * 1000 + [""] * 1000,
+        }
+    )
+
+    def w(d):
+        # 0 for empty, 20 for one token, 1000 for 50 tokens
+        toks = d["text"].str.strip().str.split().map(len).to_numpy(np.int64)
+        toks[d["text"].to_numpy(object) == ""] = 0
+        return np.minimum(toks * 20, 1000)
+
+    a = weighted_sample(rd.from_pandas(df).repartition(3), weight_expr=w).to_pandas()
+    b = weighted_sample(rd.from_pandas(df).repartition(8), weight_expr=w).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # layout-invariant
+    kept = set(a["doc_id"])
+    empty_ids = set(range(2000, 3000))
+    long_ids = set(range(1000, 2000))
+    assert not (kept & empty_ids)  # weight 0: never kept
+    assert long_ids <= kept  # weight 1000: always kept
+    one_tok_kept = len(kept & set(range(1000)))
+    assert 0 < one_tok_kept < 100  # ~2% of 1000 at weight 20
