@@ -796,45 +796,59 @@ def window_dup_pairs(
     df_cap: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    involved_cap: int = INVOLVED_BROADCAST_CAP,
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT substring-overlap dedup: every document pair sharing at
     least one verbatim ``n``-token window — the substring-granular
     duplicate detector of the training-data literature (boilerplate,
     quoted spans, template reuse that whole-document hashing misses).
-    Output: distinct (doc_a, doc_b) with doc_a < doc_b. Deterministic
-    and exact — unlike MinHash there is no probabilistic miss, which
-    is why the driver gate can hold it to an exact SQL self-join.
+    Output: distinct (doc_a, doc_b) with doc_a < doc_b. Exact — unlike
+    MinHash there is no probabilistic miss, which is why the driver
+    gate can hold it to an exact SQL self-join.
 
-    Scale plan: one-to-many window expansion is embarrassingly
-    parallel (the shared vectorized ``explode_ngrams`` kernel); only
-    (id, ngram) KEY rows shuffle — payload never moves — with a
-    per-batch distinct partial so repeated windows inside a document
-    ship once. Pairs are emitted per hash(ngram) bucket by a
-    vectorized self-merge, then made globally distinct by one
-    key-only pair shuffle. A web-scale corpus has boilerplate
-    n-grams shared by millions of documents, which would go O(n²):
-    any window with document frequency > ``df_cap`` RAISES with the
-    cap named (the certified-exactness contract of heavy_hitters) —
-    callers either raise the cap knowingly or drop stop-windows
-    upstream; silently skipping hot windows would turn an exact
-    operator into an approximate one.
+    Scale plan: candidate generation shuffles (id, window-HASH int64)
+    key rows — 8 bytes per window instead of the ~n·word-length window
+    STRING (the byte-volume term that dominates an all-windows
+    exchange at web scale). Equal windows always hash equal, so recall
+    is exact by construction; a 64-bit collision can only ADD a false
+    candidate, and the exact VERIFY pass (window-set intersection over
+    the involved documents — fetched via the broadcast-id semi-join,
+    or attached by two key-only hash joins past ``involved_cap``, the
+    shared minhash machinery) removes it. Window expansion is the
+    shared vectorized kernel with per-batch distinct partials; pairs
+    are emitted per hash bucket by a vectorized self-merge and made
+    globally distinct by one key-only pair shuffle.
+
+    A web-scale corpus has boilerplate windows shared by millions of
+    documents, which would go O(n²) at pair emission: any window-hash
+    group larger than ``df_cap`` RAISES with the cap named (the
+    certified-exactness contract of heavy_hitters) — callers either
+    raise the cap knowingly or drop stop-windows upstream; silently
+    skipping hot windows would turn an exact operator into an
+    approximate one. Collisions only inflate a group, so the cap check
+    on hash groups is conservative.
 
     Reference analogue: D2's tolerance-based duplicate suppression
     (``condition.py:66-77``), at span rather than detection
     granularity."""
     from .partition import apply_per_bucket, to_clean_arrow
-    from .text import explode_ngrams
+    from .text import _ngram_arrays
 
-    grams = explode_ngrams(ds, n=n, text_col=text_col, id_col=id_col)
+    def hashed_partial(t: pa.Table) -> pa.Table:
+        ids, _, grams = _ngram_arrays(t, n, text_col, id_col)
+        if not len(ids):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.int64)
+        df = pd.DataFrame({id_col: ids, "h": h}).drop_duplicates()
+        return to_clean_arrow(df)
 
-    def distinct_partial(t: pa.Table) -> pa.Table:
-        # per-batch (id, ngram) distinct BEFORE the shuffle: a window
-        # repeated inside one document ships once
-        df = t.select([id_col, "ngram"]).to_pandas()
-        return to_clean_arrow(df.drop_duplicates())
-
-    keyed = grams.map_batches(distinct_partial, batch_format="pyarrow")
+    keyed = ds.map_batches(hashed_partial, batch_format="pyarrow")
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -844,31 +858,85 @@ def window_dup_pairs(
                     "doc_b": np.array([], dtype=np.int64),
                 }
             )
-        g = g.drop_duplicates()  # cross-batch repeats of (id, ngram)
-        sizes = g.groupby("ngram", sort=False)[id_col].transform("size")
+        g = g.drop_duplicates()  # cross-batch repeats of (id, h)
+        sizes = g.groupby("h", sort=False)[id_col].transform("size")
         hot = int(sizes.max())
         if hot > df_cap:
-            culprit = g.loc[sizes.idxmax(), "ngram"]
             raise ValueError(
-                f"window_dup_pairs: {n}-token window shared by {hot} "
-                f"documents exceeds df_cap={df_cap} (window "
-                f"{culprit!r:.80}); raise df_cap or drop stop-windows "
-                "upstream — skipping it silently would make an exact "
-                "operator approximate"
+                f"window_dup_pairs: a {n}-token window (hash group) is "
+                f"shared by {hot} documents, exceeding df_cap={df_cap}; "
+                "raise df_cap or drop stop-windows upstream — skipping "
+                "it silently would make an exact operator approximate"
             )
-        m = g.merge(g, on="ngram", suffixes=("_l", "_r"))
+        m = g.merge(g, on="h", suffixes=("_l", "_r"))
         keep = m[f"{id_col}_l"] < m[f"{id_col}_r"]
         out = m.loc[keep, [f"{id_col}_l", f"{id_col}_r"]].drop_duplicates()
         out.columns = ["doc_a", "doc_b"]
         return out
 
-    pairs = apply_per_bucket(keyed, emit_pairs, key="ngram", num_buckets=num_buckets)
+    pairs = apply_per_bucket(keyed, emit_pairs, key="h", num_buckets=num_buckets)
 
     def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates()
 
-    # same pair can surface from several windows in different ngram
+    # same pair can surface from several windows in different hash
     # buckets: one key-only shuffle of the (small) pair list dedups
-    return apply_per_bucket(
+    cand = apply_per_bucket(
         pairs, distinct_pairs, key=["doc_a", "doc_b"], num_buckets=num_buckets
     )
+
+    # exact verify: window-set intersection over the involved docs
+    # (candidate-scale) — removes any hash-collision false candidate
+    def windows_of(text: str) -> set:
+        toks = text.strip().split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+
+    involved = _collect_involved(cand)
+    kv = ds.select_columns([id_col, text_col])
+    if len(involved) > involved_cap:
+        inv = _involved_docs(kv, involved, id_col, text_col)
+        with_a = attach_value_distributed(
+            cand, inv, "doc_a", "__text_a",
+            key=id_col, value=text_col, num_buckets=num_buckets,
+        )
+        with_b = attach_value_distributed(
+            with_a, inv, "doc_b", "__text_b",
+            key=id_col, value=text_col, num_buckets=num_buckets,
+        )
+
+        def check_attached(df: pd.DataFrame) -> pd.DataFrame:
+            cache: dict[int, set] = {}
+
+            def w(i: int, t: str) -> set:
+                if i not in cache:
+                    cache[i] = windows_of(t)
+                return cache[i]
+
+            keep = [
+                bool(w(a, ta) & w(b, tb))
+                for a, b, ta, tb in zip(
+                    df["doc_a"], df["doc_b"], df["__text_a"], df["__text_b"]
+                )
+            ]
+            return df.loc[keep, ["doc_a", "doc_b"]]
+
+        return with_b.map_batches(check_attached, batch_format="pandas")
+
+    texts = _fetch_involved_map(kv, involved, id_col, text_col)
+    ref = ray.put(texts)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        tx = ray.get(ref)
+        cache: dict[int, set] = {}
+
+        def w(i: int) -> set:
+            if i not in cache:
+                cache[i] = windows_of(tx[i])
+            return cache[i]
+
+        keep = [bool(w(a) & w(b)) for a, b in zip(df["doc_a"], df["doc_b"])]
+        return df.loc[keep]
+
+    return cand.map_batches(check, batch_format="pandas")

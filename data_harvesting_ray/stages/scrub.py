@@ -136,7 +136,11 @@ def cross_split_contamination(
     transform('max') flags windows seen in train and emits the eval
     docs under them; one final key-only distinct. Unlike
     ``window_dup_pairs`` there is no pair blowup — hot boilerplate
-    windows emit their eval docs linearly, so no df cap is needed."""
+    windows emit their eval docs linearly, so no df cap is needed.
+    Window keys ship as STRINGS here to keep the flag exact in one
+    pass; at web scale, switch to int64 window hashes plus a verify
+    pass against the matched train docs (the ``window_dup_pairs``
+    plan) to cut the exchange to 8 B per window."""
     import pandas as pd
 
     from .partition import apply_per_bucket, to_clean_arrow
