@@ -1237,6 +1237,20 @@ def q_t_echo_rate(sf_dir: str) -> Any:
     return assistant_echo_rate(_t(sf_dir, ["conv_id", "turn_idx", "role", "text"]))
 
 
+def q_t_self_echo(sf_dir: str) -> Any:
+    """Self-repetition (degenerate-loop detector): echo of each
+    assistant turn against the assistant's PREVIOUS RESPONSE in the
+    conversation — same one-shuffle machinery as t_echo_rate over the
+    role-filtered subsequence (only assistant rows ship)."""
+    from ..stages.text import assistant_echo_rate
+
+    return assistant_echo_rate(
+        _t(sf_dir, ["conv_id", "turn_idx", "role", "text"]),
+        prev_role=None,
+        within_role="assistant",
+    )
+
+
 def q_d_split_contamination(sf_dir: str) -> Any:
     """Cross-split substring leakage: val/test docs sharing a verbatim
     8-token window with any train doc (the engine's deterministic
@@ -1475,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_lang_cube": q_d_lang_cube,
         "d_split_contamination": q_d_split_contamination,
         "t_echo_rate": q_t_echo_rate,
+        "t_self_echo": q_t_self_echo,
         "d_surprisal": q_d_surprisal,
         "d_keywords": q_d_keywords,
         "e_props_extract": q_e_props_extract,
@@ -2591,6 +2606,30 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,
                  list_distinct(regexp_split_to_array(trim(prev_text), '\\s+')) AS ptoks
           FROM p WHERE role = 'assistant' AND prev_role = 'user'
+        )
+        SELECT conv_id, turn_idx,
+               CAST(len(list_intersect(toks, ptoks)) * 1000
+                    // greatest(len(toks), 1) AS BIGINT) AS echo_milli
+        FROM a
+    """
+    sqls["t_self_echo"] = f"""
+        WITH t AS (
+          SELECT DISTINCT conv_id, turn_idx, role, text FROM {RAW}
+        ),
+        a0 AS (
+          SELECT conv_id, turn_idx, text FROM t WHERE role = 'assistant'
+        ),
+        p AS (
+          SELECT conv_id, turn_idx, text,
+                 lag(text) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+          FROM a0
+        ),
+        a AS (
+          SELECT conv_id, turn_idx,
+                 list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+                 list_distinct(regexp_split_to_array(trim(prev_text), '\\s+')) AS ptoks
+          FROM p WHERE prev_text IS NOT NULL
         )
         SELECT conv_id, turn_idx,
                CAST(len(list_intersect(toks, ptoks)) * 1000

@@ -325,7 +325,10 @@ def doc_dedup_exact(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def assistant_echo_rate(
-    ds: ray.data.Dataset, num_buckets: int | None = None
+    ds: ray.data.Dataset,
+    num_buckets: int | None = None,
+    prev_role: str | None = "user",
+    within_role: str | None = None,
 ) -> ray.data.Dataset:
     """Transcript-native quality signal: for every assistant turn
     whose PREVIOUS turn (in turn order) is a user turn, the fraction
@@ -345,7 +348,16 @@ def assistant_echo_rate(
     Reference analogue: M2's skip-counter compares each detection to
     the PREVIOUS state of its track before keeping it
     (``condition.py:79-101``); here the "previous state" is the prior
-    turn's token set."""
+    turn's token set.
+
+    ``prev_role`` selects the comparison turn's role: "user" (default)
+    measures prompt parroting against the immediately preceding turn;
+    ``prev_role=None`` with ``within_role="assistant"`` restricts the
+    sequence to the assistant's OWN turns first and compares each to
+    the assistant's previous response — SELF-repetition, the
+    degenerate-loop detector (an agent stuck re-emitting its own
+    output). The role filter runs BEFORE the shuffle, so the loop
+    detector ships only assistant rows."""
     from .dedup import prepare_bucket
     from .partition import apply_per_bucket
 
@@ -380,9 +392,11 @@ def assistant_echo_rate(
         same_conv[1:] = codes[1:] == codes[:-1]
         role = g["role"].to_numpy()
         text = g["text"].to_numpy()
-        prev_role = np.roll(role, 1)
+        prev_role_v = np.roll(role, 1)
         prev_text = np.roll(text, 1)
-        mask = same_conv & (role == "assistant") & (prev_role == "user")
+        mask = same_conv & (role == "assistant")
+        if prev_role is not None:
+            mask &= prev_role_v == prev_role
         if not mask.any():
             return empty
         cur = text[mask]
@@ -407,4 +421,8 @@ def assistant_echo_rate(
             }
         )
 
+    if within_role is not None:
+        # restrict the sequence BEFORE the shuffle: the loop detector
+        # ships only that role's rows
+        ds = ds.filter(expr=f"role == '{within_role}'")
     return apply_per_bucket(ds, kernel, key="conv_id", num_buckets=num_buckets)

@@ -865,3 +865,66 @@ def test_weighted_sample_deterministic_and_proportional(ray_session):
     assert long_ids <= kept  # weight 1000: always kept
     one_tok_kept = len(kept & set(range(1000)))
     assert 0 < one_tok_kept < 100  # ~2% of 1000 at weight 20
+
+
+def test_self_echo_over_assistant_subsequence(ray_session):
+    """within_role='assistant' compares each assistant turn to the
+    assistant's PREVIOUS RESPONSE (intervening user turns ignored);
+    a verbatim self-repeat scores 1000."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import assistant_echo_rate
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 6,
+            "turn_idx": [0, 1, 2, 3, 4, 5],
+            "role": ["user", "assistant", "user", "assistant", "user", "assistant"],
+            "text": [
+                "q one",
+                "alpha beta gamma",
+                "q two",
+                "alpha beta gamma",  # verbatim self-repeat
+                "q three",
+                "delta epsilon",
+            ],
+        }
+    )
+    got = (
+        assistant_echo_rate(
+            rd.from_pandas(df), prev_role=None, within_role="assistant", num_buckets=1
+        )
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert got["turn_idx"].tolist() == [3, 5]
+    assert got["echo_milli"].tolist() == [1000, 0]
+
+    con = duckdb.connect()
+    con.register("raw", df)
+    want = con.execute(
+        r"""
+        WITH a0 AS (
+          SELECT conv_id, turn_idx, text FROM raw WHERE role = 'assistant'
+        ),
+        p AS (
+          SELECT conv_id, turn_idx, text,
+                 lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     AS prev_text
+          FROM a0
+        )
+        SELECT conv_id, turn_idx,
+               CAST(len(list_intersect(
+                        list_distinct(regexp_split_to_array(trim(text), '\s+')),
+                        list_distinct(regexp_split_to_array(trim(prev_text), '\s+'))
+                    )) * 1000
+                    // greatest(len(list_distinct(
+                        regexp_split_to_array(trim(text), '\s+'))), 1) AS BIGINT)
+                   AS echo_milli
+        FROM p WHERE prev_text IS NOT NULL ORDER BY turn_idx
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
