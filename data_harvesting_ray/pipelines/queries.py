@@ -1251,6 +1251,15 @@ def q_t_self_echo(sf_dir: str) -> Any:
     )
 
 
+def q_t_role_transitions(sf_dir: str) -> Any:
+    """Role transition counts (the Markov view of dialogue shape):
+    adjacent-pair partials per bucket, transition-matrix-sized final
+    groupby."""
+    from ..stages.aggregates import role_transitions
+
+    return role_transitions(_t(sf_dir, ["conv_id", "turn_idx", "role"]))
+
+
 def q_d_split_contamination(sf_dir: str) -> Any:
     """Cross-split substring leakage: val/test docs sharing a verbatim
     8-token window with any train doc (the engine's deterministic
@@ -1490,6 +1499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_split_contamination": q_d_split_contamination,
         "t_echo_rate": q_t_echo_rate,
         "t_self_echo": q_t_self_echo,
+        "t_role_transitions": q_t_role_transitions,
         "d_surprisal": q_d_surprisal,
         "d_keywords": q_d_keywords,
         "e_props_extract": q_e_props_extract,
@@ -2611,6 +2621,20 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                CAST(len(list_intersect(toks, ptoks)) * 1000
                     // greatest(len(toks), 1) AS BIGINT) AS echo_milli
         FROM a
+    """
+    sqls["t_role_transitions"] = f"""
+        WITH t AS (
+          SELECT DISTINCT conv_id, turn_idx, role FROM {RAW}
+        ),
+        p AS (
+          SELECT role,
+                 lag(role) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+          FROM t
+        )
+        SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE prev_role IS NOT NULL
+        GROUP BY prev_role, role
     """
     sqls["t_self_echo"] = f"""
         WITH t AS (

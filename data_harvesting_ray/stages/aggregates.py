@@ -579,3 +579,48 @@ def segment_revenue_topk(
     ).head(k)
     top["revenue_micro"] = top["revenue_micro"].astype(np.int64)
     return top[["o_orderkey", "o_orderdate", "revenue_micro"]].reset_index(drop=True)
+
+
+def role_transitions(
+    ds: ray.data.Dataset, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Conversation-structure statistics: the corpus's role transition
+    counts — how often a ``prev_role`` turn is followed by a ``role``
+    turn within a conversation (the Markov view of dialogue shape that
+    curriculum balancing and format-drift monitoring read). One
+    hash(conv_id) shuffle of (conv, turn, role); per bucket the shared
+    dedup+sort pass orders turns, adjacent pairs come from one roll +
+    boundary mask, and per-bucket (prev_role, role) partials reduce
+    with a |roles|²-row groupby — the second exchange is
+    transition-matrix-sized, never the turns.
+
+    Reference analogue: the tracker's state-transition accounting
+    (``utils/ClassificationObject.py:105-113`` counts per-class state
+    changes before the majority vote)."""
+    from .dedup import prepare_bucket
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = prepare_bucket(g)
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "prev_role": np.array([], dtype=object),
+                    "role": np.array([], dtype=object),
+                    "n": np.array([], dtype=np.int64),
+                }
+            )
+        codes, _ = pd.factorize(g["conv_id"].to_numpy(), sort=False)
+        same_conv = np.empty(len(g), dtype=bool)
+        same_conv[0] = False
+        same_conv[1:] = codes[1:] == codes[:-1]
+        role = g["role"].to_numpy()
+        prev = np.roll(role, 1)
+        out = pd.DataFrame(
+            {"prev_role": prev[same_conv], "role": role[same_conv], "n": np.int64(1)}
+        )
+        return out.groupby(["prev_role", "role"], sort=False, as_index=False)["n"].sum()
+
+    partials = apply_per_bucket(ds, kernel, num_buckets=num_buckets)
+    return partials.groupby(["prev_role", "role"]).aggregate(
+        Sum("n", alias_name="n")
+    )

@@ -928,3 +928,49 @@ def test_self_echo_over_assistant_subsequence(ray_session):
     ).df()
     con.close()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --------------------------------------------------------- role transitions
+def test_role_transitions_randomized_vs_duckdb(ray_session):
+    """Adjacent-role transition counts vs the DuckDB lag oracle on a
+    random transcript with duplicates (dedup first) and single-turn
+    conversations (no transitions)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import role_transitions
+
+    rng = np.random.default_rng(67)
+    rows = []
+    for c in range(60):
+        for t in range(rng.integers(1, 8)):  # some convs single-turn
+            rows.append(
+                (f"conv-{c}", t, rng.choice(["user", "assistant", "system"]))
+            )
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role"])
+    df = pd.concat([df, df.head(25)], ignore_index=True)  # dup arrivals
+
+    got = (
+        role_transitions(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values(["prev_role", "role"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("raw", df)
+    want = con.execute(
+        """
+        WITH t AS (SELECT DISTINCT conv_id, turn_idx, role FROM raw),
+        p AS (
+          SELECT role, lag(role) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+          FROM t
+        )
+        SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE prev_role IS NOT NULL
+        GROUP BY prev_role, role ORDER BY prev_role, role
+        """
+    ).df()
+    con.close()
+    got["n"] = got["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
