@@ -1305,6 +1305,33 @@ def q_e_props_extract(sf_dir: str) -> Any:
     return props_extract_agg(ds)
 
 
+def q_e_retention(sf_dir: str) -> Any:
+    """Week-over-week cohort retention over events: distinct (user,
+    week) partials before one hash(user) shuffle, vectorized
+    adjacent-week flags per bucket, |weeks|-sized final groupby."""
+    import data_harvesting_ray
+
+    from ..stages.events import user_retention
+
+    data_harvesting_ray.configure_session()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return user_retention(ds)
+
+
+def q_d_lang_confusion(sf_dir: str) -> Any:
+    """Language-id confusion matrix (predicted vs labeled lang):
+    per-batch partial counts keep the exchange matrix-sized."""
+    import data_harvesting_ray
+
+    from ..stages.text import lang_confusion
+
+    data_harvesting_ray.configure_session()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return lang_confusion(ds)
+
+
 def q_m_binary_meta(sf_dir: str) -> Any:
     from ..stages.multimodal import binary_meta
 
@@ -1500,6 +1527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_echo_rate": q_t_echo_rate,
         "t_self_echo": q_t_self_echo,
         "t_role_transitions": q_t_role_transitions,
+        "e_retention": q_e_retention,
+        "d_lang_confusion": q_d_lang_confusion,
         "d_surprisal": q_d_surprisal,
         "d_keywords": q_d_keywords,
         "e_props_extract": q_e_props_extract,
@@ -2622,6 +2651,21 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                     // greatest(len(toks), 1) AS BIGINT) AS echo_milli
         FROM a
     """
+    sqls["e_retention"] = """
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 604800000000 AS week
+          FROM events
+        )
+        SELECT a.week,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(count(b.user_id) AS BIGINT) AS n_retained
+        FROM uw a LEFT JOIN uw b
+          ON b.user_id = a.user_id AND b.week = a.week + 1
+        GROUP BY a.week
+    """
+    # confusion matrix = the d_lang_id prediction joined to the label
+    sqls["d_lang_confusion"] = None  # filled below from d_lang_id
     sqls["t_role_transitions"] = f"""
         WITH t AS (
           SELECT DISTINCT conv_id, turn_idx, role FROM {RAW}
@@ -2750,4 +2794,10 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sqls["t_response_latency_salted"] = sqls["t_response_latency"]
     # broadcast plan must be output-identical to the shuffle plan
     sqls["t_stats_join_broadcast"] = sqls["t_stats_join"]
+    sqls["d_lang_confusion"] = f"""
+        WITH pred AS ({sqls['d_lang_id']})
+        SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred p JOIN documents d USING (doc_id)
+        GROUP BY d.lang, p.lang_pred
+    """
     return sqls

@@ -299,3 +299,67 @@ def props_extract_agg(
         .groupby(key_col)
         .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
     )
+
+
+def user_retention(
+    ds: ray.data.Dataset,
+    week_us: int = 7 * 86400 * 1_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Cohort retention: per activity week, how many distinct users
+    were active and how many of those were ALSO active the following
+    week — the week-over-week retention curve of product analytics.
+    Output: (week, n_active, n_retained).
+
+    Scale plan: per-batch DISTINCT (user, week) partials shrink the
+    exchange to activity rows before ONE hash(user) shuffle; per
+    bucket a lexsort + adjacent-week mask flags retained rows
+    vectorized across all users, reduced to per-week partials; the
+    final groupby is |weeks|-sized. Events never move — only (user,
+    week) keys do.
+
+    Reference analogue: ST2's cross-record tracker asks the same
+    "seen again later?" question per track (``condition.py:79-101``),
+    here cohorted by time bucket."""
+    from .partition import apply_per_bucket, to_clean_arrow
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        week = ts.astype(np.int64) // week_us
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "week": week,
+            }
+        ).drop_duplicates()
+        return to_clean_arrow(df)
+
+    keyed = ds.map_batches(distinct_partial, batch_format="pyarrow")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "week": np.array([], dtype=np.int64),
+                    "n_active": np.array([], dtype=np.int64),
+                    "n_retained": np.array([], dtype=np.int64),
+                }
+            )
+        g = g.drop_duplicates()
+        u = g["user_id"].to_numpy()
+        w = g["week"].to_numpy().astype(np.int64)
+        codes, _ = pd.factorize(u, sort=False)
+        idx = np.lexsort((w, codes))
+        codes, w = codes[idx], w[idx]
+        retained = np.zeros(len(w), dtype=np.int64)
+        retained[:-1] = (codes[:-1] == codes[1:]) & (w[:-1] + 1 == w[1:])
+        out = pd.DataFrame(
+            {"week": w, "n_active": np.int64(1), "n_retained": retained}
+        )
+        return out.groupby("week", sort=False, as_index=False).sum()
+
+    partials = apply_per_bucket(keyed, per_user, key="user_id", num_buckets=num_buckets)
+    return partials.groupby("week").aggregate(
+        Sum("n_active", alias_name="n_active"),
+        Sum("n_retained", alias_name="n_retained"),
+    )

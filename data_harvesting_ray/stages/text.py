@@ -426,3 +426,33 @@ def assistant_echo_rate(
         # ships only that role's rows
         ds = ds.filter(expr=f"role == '{within_role}'")
     return apply_per_bucket(ds, kernel, key="conv_id", num_buckets=num_buckets)
+
+
+def lang_confusion(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Model-evaluation confusion matrix as an operator: predicted
+    language (the LangId heuristic) vs the labeled ``lang`` column,
+    counted per (lang, lang_pred) cell. Per-batch partial counts keep
+    the exchange confusion-matrix-sized — the prediction pass never
+    shuffles documents. The eval-loop shape of any per-record model
+    stage (reference analogue: M9's scorer feeding A7's vote,
+    ``utils/ClassificationObject.py:105-113``)."""
+    from ray.data.aggregate import Sum
+
+    lid = LangId()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = lid(df)
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"].to_numpy(),
+                "lang_pred": out["lang_pred"].to_numpy(),
+                "n": np.int64(1),
+            }
+        )
+        return out.groupby(["lang", "lang_pred"], sort=False, as_index=False)["n"].sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -974,3 +974,81 @@ def test_role_transitions_randomized_vs_duckdb(ray_session):
     con.close()
     got["n"] = got["n"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -------------------------------------------------------- cohort retention
+def test_user_retention_vs_duckdb(ray_session):
+    """Week-over-week retention vs the DuckDB self-join oracle on a
+    random event log (incl. users active in non-adjacent weeks)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.events import user_retention
+
+    rng = np.random.default_rng(71)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 35 * 86400, n), unit="s"),
+        }
+    )
+    got = (
+        user_retention(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values("week")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(
+        """
+        WITH uw AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+          FROM events
+        )
+        SELECT a.week, CAST(count(*) AS BIGINT) AS n_active,
+               CAST(count(b.user_id) AS BIGINT) AS n_retained
+        FROM uw a LEFT JOIN uw b
+          ON b.user_id = a.user_id AND b.week = a.week + 1
+        GROUP BY a.week ORDER BY a.week
+        """
+    ).df()
+    con.close()
+    got["week"] = got["week"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lang_confusion_diagonal(ray_session):
+    """Confusion counts sum to the corpus size and the matrix equals a
+    direct lang_id + pandas crosstab."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import LangId, lang_confusion
+
+    rng = np.random.default_rng(73)
+    texts = {
+        "en": "the cat and the dog is a pet to all",
+        "de": "der hund und die katze ist ein tier",
+        "fr": "le chien et la mer est les des",
+        "es": "el perro la casa los gatos es una",
+    }
+    langs = rng.choice(list(texts), size=120)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(120, dtype=np.int64),
+            "lang": langs,
+            "text": [texts[l] for l in langs],
+        }
+    )
+    got = lang_confusion(rd.from_pandas(df)).to_pandas()
+    assert got["n"].sum() == 120
+    pred = LangId()(df)
+    want = (
+        pd.DataFrame({"lang": df["lang"], "lang_pred": pred["lang_pred"]})
+        .value_counts()
+        .reset_index(name="n")
+    )
+    k = lambda d: sorted(map(tuple, d[["lang", "lang_pred", "n"]].itertuples(index=False)))
+    assert k(got) == k(want)
