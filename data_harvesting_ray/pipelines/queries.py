@@ -1269,6 +1269,17 @@ def q_d_split_contamination(sf_dir: str) -> Any:
     return cross_split_contamination(_docs(sf_dir), n=8)
 
 
+def q_d_fuzzy_contamination(sf_dir: str) -> Any:
+    """Cross-split NEAR-dup leakage: val/test docs that are an
+    approximate duplicate (exact 5-gram Jaccard >= 0.7) of any train
+    doc. Shared MinHash-LSH candidate pass, cross-split prefilter by
+    the pure split hash (no label join), exact verify on the survivors
+    only."""
+    from ..stages.scrub import fuzzy_split_contamination
+
+    return fuzzy_split_contamination(_docs(sf_dir), threshold_milli=700)
+
+
 def q_d_surprisal(sf_dir: str) -> Any:
     """CCNet-style unigram surprisal per document: mean per-token
     integer-micro surprisal under the corpus's own unigram model —
@@ -1524,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_repetition": q_d_repetition,
         "d_lang_cube": q_d_lang_cube,
         "d_split_contamination": q_d_split_contamination,
+        "d_fuzzy_contamination": q_d_fuzzy_contamination,
         "t_echo_rate": q_t_echo_rate,
         "t_self_echo": q_t_self_echo,
         "t_role_transitions": q_t_role_transitions,
@@ -2775,6 +2787,44 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT DISTINCT e.doc_id, e.split
         FROM x e JOIN x tr ON e.ngram = tr.ngram AND tr.split = 'train'
         WHERE e.split <> 'train'
+    """
+    # Exact cross-split 5-gram Jaccard — the LSH cross-split path must
+    # find every train×eval pair >= threshold with the same floor-
+    # divided score (same CTE shape as d_minhash_near_dups plus the
+    # deterministic split hash).
+    sqls["d_fuzzy_contamination"] = """
+        WITH sh AS (
+            SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(length(text) - 4, 1))) AS i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        s AS (SELECT doc_id, (doc_id * 2654435761) % 1000 AS h
+              FROM documents),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT doc_a, doc_b,
+                   (m * 1000) // (sa.n + sb.n - m) AS jaccard_milli
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE (m * 1000) // (sa.n + sb.n - m) >= 700
+        )
+        SELECT CASE WHEN ha.h < 900 THEN doc_b ELSE doc_a END AS eval_id,
+               CASE WHEN ha.h < 900 THEN doc_a ELSE doc_b END AS train_id,
+               CASE WHEN (CASE WHEN ha.h < 900 THEN hb.h ELSE ha.h END) < 950
+                    THEN 'val' ELSE 'test' END AS split,
+               jaccard_milli
+        FROM j
+        JOIN s ha ON ha.doc_id = doc_a
+        JOIN s hb ON hb.doc_id = doc_b
+        WHERE (ha.h < 900) <> (hb.h < 900)
+        ORDER BY eval_id, train_id
     """
     # The streaming engine's committed channels must equal the bounded
     # results — same SQL oracle (exactly-once + watermark conformance).

@@ -187,3 +187,89 @@ def cross_split_contamination(
     # the same eval doc can surface under windows in different ngram
     # buckets: one key-only distinct of the (small) flagged list
     return apply_per_bucket(flagged, distinct, key=id_col, num_buckets=num_buckets)
+
+
+def fuzzy_split_contamination(
+    ds: ray.data.Dataset,
+    threshold_milli: int = 700,
+    pct: tuple[int, int] = (90, 5),
+    k: int = 5,
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> "pd.DataFrame":
+    """Cross-split NEAR-duplicate contamination: every val / test
+    document whose text is an approximate duplicate (exact ``k``-gram
+    Jaccard ≥ ``threshold_milli``/1000) of ANY train document — the
+    leakage that verbatim-window decontamination
+    (``cross_split_contamination``) misses when the copied passage was
+    lightly edited. Reference analogue: the near-identical-frame
+    suppression the harvest loop applies before export
+    (``services/harvest_service.py:206-232``) — here applied ACROSS
+    dataset splits instead of across time.
+
+    Scale plan: candidates come from the shared MinHash-LSH band pass
+    (signatures once per doc, band-hash shuffle, candidate-scale pair
+    table); pairs are pre-filtered to CROSS-split pairs by the
+    deterministic split hash — a pure function of the id, so no join
+    ships split labels — BEFORE exact verification, so the expensive
+    text attachment runs only on train×eval candidates. Verification
+    reuses ``verify_pairs_jaccard`` (broadcast under the involved cap,
+    two key-only hash joins past it). Output is pair-scale:
+    (eval_id, train_id, split, jaccard_milli), sorted.
+    """
+    import pandas as pd
+
+    from .dedup_approx import minhash_candidates, verify_pairs_jaccard
+
+    train_p, val_p = pct
+    cand = minhash_candidates(ds, k=k, num_buckets=num_buckets)
+
+    def cross_only(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        ha = (a * 2654435761) % 1000
+        hb = (b * 2654435761) % 1000
+        at = ha < train_p * 10
+        bt = hb < train_p * 10
+        return df[at != bt]
+
+    cross = cand.map_batches(cross_only, batch_format="pandas")
+    verified = verify_pairs_jaccard(
+        ds, cross, k=k, num_buckets=num_buckets
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["jaccard_milli"].to_numpy() >= threshold_milli]
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        ha = (a * 2654435761) % 1000
+        hb = (b * 2654435761) % 1000
+        at = ha < train_p * 10
+        eval_id = np.where(at, b, a)
+        train_id = np.where(at, a, b)
+        he = np.where(at, hb, ha)
+        split = np.where(he < (train_p + val_p) * 10, "val", "test")
+        return pd.DataFrame(
+            {
+                "eval_id": eval_id,
+                "train_id": train_id,
+                "split": split,
+                "jaccard_milli": df["jaccard_milli"].to_numpy(np.int64),
+            }
+        )
+
+    out = verified.map_batches(orient, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "eval_id": np.array([], np.int64),
+                "train_id": np.array([], np.int64),
+                "split": np.array([], dtype=object),
+                "jaccard_milli": np.array([], np.int64),
+            }
+        )
+    # a pair may match in several bands upstream of the distinct pass
+    out = out.drop_duplicates()
+    return out.sort_values(["eval_id", "train_id"], kind="stable").reset_index(
+        drop=True
+    )

@@ -1052,3 +1052,56 @@ def test_lang_confusion_diagonal(ray_session):
     )
     k = lambda d: sorted(map(tuple, d[["lang", "lang_pred", "n"]].itertuples(index=False)))
     assert k(got) == k(want)
+
+
+def test_fuzzy_split_contamination_vs_brute_force(ray_session):
+    """Planted near-dup leakage: an eval doc that is a lightly-edited
+    copy of a train doc (exact 5-gram Jaccard well above 0.7, so the
+    LSH S-curve margin holds) must surface as a (eval_id, train_id)
+    pair with the brute-force jaccard_milli; clean eval docs must not.
+    Brute force over all train x eval pairs is the oracle."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.dedup_approx import (
+        char_shingles,
+        jaccard_milli,
+    )
+    from data_harvesting_ray.stages.scrub import fuzzy_split_contamination
+
+    rng = np.random.default_rng(37)
+    vocab = np.array([f"tok{i}" for i in range(500)])
+    n_docs = 110
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(40, 70)))
+        for _ in range(n_docs)
+    ]
+    split = lambda i: (
+        "train"
+        if (i * 2654435761) % 1000 < 900
+        else ("val" if (i * 2654435761) % 1000 < 950 else "test")
+    )
+    train_ids = [i for i in range(n_docs) if split(i) == "train"]
+    eval_ids = [i for i in range(n_docs) if split(i) != "train"]
+    # plant two edited copies: eval doc = train doc text + a tiny edit
+    for src, dst in [(train_ids[0], eval_ids[0]), (train_ids[3], eval_ids[2])]:
+        texts[dst] = texts[src] + " extra"
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts}
+    )
+
+    got = fuzzy_split_contamination(
+        rd.from_pandas(df), threshold_milli=700, num_buckets=4
+    )
+
+    sh = {i: char_shingles(t, 5) for i, t in enumerate(texts)}
+    expected = sorted(
+        (e, t, split(e), jaccard_milli(sh[t], sh[e]))
+        for t in train_ids
+        for e in eval_ids
+        if jaccard_milli(sh[t], sh[e]) >= 700
+    )
+    assert len(expected) == 2  # exactly the planted pairs
+    assert (
+        list(map(tuple, got[["eval_id", "train_id", "split", "jaccard_milli"]].itertuples(index=False)))
+        == expected
+    )
