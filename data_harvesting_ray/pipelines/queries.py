@@ -481,6 +481,18 @@ def q_e_tumbling(sf_dir: str) -> Any:
     )
 
 
+def q_e_window_distinct(sf_dir: str) -> Any:
+    """Daily active users (distinct-count per window): per-batch
+    DISTINCT (window, user) partials shrink the exchange to activity
+    rows; one hash(window) shuffle; C-level nunique per bucket."""
+    from ..stages.events import window_distinct_users
+
+    return window_distinct_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
+        size_s=86400,
+    )
+
+
 def q_e_session(sf_dir: str) -> Any:
     from ..stages.events import session_events
 
@@ -1492,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_matches_repaired": q_t_matches_repaired,
         "t_orphans_repaired": q_t_orphans_repaired,
         "e_tumbling": q_e_tumbling,
+        "e_window_distinct": q_e_window_distinct,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
         "e_sliding": q_e_sliding,
@@ -1778,6 +1791,12 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "e_window_distinct": """
+            SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "e_sliding": f"""
             WITH e AS (

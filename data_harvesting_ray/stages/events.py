@@ -55,6 +55,68 @@ def tumbling_events(ds: ray.data.Dataset, size_s: int = 3600) -> ray.data.Datase
     )
 
 
+def window_distinct_users(
+    ds: ray.data.Dataset, size_s: int = 86400, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Distinct active users + event counts per fixed window — the
+    distributed COUNT(DISTINCT) plan. Per-batch DISTINCT (window,
+    user) partials with partial event counts shrink the exchange from
+    EVENT rows to ACTIVITY rows (at most one per user-window per
+    batch); one hash(window) shuffle co-locates each window's pairs;
+    the per-bucket kernel is one C-level nunique + sum. At web scale
+    the exchange is bounded by windows × active users regardless of
+    event volume, and the same plan swaps nunique for an HLL sketch
+    when approximate counts suffice (not needed at gate fidelity).
+
+    Reference analogue: the per-interval frame/detection counters the
+    harvest loop tracks while iterating a capture
+    (``services/harvest_service.py:198-232``) — here keyed by window
+    with a distinct-entity dimension."""
+    size_us = size_s * US
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["user_id", "ts"]).to_pandas()
+        ws = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // size_us
+        ) * size_us
+        part = (
+            pd.DataFrame(
+                {
+                    "window_us": ws,
+                    "user_id": df["user_id"].to_numpy(np.int64),
+                    "n": np.int64(1),
+                }
+            )
+            .groupby(["window_us", "user_id"], sort=False, as_index=False)
+            .sum()
+        )
+        return to_clean_arrow(part)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_window(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "window_start": np.array([], "datetime64[us]"),
+                    "n_users": np.array([], np.int64),
+                    "n_events": np.array([], np.int64),
+                }
+            )
+        out = (
+            g.groupby("window_us", sort=False)
+            .agg(n_users=("user_id", "nunique"), n_events=("n", "sum"))
+            .reset_index()
+        )
+        out["window_start"] = out.pop("window_us").astype("datetime64[us]")
+        return out[["window_start", "n_users", "n_events"]]
+
+    return apply_per_bucket(
+        pairs, per_window, key="window_us", num_buckets=num_buckets
+    )
+
+
 def sliding_events(
     ds: ray.data.Dataset, size_s: int = 3600, slide_s: int = 1800
 ) -> ray.data.Dataset:

@@ -1105,3 +1105,43 @@ def test_fuzzy_split_contamination_vs_brute_force(ray_session):
         list(map(tuple, got[["eval_id", "train_id", "split", "jaccard_milli"]].itertuples(index=False)))
         == expected
     )
+
+
+def test_window_distinct_users_vs_brute_force(ray_session):
+    """Randomized differential: distinct users + counts per tumbling
+    window must equal the single-pass pandas truth, including users
+    whose activity spans many batches (nunique must not double-count
+    cross-batch repeats of a (window, user) pair)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.events import window_distinct_users
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    base = np.datetime64("2024-01-01", "us")
+    ts = base + rng.integers(0, 10 * 86400, n) * np.timedelta64(1_000_000, "us")
+    df = pd.DataFrame(
+        {"user_id": rng.integers(0, 40, n).astype(np.int64), "ts": ts}
+    )
+
+    got = (
+        window_distinct_users(
+            rd.from_pandas(df).repartition(7), size_s=86400, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+
+    w = df["ts"].to_numpy().astype("datetime64[D]").astype("datetime64[us]")
+    exp = (
+        df.assign(window_start=w)
+        .groupby("window_start")
+        .agg(n_users=("user_id", "nunique"), n_events=("user_id", "size"))
+        .reset_index()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    exp["n_users"] = exp["n_users"].astype(np.int64)
+    exp["n_events"] = exp["n_events"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
