@@ -493,6 +493,19 @@ def q_e_window_distinct(sf_dir: str) -> Any:
     )
 
 
+def q_e_daily_spikes(sf_dir: str) -> Any:
+    """Volume-anomaly days per event type (integer-exact z-score):
+    per-batch (type, day) count partials collapse the stream to a
+    types-by-days table before any exchange; the spike test itself is
+    exact integer arithmetic so the gate is a pure hash compare."""
+    from ..stages.events import daily_spikes
+
+    return daily_spikes(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"]),
+        sigma=1,
+    )
+
+
 def q_e_session(sf_dir: str) -> Any:
     from ..stages.events import session_events
 
@@ -1505,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_orphans_repaired": q_t_orphans_repaired,
         "e_tumbling": q_e_tumbling,
         "e_window_distinct": q_e_window_distinct,
+        "e_daily_spikes": q_e_daily_spikes,
         "e_session": q_e_session,
         "e_cep": q_e_cep,
         "e_sliding": q_e_sliding,
@@ -1797,6 +1811,22 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "e_daily_spikes": """
+            WITH d AS (
+              SELECT event_type,
+                     make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT *, count(*) OVER w AS n,
+                     sum(cnt) OVER w AS s1,
+                     sum(cnt * cnt) OVER w AS s2
+              FROM d WINDOW w AS (PARTITION BY event_type)
+            )
+            SELECT event_type, day, cnt FROM s
+            WHERE (n * cnt - s1) > 0
+              AND (n * cnt - s1) * (n * cnt - s1) > (n * s2 - s1 * s1)
         """,
         "e_sliding": f"""
             WITH e AS (

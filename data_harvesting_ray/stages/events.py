@@ -117,6 +117,85 @@ def window_distinct_users(
     )
 
 
+def daily_spikes(
+    ds: ray.data.Dataset,
+    sigma: int = 2,
+    size_s: int = 86400,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Volume-anomaly detection: days whose event count for a type
+    exceeds that type's mean by more than ``sigma`` population
+    standard deviations. The z-score test is evaluated in INTEGER
+    arithmetic — with n days, s1 = Σcnt, s2 = Σcnt², flag when
+    (n·cnt − s1) > 0 and (n·cnt − s1)² > sigma²·(n·s2 − s1²) — an
+    exact rearrangement of cnt > mean + sigma·std, so the SQL gate is
+    a hash comparison with no float tolerance.
+
+    Scale plan: per-batch (type, day) partial counts + one small
+    groupby reduce events to a types×days table; the spike test runs
+    per type after a key-only hash(type) shuffle of that tiny table.
+    Reference analogue: the harvest loop's per-interval detection-rate
+    bookkeeping that decides when a capture is 'interesting'
+    (``services/harvest_service.py:198-232``)."""
+    size_us = size_s * US
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["event_type", "ts"]).to_pandas()
+        day = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // size_us
+        ) * size_us
+        part = (
+            pd.DataFrame(
+                {"event_type": df["event_type"], "day_us": day, "cnt": np.int64(1)}
+            )
+            .groupby(["event_type", "day_us"], sort=False, as_index=False)
+            .sum()
+        )
+        return to_clean_arrow(part)
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day_us"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "event_type": np.array([], dtype=object),
+                    "day": np.array([], "datetime64[us]"),
+                    "cnt": np.array([], np.int64),
+                }
+            )
+        cnt = g["cnt"].to_numpy(np.int64)
+        # exact arbitrary-precision arithmetic (object = Python ints):
+        # the squared terms overflow int64 at realistic web-scale daily
+        # counts; this table is types×days-sized, so the cost is nil.
+        go = g.assign(cnt=cnt.astype(object))
+        grp = go.groupby("event_type", sort=False)
+        n = grp["cnt"].transform("size").to_numpy().astype(object)
+        s1 = grp["cnt"].transform("sum").to_numpy()
+        s2 = grp["cnt"].transform(
+            lambda c: sum(int(x) * int(x) for x in c)
+        ).to_numpy()
+        dev = n * go["cnt"].to_numpy() - s1
+        keep = (
+            (dev > 0) & (dev * dev > sigma * sigma * (n * s2 - s1 * s1))
+        ).astype(bool)
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy()[keep],
+                "day": g["day_us"].to_numpy(np.int64)[keep].astype("datetime64[us]"),
+                "cnt": cnt[keep],
+            }
+        )
+        return out
+
+    return apply_per_bucket(daily, flag, key="event_type", num_buckets=num_buckets)
+
+
 def sliding_events(
     ds: ray.data.Dataset, size_s: int = 3600, slide_s: int = 1800
 ) -> ray.data.Dataset:
