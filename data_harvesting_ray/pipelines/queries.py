@@ -1433,6 +1433,89 @@ def q_h_revenue_topk(sf_dir: str) -> Any:
     )
 
 
+def q_h_local_supplier_volume(sf_dir: str) -> Any:
+    """Six-table analytics (TPC-H Q5 shape): per-nation revenue where
+    customer and supplier share a nation inside EUROPE over one order
+    year — driver-reduced constant dims, broadcast nation-set pruning,
+    count-gated supplier broadcast-vs-distributed join, two int-only
+    fact exchanges, nations-sized result."""
+    import data_harvesting_ray
+
+    from ..stages.aggregates import local_supplier_volume
+
+    data_harvesting_ray.configure_session()
+    return local_supplier_volume(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        pd.read_parquet(f"{sf_dir}/nation.parquet"),
+        pd.read_parquet(f"{sf_dir}/region.parquet"),
+        region_name="EUROPE",
+        date_lo="1996-01-01",
+        date_hi="1997-01-01",
+    )
+
+
+def q_d_incremental_dedup(sf_dir: str) -> Any:
+    """Cross-snapshot exact dedup: new epoch (upper half of doc_ids)
+    anti-joined on md5 fingerprints against the history corpus (lower
+    half) — only 16-byte keys + int metadata cross the exchange."""
+    import data_harvesting_ray
+
+    from ..stages.dedup import incremental_dedup
+
+    data_harvesting_ray.configure_session()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+    split = docs.count() // 2
+    new_docs = docs.filter(expr=f"doc_id >= {split}")
+    history = docs.filter(expr=f"doc_id < {split}").select_columns(["text"])
+    return incremental_dedup(new_docs, history)
+
+
+def q_d_length_percentile(sf_dir: str) -> Any:
+    """Per-language percentile quality calibration: keep docs at or
+    above their language's 75th length percentile (strict-rank integer
+    test); corpus collapses to a langs-by-lengths histogram, thresholds
+    broadcast back — documents never shuffle."""
+    import data_harvesting_ray
+
+    from ..stages.text import length_percentile_gate
+
+    data_harvesting_ray.configure_session()
+    return length_percentile_gate(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        ),
+        q_num=3,
+        q_den=4,
+    )
+
+
+def q_v_dim_stats(sf_dir: str) -> Any:
+    """Per-dimension embedding stats (count/sum/sumsq in integer
+    micro-units): one dims-row partial per batch, dims-sized exchange
+    — the whitening pre-pass for IVF/LSH/cosine stages."""
+    from ..stages.similarity import dim_stats
+
+    return dim_stats(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    )
+
+
 def q_d_collocations(sf_dir: str) -> Any:
     """Top-10 word bigrams by PMI (phrase detection / collocation
     mining): vocab-scale count reductions, two key joins for the part
@@ -1581,6 +1664,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_resize": q_m_resize,
         "lineitem_rollup": q_lineitem_rollup,
         "h_revenue_topk": q_h_revenue_topk,
+        "h_local_supplier_volume": q_h_local_supplier_volume,
+        "d_incremental_dedup": q_d_incremental_dedup,
+        "d_length_percentile": q_d_length_percentile,
+        "v_dim_stats": q_v_dim_stats,
         "d_collocations": q_d_collocations,
         "v_centroids_distributed": q_v_centroids_distributed,
         "d_weighted_sample": q_d_weighted_sample,
@@ -2658,6 +2745,56 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT s.o_orderkey, s.o_orderdate, r.revenue_micro
         FROM rev r JOIN seg s USING (o_orderkey)
         ORDER BY revenue_micro DESC, o_orderkey LIMIT 10
+    """
+    sqls["h_local_supplier_volume"] = """
+        SELECT n_name,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6)
+                        AS BIGINT)) AS BIGINT) AS revenue_micro
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """
+    sqls["d_incremental_dedup"] = """
+        WITH s AS (SELECT count(*) // 2 AS split FROM documents)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d, s
+        WHERE d.doc_id >= s.split
+          AND NOT EXISTS (
+            SELECT 1 FROM documents h, s
+            WHERE h.doc_id < s.split AND md5(h.text) = md5(d.text)
+          )
+    """
+    sqls["d_length_percentile"] = """
+        WITH r AS (
+          SELECT doc_id, lang, n_chars,
+                 rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1
+                     AS cum_less,
+                 count(*) OVER (PARTITION BY lang) AS n_lang
+          FROM documents
+        )
+        SELECT doc_id, lang, n_chars FROM r
+        WHERE 4 * cum_less >= 3 * n_lang
+    """
+    sqls["v_dim_stats"] = """
+        WITH u AS (
+          SELECT generate_subscripts(embedding, 1) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                      AS BIGINT) AS m
+          FROM embeddings
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(m) AS BIGINT) AS sum_micro,
+               CAST(sum(m * m) AS BIGINT) AS sumsq_micro
+        FROM u GROUP BY dim
     """
     sqls["e_props_extract"] = r"""
         SELECT event_type,

@@ -624,3 +624,168 @@ def role_transitions(
     return partials.groupby(["prev_role", "role"]).aggregate(
         Sum("n", alias_name="n")
     )
+
+
+def local_supplier_volume(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: pd.DataFrame,
+    region: pd.DataFrame,
+    region_name: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    num_buckets: int | None = None,
+    supplier_broadcast_cap: int = 5_000_000,
+) -> pd.DataFrame:
+    """Six-table analytics (the TPC-H Q5 shape): per-nation revenue
+    from line items where the customer and the supplier share a nation
+    inside one region, over one order-date year. The relational
+    stress test for the join stack — two corpus-scale fact joins plus
+    two dimension lookups in one plan:
+
+    1. nation x region are constant-size (25 x 5 rows) and reduce on
+       the driver to the region's nation-key set + name map;
+    2. customers prefilter to those nations via a broadcast set lookup
+       (``c_nationkey = s_nationkey`` with suppliers in-region implies
+       customers in-region, so the prefilter is a pure optimization)
+       and project to (c_custkey, c_nationkey);
+    3. date-ranged orders inner-``equi_join`` the customer keys on
+       o_custkey — one hash exchange of (orderkey, custkey, nationkey)
+       int rows;
+    4. line items project to (l_orderkey, l_suppkey, revenue_micro)
+       where revenue is quantized to integer micro-units
+       (floor(price*(1-disc)*1e6), bitwise-identical in numpy and SQL)
+       and join the region's suppliers on l_suppkey — broadcast lookup
+       while the filtered supplier side is under
+       ``supplier_broadcast_cap`` rows, distributed ``equi_join``
+       past it (count-gated, the corpus-scale path);
+    5. the annotated line rows join the order side on o_orderkey,
+       keep c_nationkey == s_nationkey, and collapse through per-batch
+       (nationkey, revenue) partials into a 25-row groupby.
+
+    Only integer-projected fact rows ever cross an exchange; the
+    result is nations-sized. Reference analogue: the multi-source
+    correlation the helmet project does across model outputs
+    (``projects/helmet/helmet_project.py:25-55``), here as the generic
+    N-table form."""
+    from .join import broadcast_join, equi_join
+
+    rkey = region.loc[region["r_name"] == region_name, "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(rkey.to_numpy())]
+    nation_keys = nat["n_nationkey"].to_numpy(np.int64)
+    name_of = dict(zip(nat["n_nationkey"].to_numpy(), nat["n_name"]))
+    keys_ref = ray.put(frozenset(int(k) for k in nation_keys))
+
+    def cust_prune(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, np.fromiter(keys, dtype=np.int64))
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    t["c_custkey"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "c_nationkey": pa.array(nk[keep], pa.int64()),
+            }
+        )
+
+    cust = customer.map_batches(cust_prune, batch_format="pyarrow")
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def date_prune(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        us = d.astype(np.int64)
+        return t.select(["o_orderkey", "o_custkey"]).filter(
+            pa.array((us >= lo) & (us < hi))
+        )
+
+    ord_side = equi_join(
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(date_prune, batch_format="pyarrow"),
+        cust,
+        on="o_custkey",
+        how="inner",
+        num_buckets=num_buckets,
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def supp_prune(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, np.fromiter(keys, dtype=np.int64))
+        return pa.table(
+            {
+                "l_suppkey": pa.array(
+                    t["s_suppkey"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "s_nationkey": pa.array(nk[keep], pa.int64()),
+            }
+        )
+
+    supp = supplier.map_batches(supp_prune, batch_format="pyarrow")
+
+    def line_project(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        micro = np.floor(price * (1.0 - disc) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    t["l_suppkey"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "rev_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    lines = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_project, batch_format="pyarrow")
+
+    if supp.count() <= supplier_broadcast_cap:
+        lines_s = broadcast_join(lines, supp, on="l_suppkey", how="inner")
+    else:  # corpus-scale supplier table: distributed hash join
+        lines_s = equi_join(
+            lines, supp, on="l_suppkey", how="inner", num_buckets=num_buckets
+        )
+
+    joined = equi_join(
+        lines_s.select_columns(["o_orderkey", "s_nationkey", "rev_micro"]),
+        ord_side,
+        on="o_orderkey",
+        how="inner",
+        num_buckets=num_buckets,
+    )
+
+    def nat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["s_nationkey"] == df["c_nationkey"]]
+        out = (
+            pd.DataFrame(
+                {
+                    "nationkey": m["s_nationkey"].to_numpy(np.int64),
+                    "r": m["rev_micro"].to_numpy(np.int64),
+                }
+            )
+            .groupby("nationkey", sort=False, as_index=False)["r"]
+            .sum()
+        )
+        return out
+
+    per_nation = (
+        joined.map_batches(nat_partial, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(Sum("r", alias_name="revenue_micro"))
+        .to_pandas()
+    )
+    per_nation["n_name"] = per_nation["nationkey"].map(name_of)
+    per_nation["revenue_micro"] = per_nation["revenue_micro"].astype(np.int64)
+    return (
+        per_nation[["n_name", "revenue_micro"]]
+        .sort_values(["revenue_micro", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )

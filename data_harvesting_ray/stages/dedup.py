@@ -169,3 +169,59 @@ def dedup_exact(
     )
     deduped_dups = apply_per_bucket(dup_rows, dedup_kernel, num_buckets=num_buckets)
     return unique_rows.union(deduped_dups)
+
+
+def incremental_dedup(
+    new_docs: ray.data.Dataset,
+    history: ray.data.Dataset,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-snapshot exact dedup: drop every NEW document whose text
+    already exists in a HISTORY corpus (the per-epoch incremental
+    ingest pattern — a fresh crawl snapshot deduped against everything
+    already harvested, without ever reshuffling or re-materializing
+    the history payload).
+
+    Plan: both sides reduce to (fingerprint[, metadata]) rows inside
+    ``map_batches`` — md5 of the text, so only 16-byte keys plus the
+    new side's few metadata ints cross any exchange, never document
+    payloads — then one distributed ANTI ``equi_join`` on the
+    fingerprint keeps exactly the unseen new docs. History re-reads
+    stream key-only every epoch; the 100 TB variant persists the
+    history fingerprint table once and appends to it per epoch, which
+    this function accepts as-is (any dataset with an ``fp`` column or
+    a ``text`` column works as ``history``).
+
+    Reference analogue: delete-after-process on the queue
+    (``queue_harvesting.py:57``) is the reference's only
+    "don't re-harvest" mechanism; this is the content-level form.
+    Output: (doc_id, lang, n_chars) of surviving new docs."""
+    from .join import equi_join
+    from .text import fingerprint_batch
+
+    def new_fp(t: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(t)["fp"]
+        return pa.table(
+            {
+                "fp": fp,
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    def hist_fp(t: pa.Table) -> pa.Table:
+        if "fp" in t.column_names:  # pre-fingerprinted history table
+            return t.select(["fp"])
+        import hashlib
+
+        fps = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table({"fp": pa.array(fps, pa.string())})
+
+    left = new_docs.map_batches(new_fp, batch_format="pyarrow")
+    right = history.map_batches(hist_fp, batch_format="pyarrow")
+    surv = equi_join(left, right, on="fp", how="anti", num_buckets=num_buckets)
+    return surv.select_columns(["doc_id", "lang", "n_chars"])

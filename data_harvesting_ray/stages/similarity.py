@@ -551,3 +551,42 @@ def train_centroids_distributed(
         new[lbl[nonzero]] = (s[nonzero] / 1e6) / n[nonzero, None]
         cents = _normalize_rows(new)
     return cents
+
+
+def dim_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-dimension feature statistics over the embedding column —
+    the whitening/normalization pre-pass every embedding-space stage
+    (IVF training, LSH hyperplanes, cosine dedup) wants: count, sum
+    and sum-of-squares per coordinate, quantized to integer micro
+    units (floor(double(v)*1e6)) so the sums are order-independent
+    integer addition and the gate is an exact hash compare.
+
+    Scale plan: each batch collapses to one dims-row partial (a single
+    vectorized column sum per batch), so the exchange and the final
+    groupby are dims-sized — vectors never shuffle. ``dim`` is
+    1-based, matching SQL's generate_subscripts. Mean/std in floats
+    are a trivial driver-side epilogue of the returned table."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        micro = np.floor(vecs * 1e6).astype(np.int64)
+        d = micro.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "n": np.int64(len(micro)),
+                "sum_micro": micro.sum(axis=0),
+                "sumsq_micro": (micro * micro).sum(axis=0),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_micro", alias_name="sum_micro"),
+            Sum("sumsq_micro", alias_name="sumsq_micro"),
+        )
+    )

@@ -456,3 +456,72 @@ def lang_confusion(ds: ray.data.Dataset) -> ray.data.Dataset:
         .groupby(["lang", "lang_pred"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def length_percentile_gate(
+    ds: ray.data.Dataset, q_num: int = 3, q_den: int = 4
+) -> ray.data.Dataset:
+    """Per-language percentile quality calibration: keep documents at
+    or above their language's q-th length percentile (default: top
+    quartile by ``n_chars``), with "at the percentile" defined by
+    strict rank so the gate is pure integer arithmetic — a doc
+    survives iff ``q_den * |{same-lang docs with smaller n_chars}| >=
+    q_num * n_lang``. Calibrating a filter threshold per group instead
+    of globally is the standard quality-gate refinement (a fixed
+    global cutoff over/under-prunes whole languages).
+
+    Scale plan: per-batch (lang, n_chars, cnt) partial counts collapse
+    the corpus to a languages-by-distinct-values table (lengths are
+    integers; for continuous scores quantize to fixed-width bins
+    first) before the one tiny groupby; per-language thresholds come
+    from the cumulative counts of that table (driver-side, its size
+    is model-shaped, not corpus-shaped) and broadcast back as a
+    lang -> min-surviving-value map probed per batch. Documents never
+    shuffle. Reference analogue: the per-class confidence thresholds
+    applied before accepting a detection (``.env:46``,
+    ``services/harvest_service.py:170-176``), made data-calibrated.
+
+    Output: (doc_id, lang, n_chars) of surviving docs."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"].to_numpy(),
+                "n_chars": df["n_chars"].to_numpy(np.int64),
+                "cnt": np.int64(1),
+            }
+        )
+        return out.groupby(["lang", "n_chars"], sort=False, as_index=False)["cnt"].sum()
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # langs x distinct-lengths rows: model-shaped
+    )
+    hist = hist.sort_values(["lang", "n_chars"], kind="stable")
+    grp = hist.groupby("lang", sort=False)
+    n_lang = grp["cnt"].transform("sum").to_numpy(np.int64)
+    cum_less = (grp["cnt"].cumsum() - hist["cnt"]).to_numpy(np.int64)
+    ok = q_den * cum_less >= q_num * n_lang
+    thr = (
+        hist.loc[ok]
+        .groupby("lang", sort=False)["n_chars"]
+        .min()  # survival is monotone in value: keep iff value >= threshold
+        .to_dict()
+    )
+    thr_ref = ray.put(thr)
+
+    def gate(t: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        langs = t["lang"].to_pylist()
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (lang in th and c >= th[lang] for lang, c in zip(langs, nc)),
+            dtype=bool,
+            count=len(langs),
+        )
+        return t.select(["doc_id", "lang", "n_chars"]).filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

@@ -1145,3 +1145,201 @@ def test_window_distinct_users_vs_brute_force(ray_session):
     exp["n_users"] = exp["n_users"].astype(np.int64)
     exp["n_events"] = exp["n_events"].astype(np.int64)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_daily_spikes_randomized_vs_duckdb(ray_session):
+    """Integer-exact z-score spike days must equal the SQL window-form
+    on random per-day volumes, including all-equal (std 0) types."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.events import daily_spikes
+
+    rng = np.random.default_rng(47)
+    days = np.arange(40)
+    rows = []
+    for et, lam in [("a", 50), ("b", 5)]:
+        for d in days:
+            cnt = int(rng.poisson(lam)) + (200 if (et == "a" and d == 7) else 0)
+            for _ in range(cnt):
+                rows.append((et, np.datetime64("2024-01-01", "us") + d * 86400_000_000))
+    rows.extend(("flat", np.datetime64("2024-01-01", "us") + d * 86400_000_000)
+                for d in days)  # zero variance: no spikes
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    got = (
+        daily_spikes(rd.from_pandas(df), sigma=2, num_buckets=4)
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+        WITH d AS (
+          SELECT event_type,
+                 make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ), s AS (
+          SELECT *, count(*) OVER w AS n, sum(cnt) OVER w AS s1,
+                 sum(cnt * cnt) OVER w AS s2
+          FROM d WINDOW w AS (PARTITION BY event_type)
+        )
+        SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt FROM s
+        WHERE (n*cnt - s1) > 0 AND (n*cnt - s1)*(n*cnt - s1) > 4*(n*s2 - s1*s1)
+        ORDER BY event_type, day
+    """).df()
+    con.close()
+    planted = np.datetime64("2024-01-01", "us") + 7 * 86400_000_000
+    assert ((got["event_type"] == "a") & (got["day"] == planted)).any()
+    want["day"] = want["day"].astype("datetime64[us]")
+    got["day"] = got["day"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert not (got["event_type"] == "flat").any()
+
+
+def test_local_supplier_volume_vs_duckdb(ray_session):
+    """TPC-H Q5 shape over the sf0.001 testdata tables, both supplier
+    paths (broadcast and distributed equi-join) identical."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    args = lambda: (
+        rd.read_parquet(f"{sf}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        rd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]),
+        rd.read_parquet(f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]),
+        pd.read_parquet(f"{sf}/nation.parquet"),
+        pd.read_parquet(f"{sf}/region.parquet"),
+    )
+    got_b = local_supplier_volume(*args(), region_name="ASIA")
+    got_d = local_supplier_volume(*args(), region_name="ASIA",
+                                  supplier_broadcast_cap=0)  # force equi_join
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "supplier", "nation", "region"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute("""
+        SELECT n_name,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6)
+                        AS BIGINT)) AS BIGINT) AS revenue_micro
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue_micro DESC, n_name
+    """).df()
+    con.close()
+    pd.testing.assert_frame_equal(got_b, want, check_dtype=False)
+    pd.testing.assert_frame_equal(got_d, want, check_dtype=False)
+
+
+def test_incremental_dedup_vs_brute_force(ray_session):
+    """Anti-join survivors == set difference of text values; dups
+    planted across AND within the new epoch (within-epoch dups both
+    survive — the op dedups against history only)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.dedup import incremental_dedup
+
+    rng = np.random.default_rng(11)
+    hist_texts = [f"hist doc {i}" for i in range(60)]
+    new_texts = [f"new doc {i}" for i in range(40)]
+    # plant 15 new docs that repeat history verbatim
+    for i in rng.choice(40, 15, replace=False):
+        new_texts[i] = hist_texts[int(rng.integers(0, 60))]
+    hist = pd.DataFrame({"doc_id": np.arange(60), "text": hist_texts})
+    new = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, 140),
+            "text": new_texts,
+            "lang": ["en"] * 40,
+            "n_chars": [len(t) for t in new_texts],
+        }
+    )
+    got = (
+        incremental_dedup(rd.from_pandas(new), rd.from_pandas(hist), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    hist_set = set(hist_texts)
+    want = new[~new["text"].isin(hist_set)][["doc_id", "lang", "n_chars"]].reset_index(
+        drop=True
+    )
+    assert len(want) == 25
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_length_percentile_gate_vs_duckdb(ray_session):
+    """Strict-rank percentile gate == SQL rank() form, randomized with
+    heavy ties and a singleton language (dropped: 0 >= 3 is false —
+    a lone doc is never strictly above its own percentile)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import length_percentile_gate
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr"], n),
+            "n_chars": rng.integers(0, 25, n).astype(np.int64),  # heavy ties
+        }
+    )
+    df.loc[n - 1, "lang"] = "zz"  # singleton group
+    got = (
+        length_percentile_gate(rd.from_pandas(df), q_num=3, q_den=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute("""
+        WITH r AS (
+          SELECT doc_id, lang, n_chars,
+                 rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS cum_less,
+                 count(*) OVER (PARTITION BY lang) AS n_lang
+          FROM documents
+        )
+        SELECT doc_id, lang, n_chars FROM r
+        WHERE 4 * cum_less >= 3 * n_lang ORDER BY doc_id
+    """).df()
+    con.close()
+    assert (got["lang"] == "zz").sum() == 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dim_stats_matches_numpy(ray_session):
+    """Per-dim integer-micro sums equal a single-process numpy
+    reduction regardless of batching/shuffle layout."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import dim_stats
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    df = pd.DataFrame({"embedding": [v for v in vecs]})
+    got = (
+        dim_stats(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    micro = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    assert (got["dim"].to_numpy() == np.arange(1, 17)).all()
+    assert (got["n"].to_numpy() == 300).all()
+    np.testing.assert_array_equal(got["sum_micro"].to_numpy(), micro.sum(axis=0))
+    np.testing.assert_array_equal(
+        got["sumsq_micro"].to_numpy(), (micro * micro).sum(axis=0)
+    )
