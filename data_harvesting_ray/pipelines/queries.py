@@ -1516,6 +1516,41 @@ def q_v_dim_stats(sf_dir: str) -> Any:
     )
 
 
+def q_h_promo_revenue(sf_dir: str) -> Any:
+    """TPC-H Q14 shape: per ship-month promo vs total revenue mix —
+    part table reduced to (partkey, is_promo) int pairs (count-gated
+    broadcast-vs-distributed join), months-sized exchange."""
+    import data_harvesting_ray
+
+    from ..stages.aggregates import promo_revenue_share
+
+    data_harvesting_ray.configure_session()
+    return promo_revenue_share(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ),
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]),
+    )
+
+
+def q_v_label_dist(sf_dir: str) -> Any:
+    """Embedding outlier QA: exact integer-micro squared distance of
+    every vector to its label centroid — groups x dims exchange for
+    the centroids, then one embarrassingly-parallel distance pass."""
+    import data_harvesting_ray
+
+    from ..stages.similarity import label_centroid_dist
+
+    data_harvesting_ray.configure_session()
+    return label_centroid_dist(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "label", "embedding"],
+        )
+    )
+
+
 def q_d_collocations(sf_dir: str) -> Any:
     """Top-10 word bigrams by PMI (phrase detection / collocation
     mining): vocab-scale count reductions, two key joins for the part
@@ -1668,6 +1703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_incremental_dedup": q_d_incremental_dedup,
         "d_length_percentile": q_d_length_percentile,
         "v_dim_stats": q_v_dim_stats,
+        "h_promo_revenue": q_h_promo_revenue,
+        "v_label_dist": q_v_label_dist,
         "d_collocations": q_d_collocations,
         "v_centroids_distributed": q_v_centroids_distributed,
         "d_weighted_sample": q_d_weighted_sample,
@@ -2795,6 +2832,34 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                CAST(sum(m) AS BIGINT) AS sum_micro,
                CAST(sum(m * m) AS BIGINT) AS sumsq_micro
         FROM u GROUP BY dim
+    """
+    sqls["h_promo_revenue"] = """
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1e6)
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_micro,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6)
+                        AS BIGINT)) AS BIGINT) AS total_micro
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1
+    """
+    sqls["v_label_dist"] = """
+        WITH u AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                      AS BIGINT) AS m
+          FROM embeddings
+        ), c AS (
+          SELECT label, dim, CAST(sum(m) AS BIGINT) AS s,
+                 count(*) AS n
+          FROM u GROUP BY label, dim
+        ), cf AS (
+          SELECT label, dim, (s - ((s % n + n) % n)) // n AS cm FROM c
+        )
+        SELECT u.vec_id, CAST(u.label AS BIGINT) AS label,
+               CAST(sum((u.m - cf.cm) * (u.m - cf.cm)) AS BIGINT) AS dist2
+        FROM u JOIN cf ON u.label = cf.label AND u.dim = cf.dim
+        GROUP BY u.vec_id, u.label
     """
     sqls["e_props_extract"] = r"""
         SELECT event_type,

@@ -789,3 +789,107 @@ def local_supplier_volume(
         .sort_values(["revenue_micro", "n_name"], ascending=[False, True])
         .reset_index(drop=True)
     )
+
+
+def promo_revenue_share(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    promo_type: str = "PROMO",
+    num_buckets: int | None = None,
+    part_broadcast_cap: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Two-table revenue-mix analytics (the TPC-H Q14 shape): per
+    ship-calendar-month, revenue from promo-typed parts alongside
+    total revenue. Revenue is quantized to integer micro-units
+    (floor(price*(1-disc)*1e6)) so both sums are order-independent
+    integer addition and the gate is exact.
+
+    Plan: the part table reduces to (l_partkey, is_promo) int pairs —
+    broadcast lookup under ``part_broadcast_cap`` rows, distributed
+    ``equi_join`` past it (count-gated, same hybrid as
+    ``local_supplier_volume``); annotated line rows collapse through
+    per-batch (month, promo, total) partials into a months-sized
+    groupby. Reference analogue: the per-class vs total detection-rate
+    mix the harvest loop tracks per interval
+    (``services/harvest_service.py:198-232``)."""
+    from ray.data.aggregate import Sum
+
+    from .join import broadcast_join, equi_join
+
+    def part_prune(t: pa.Table) -> pa.Table:
+        types = np.asarray(t["p_type"].to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "l_partkey": pa.array(
+                    t["p_partkey"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "is_promo": pa.array(
+                    (types == promo_type).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pkeys = part.map_batches(part_prune, batch_format="pyarrow")
+
+    def line_project(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        micro = np.floor(price * (1.0 - disc) * 1e6).astype(np.int64)
+        month = (
+            t["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]")
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(
+                    t["l_partkey"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "month_us": pa.array(month, pa.int64()),
+                "rev_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    lines = lineitem.select_columns(
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(line_project, batch_format="pyarrow")
+
+    if pkeys.count() <= part_broadcast_cap:
+        annotated = broadcast_join(lines, pkeys, on="l_partkey", how="inner")
+    else:  # corpus-scale part table: distributed hash join
+        annotated = equi_join(
+            lines, pkeys, on="l_partkey", how="inner", num_buckets=num_buckets
+        )
+
+    def month_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["rev_micro"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "month_us": df["month_us"].to_numpy(np.int64),
+                "promo_micro": rev * df["is_promo"].to_numpy(np.int64),
+                "total_micro": rev,
+            }
+        )
+        return out.groupby("month_us", sort=False, as_index=False).sum()
+
+    red = (
+        annotated.map_batches(month_partial, batch_format="pandas")
+        .groupby("month_us")
+        .aggregate(
+            Sum("promo_micro", alias_name="promo_micro"),
+            Sum("total_micro", alias_name="total_micro"),
+        )
+    )
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "month": df["month_us"].to_numpy(np.int64).astype("datetime64[us]"),
+                "promo_micro": df["promo_micro"].to_numpy(np.int64),
+                "total_micro": df["total_micro"].to_numpy(np.int64),
+            }
+        )
+
+    return red.map_batches(widen, batch_format="pandas")

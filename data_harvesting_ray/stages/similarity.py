@@ -590,3 +590,51 @@ def dim_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
             Sum("sumsq_micro", alias_name="sumsq_micro"),
         )
     )
+
+
+def label_centroid_dist(
+    ds: ray.data.Dataset,
+    key: str = "label",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Embedding-space outlier QA: squared distance of every vector to
+    its group's centroid, entirely in integer micro-units so the gate
+    is an exact hash compare — the "how far is each example from its
+    class prototype" scan that flags mislabeled / degenerate
+    embeddings before training.
+
+    Exactness: components quantize to int64 micros (floor(double(v)
+    *1e6)); the per-group centroid is the exact FLOOR-division of the
+    micro sums (sum // n, floor semantics spelled out in SQL as
+    (s - ((s % n + n) % n)) // n since SQL's // truncates); the
+    distance is then pure integer arithmetic.
+
+    Scale plan: pass 1 reuses ``group_centroids``'s partial reduction
+    (groups x dims rows cross the exchange, never vectors); the
+    centroid table is model-shaped and broadcasts once via ``ray.put``;
+    pass 2 is one embarrassingly-parallel map_batches emitting
+    (vec_id, key, dist2) — vectors never shuffle at all."""
+    cent = group_centroids(ds, key=key, vec_col=vec_col).to_pandas()
+    cent = cent.sort_values([key, "dim"], kind="stable")
+    lut = {}
+    for lab, sub in cent.groupby(key, sort=False):
+        s = sub["sum_micro"].to_numpy(np.int64)
+        n = sub["n"].to_numpy(np.int64)
+        lut[lab] = s // n  # numpy int64 // floors, matching the SQL form
+    lut_ref = ray.put(lut)
+
+    def dist(df: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(lut_ref)
+        micro = np.floor(_stack(df[vec_col]) * 1_000_000.0).astype(np.int64)
+        keys = df[key].to_numpy()
+        c = np.stack([cm[k] for k in keys])
+        diff = micro - c
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                key: keys.astype(np.int64),
+                "dist2": (diff * diff).sum(axis=1).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(dist, batch_format="pandas")

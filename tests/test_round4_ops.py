@@ -1343,3 +1343,76 @@ def test_dim_stats_matches_numpy(ray_session):
     np.testing.assert_array_equal(
         got["sumsq_micro"].to_numpy(), (micro * micro).sum(axis=0)
     )
+
+
+def test_promo_revenue_share_vs_duckdb(ray_session):
+    """Q14-shaped promo/total revenue mix per ship month, both part
+    paths (broadcast and distributed equi-join) identical to SQL."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import promo_revenue_share
+
+    sf = "/root/testdata/sf0.001"
+    args = lambda: (
+        rd.read_parquet(f"{sf}/lineitem.parquet",
+                        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf}/part.parquet", columns=["p_partkey", "p_type"]),
+    )
+    got_b = (promo_revenue_share(*args()).to_pandas()
+             .sort_values("month").reset_index(drop=True))
+    got_d = (promo_revenue_share(*args(), part_broadcast_cap=0).to_pandas()
+             .sort_values("month").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ["lineitem", "part"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute("""
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1e6)
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_micro,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6)
+                        AS BIGINT)) AS BIGINT) AS total_micro
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    con.close()
+    want["month"] = want["month"].astype("datetime64[us]")
+    for got in (got_b, got_d):
+        got["month"] = got["month"].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got_b["promo_micro"] <= got_b["total_micro"]).all()
+
+
+def test_label_centroid_dist_matches_numpy(ray_session):
+    """Integer-micro squared distances equal a single-process numpy
+    reference (floor-division centroids), batch-layout independent."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import label_centroid_dist
+
+    rng = np.random.default_rng(3)
+    n, d = 240, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 5, n).astype(np.int32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "label": labels,
+            "embedding": [v for v in vecs],
+        }
+    )
+    got = (
+        label_centroid_dist(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    micro = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    want = np.empty(n, dtype=np.int64)
+    for lab in np.unique(labels):
+        m = labels == lab
+        c = micro[m].sum(axis=0) // m.sum()
+        want[m] = ((micro[m] - c) ** 2).sum(axis=1)
+    np.testing.assert_array_equal(got["dist2"].to_numpy(), want)
+    assert got["label"].dtype == np.int64
