@@ -475,3 +475,50 @@ def simhash_sigs_path(sf_dir_or_name: str) -> str:
     except OSError:
         os.unlink(tmp)
     return out
+
+
+def documents_jsonl_path(sf_dir_or_name: str, shards: int = 4) -> str:
+    """The documents table re-materialized as sharded line-delimited
+    JSON (the interchange format most LLM-corpus pipelines ingest),
+    cached beside the transcript fixture. Deterministic byte-for-byte
+    (sorted keys, no float fields), so the Ray ``read_json`` query and
+    the DuckDB ``read_json_auto`` oracle consume identical input."""
+    import json
+
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name, "documents_jsonl")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    t = pq.read_table(
+        os.path.join(src_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    tmp = out_dir + f".tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    n = t.num_rows
+    bounds = np.linspace(0, n, shards + 1).astype(np.int64)
+    cols = {c: t[c].to_pylist() for c in t.column_names}
+    for s in range(shards):
+        with open(os.path.join(tmp, f"part-{s:03d}.jsonl"), "w") as f:
+            for i in range(int(bounds[s]), int(bounds[s + 1])):
+                f.write(
+                    json.dumps(
+                        {c: cols[c][i] for c in t.column_names}, sort_keys=True
+                    )
+                    + "\n"
+                )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir

@@ -1551,6 +1551,51 @@ def q_v_label_dist(sf_dir: str) -> Any:
     )
 
 
+def q_d_jsonl_ingest(sf_dir: str) -> Any:
+    """Source-format breadth: sharded JSONL document drops (the
+    fixture re-materializes documents.parquet as deterministic .jsonl
+    shards) streamed through ``read_json`` into per (source, lang)
+    count + char-mass partials — the standard corpus-intake profile
+    pass over a non-parquet landing format."""
+    import data_harvesting_ray
+
+    from ..fixtures.generator import documents_jsonl_path
+    from ..sources.jsonl import read_documents_jsonl
+
+    data_harvesting_ray.configure_session()
+    ds = read_documents_jsonl(documents_jsonl_path(sf_dir))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "lang": df["lang"].to_numpy(),
+                "n_docs": np.int64(1),
+                "sum_chars": df["n_chars"].to_numpy(np.int64),
+            }
+        )
+        return out.groupby(["source", "lang"], sort=False, as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+def q_d_freq_spectrum(sf_dir: str) -> Any:
+    """Vocabulary frequency-of-frequencies (Zipf / Good-Turing
+    spectrum): vocab-sized then spectrum-sized exchanges only."""
+    from ..stages.text import freq_spectrum
+
+    return freq_spectrum(_docs(sf_dir))
+
+
 def q_d_collocations(sf_dir: str) -> Any:
     """Top-10 word bigrams by PMI (phrase detection / collocation
     mining): vocab-scale count reductions, two key joins for the part
@@ -1705,6 +1750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_dim_stats": q_v_dim_stats,
         "h_promo_revenue": q_h_promo_revenue,
         "v_label_dist": q_v_label_dist,
+        "d_jsonl_ingest": q_d_jsonl_ingest,
+        "d_freq_spectrum": q_d_freq_spectrum,
         "d_collocations": q_d_collocations,
         "v_centroids_distributed": q_v_centroids_distributed,
         "d_weighted_sample": q_d_weighted_sample,
@@ -1714,12 +1761,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # -------------------------------------------------------------- oracle SQL
 def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     from ..fixtures.generator import (
+        documents_jsonl_path,
         ivf_side_paths,
         neardup_embeddings_path,
         simhash_sigs_path,
     )
 
     p = transcripts_path(sf_name)  # ensures the fixture exists
+    jd = documents_jsonl_path(sf_name)  # documents as sharded JSONL
     ep = neardup_embeddings_path(sf_name)  # planted-near-dup embeddings
     sp = simhash_sigs_path(sf_name)  # engine-kernel simhash signatures
     ivf_cells, ivf_probes = ivf_side_paths(sf_name)  # IVF assignments/probes
@@ -2860,6 +2909,23 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                CAST(sum((u.m - cf.cm) * (u.m - cf.cm)) AS BIGINT) AS dist2
         FROM u JOIN cf ON u.label = cf.label AND u.dim = cf.dim
         GROUP BY u.vec_id, u.label
+    """
+    sqls["d_jsonl_ingest"] = f"""
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM read_json_auto('{jd}/*.jsonl')
+        GROUP BY source, lang
+    """
+    sqls["d_freq_spectrum"] = r"""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents
+        ),
+        cnt AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
+        SELECT CAST(freq AS BIGINT) AS freq,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM cnt GROUP BY freq
     """
     sqls["e_props_extract"] = r"""
         SELECT event_type,

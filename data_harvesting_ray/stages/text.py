@@ -525,3 +525,53 @@ def length_percentile_gate(
         return t.select(["doc_id", "lang", "n_chars"]).filter(pa.array(keep))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def freq_spectrum(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Vocabulary frequency-of-frequencies (the Zipf / Good-Turing
+    spectrum): for each global token frequency f, how many distinct
+    tokens occur exactly f times. The corpus-QA curve that data
+    curation reads to spot boilerplate floods (mass at huge f) and
+    OCR noise (mass at f=1).
+
+    Scale plan: per-batch Arrow ``value_counts`` collapses each block
+    to (token, cnt) partials before the ONE vocab-sized exchange; the
+    spectrum reduction is then a second, spectrum-sized groupby over
+    per-block (freq, 1) partials — the corpus itself never shuffles.
+    Tokenization is the shared trim+``\\s+`` split, matching DuckDB's
+    ``regexp_split_to_array`` exactly."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t[text_col]), pattern=r"\s+"
+        )
+        vc = pc.value_counts(pc.list_flatten(lists))
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="freq"))
+    )
+
+    def spec_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["freq"])
+        return pa.table(
+            {
+                "freq": vc.field("values").cast(pa.int64()),
+                "n_tokens": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        vocab.map_batches(spec_partial, batch_format="pyarrow")
+        .groupby("freq")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+    )

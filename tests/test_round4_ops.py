@@ -1416,3 +1416,67 @@ def test_label_centroid_dist_matches_numpy(ray_session):
         want[m] = ((micro[m] - c) ** 2).sum(axis=1)
     np.testing.assert_array_equal(got["dist2"].to_numpy(), want)
     assert got["label"].dtype == np.int64
+
+
+def test_jsonl_source_roundtrip(ray_session, tmp_path):
+    """read_documents_jsonl over generator-written shards yields the
+    exact rows of the source documents table (schema + values)."""
+    import os
+
+    import ray.data as rd
+
+    from data_harvesting_ray.fixtures.generator import documents_jsonl_path
+    from data_harvesting_ray.sources.jsonl import read_documents_jsonl
+
+    path = documents_jsonl_path("/root/testdata/sf0.001")
+    assert os.path.exists(os.path.join(path, "_DONE"))
+    got = (
+        read_documents_jsonl(path)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_freq_spectrum_vs_brute_force(ray_session):
+    """Frequency-of-frequencies equals a Counter-of-Counter reference,
+    including whitespace irregularities and a repeated-token flood."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import freq_spectrum
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 20))) for _ in range(120)
+    ]
+    texts[7] = "  flood flood   flood flood  "  # irregular whitespace
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    got = (
+        freq_spectrum(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("freq")
+        .reset_index(drop=True)
+    )
+    tok_counts = Counter(w for t in texts for w in t.strip().split())
+    spec = Counter(tok_counts.values())
+    want = (
+        pd.DataFrame(sorted(spec.items()), columns=["freq", "n_tokens"])
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sanity: spectrum mass equals vocabulary size
+    assert got["n_tokens"].sum() == len(tok_counts)
