@@ -1596,6 +1596,40 @@ def q_d_freq_spectrum(sf_dir: str) -> Any:
     return freq_spectrum(_docs(sf_dir))
 
 
+def q_h_late_orders(sf_dir: str) -> Any:
+    """TPC-H Q4 shape: orders per priority with >= 1 line item shipped
+    90+ days after the order date — one key join, per-batch late
+    filter + distinct partials, priorities-sized result."""
+    import data_harvesting_ray
+
+    from ..stages.aggregates import late_order_counts
+
+    data_harvesting_ray.configure_session()
+    return late_order_counts(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ),
+        late_days=90,
+    )
+
+
+def q_d_source_dup_stats(sf_dir: str) -> Any:
+    """Per-source corpus hygiene: doc count vs distinct-content count
+    (md5) — hash(fp) co-located exact distinct, sources-sized result."""
+    import data_harvesting_ray
+
+    from ..stages.text import source_dup_stats
+
+    data_harvesting_ray.configure_session()
+    return source_dup_stats(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    )
+
+
 def q_d_collocations(sf_dir: str) -> Any:
     """Top-10 word bigrams by PMI (phrase detection / collocation
     mining): vocab-scale count reductions, two key joins for the part
@@ -1752,6 +1786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_label_dist": q_v_label_dist,
         "d_jsonl_ingest": q_d_jsonl_ingest,
         "d_freq_spectrum": q_d_freq_spectrum,
+        "h_late_orders": q_h_late_orders,
+        "d_source_dup_stats": q_d_source_dup_stats,
         "d_collocations": q_d_collocations,
         "v_centroids_distributed": q_v_centroids_distributed,
         "d_weighted_sample": q_d_weighted_sample,
@@ -2926,6 +2962,22 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT CAST(freq AS BIGINT) AS freq,
                CAST(count(*) AS BIGINT) AS n_tokens
         FROM cnt GROUP BY freq
+    """
+    sqls["h_late_orders"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o_orderpriority
+    """
+    sqls["d_source_dup_stats"] = """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        FROM documents GROUP BY source
     """
     sqls["e_props_extract"] = r"""
         SELECT event_type,

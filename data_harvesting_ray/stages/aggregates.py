@@ -893,3 +893,101 @@ def promo_revenue_share(
         )
 
     return red.map_batches(widen, batch_format="pandas")
+
+
+def late_order_counts(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    late_days: int = 90,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Existential-quantifier analytics (the TPC-H Q4 shape): orders
+    per priority class having AT LEAST ONE line item shipped more than
+    ``late_days`` after the order date. The predicate couples both
+    tables (l_shipdate vs o_orderdate), so unlike A4's key-only semi
+    join the existence test runs after one key join:
+
+    1. line items project to (l_orderkey, ship_us) ints; orders to
+       (o_orderkey, order_us, o_orderpriority);
+    2. ONE distributed inner ``equi_join`` on the order key;
+    3. late rows filter per batch, then collapse to DISTINCT
+       (o_orderkey, o_orderpriority) pairs — per-batch dedup partials
+       first, one keyed groupby for the global distinct (the exchange
+       moves at most one row per late order per block);
+    4. a priorities-sized count reduction.
+
+    Reference analogue: A4's "any detection matched" gate
+    (``condition.py:38-48``) with a cross-record time predicate."""
+    from ray.data.aggregate import Sum
+
+    def line_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "ship_us": pa.array(
+                    t["l_shipdate"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def order_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "order_us": pa.array(
+                    t["o_orderdate"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    from .join import equi_join
+
+    joined = equi_join(
+        lineitem.select_columns(["l_orderkey", "l_shipdate"]).map_batches(
+            line_project, batch_format="pyarrow"
+        ),
+        orders.select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(order_project, batch_format="pyarrow"),
+        on="o_orderkey",
+        how="inner",
+        num_buckets=num_buckets,
+    )
+    late_us = np.int64(late_days) * 86400_000_000
+
+    def late_distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[
+            df["ship_us"].to_numpy(np.int64)
+            > df["order_us"].to_numpy(np.int64) + late_us
+        ]
+        return m[["o_orderkey", "o_orderpriority"]].drop_duplicates()
+
+    late_pairs = joined.map_batches(late_distinct_partial, batch_format="pandas")
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates()
+        return (
+            u.assign(n_orders=np.int64(1))
+            .groupby("o_orderpriority", sort=False, as_index=False)["n_orders"]
+            .sum()
+        )
+
+    partials = apply_per_bucket(
+        late_pairs, bucket_distinct, key="o_orderkey", num_buckets=num_buckets
+    )
+    return partials.groupby("o_orderpriority").aggregate(
+        Sum("n_orders", alias_name="n_orders")
+    )

@@ -575,3 +575,58 @@ def freq_spectrum(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
         .groupby("freq")
         .aggregate(Sum("n_tokens", alias_name="n_tokens"))
     )
+
+
+def source_dup_stats(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Per-source corpus hygiene profile: document count, distinct
+    content count (by md5 fingerprint), and duplicated-doc count — the
+    "which domains are flooding us with boilerplate" report that
+    drives per-source sampling weights.
+
+    Scale plan: ONE pass, one exchange. Each batch collapses to
+    (source, fp, cnt) partials — the row count rides along with the
+    distinct pair, so doc counts and distinct counts come from the
+    same exchange; pairs co-locate by hash(fp) — NOT by source, whose
+    handful of values would funnel the corpus's whole distinct set
+    through a few buckets — the bucket kernel merges duplicate pairs
+    exactly and emits sources-sized (n_docs, n_distinct) partials,
+    and the final groupby is sources-sized. Only distinct (source,
+    fp, cnt) rows ever cross the exchange, never text.
+    Output: (source, n_docs, n_distinct)."""
+    from ray.data.aggregate import Sum
+
+    from .partition import apply_per_bucket, to_clean_arrow
+
+    def fp_partial(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        df = pd.DataFrame(
+            {"source": t["source"].to_pylist(), "fp": fps, "cnt": np.int64(1)}
+        )
+        return to_clean_arrow(
+            df.groupby(["source", "fp"], sort=False, as_index=False)["cnt"].sum()
+        )
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby(["source", "fp"], sort=False, as_index=False)["cnt"].sum()
+        return (
+            u.assign(n_distinct=np.int64(1))
+            .groupby("source", sort=False, as_index=False)
+            .agg(n_docs=("cnt", "sum"), n_distinct=("n_distinct", "sum"))
+        )
+
+    pairs = ds.map_batches(fp_partial, batch_format="pyarrow")
+    out = (
+        apply_per_bucket(pairs, bucket_count, key="fp")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_distinct", alias_name="n_distinct"),
+        )
+        .to_pandas()  # sources-sized
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)

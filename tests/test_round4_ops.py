@@ -1480,3 +1480,66 @@ def test_freq_spectrum_vs_brute_force(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # sanity: spectrum mass equals vocabulary size
     assert got["n_tokens"].sum() == len(tok_counts)
+
+
+def test_late_order_counts_vs_duckdb(ray_session):
+    """Q4-shaped EXISTS: per-priority count of orders with >=1 late
+    line item equals the SQL EXISTS form on real testdata."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import late_order_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        late_order_counts(
+            rd.read_parquet(f"{sf}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"]),
+            rd.read_parquet(f"{sf}/orders.parquet",
+                            columns=["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            late_days=90,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ["lineitem", "orders"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_source_dup_stats_with_planted_dups(ray_session):
+    """Doc and distinct counts per source with cross-batch duplicate
+    texts; a source whose docs are all identical shows n_distinct=1."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import source_dup_stats
+
+    rng = np.random.default_rng(17)
+    texts = [f"unique text {i}" for i in range(90)]
+    srcs = list(rng.choice(["web", "books"], 90))
+    # source 'spam': 30 identical docs; 'web' gets 10 repeats of one text
+    texts += ["same boilerplate"] * 30 + ["repeated web doc"] * 10
+    srcs += ["spam"] * 30 + ["web"] * 10
+    df = pd.DataFrame({"source": srcs, "text": texts})
+    got = source_dup_stats(rd.from_pandas(df))
+    want = (
+        df.groupby("source")
+        .agg(n_docs=("text", "size"), n_distinct=("text", "nunique"))
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(got.loc[got["source"] == "spam", "n_distinct"].iloc[0]) == 1
