@@ -506,6 +506,19 @@ def q_e_daily_spikes(sf_dir: str) -> Any:
     )
 
 
+def q_e_sliding_mau(sf_dir: str) -> Any:
+    """Rolling weekly active users (sliding COUNT DISTINCT): events
+    replicate into covering windows as KEY pairs only; per-batch
+    distinct partials bound the exchange by windows x users x 7."""
+    from ..stages.events import sliding_mau
+
+    return sliding_mau(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
+        size_s=7 * 86400,
+        slide_s=86400,
+    )
+
+
 def q_e_session(sf_dir: str) -> Any:
     from ..stages.events import session_events
 
@@ -1588,6 +1601,15 @@ def q_d_jsonl_ingest(sf_dir: str) -> Any:
     )
 
 
+def q_d_distinct_kmv(sf_dir: str) -> Any:
+    """KMV cardinality sketch over the token vocabulary — k smallest
+    md5-60bit hashes per block, one k-sized merge; deterministic
+    integer estimate, bit-exact vs the SQL sketch replay."""
+    from ..stages.sketches import kmv_distinct_tokens
+
+    return kmv_distinct_tokens(_docs(sf_dir), k=256)
+
+
 def q_d_freq_spectrum(sf_dir: str) -> Any:
     """Vocabulary frequency-of-frequencies (Zipf / Good-Turing
     spectrum): vocab-sized then spectrum-sized exchanges only."""
@@ -1788,6 +1810,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_freq_spectrum": q_d_freq_spectrum,
         "h_late_orders": q_h_late_orders,
         "d_source_dup_stats": q_d_source_dup_stats,
+        "e_sliding_mau": q_e_sliding_mau,
+        "d_distinct_kmv": q_d_distinct_kmv,
         "d_collocations": q_d_collocations,
         "v_centroids_distributed": q_v_centroids_distributed,
         "d_weighted_sample": q_d_weighted_sample,
@@ -2962,6 +2986,42 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT CAST(freq AS BIGINT) AS freq,
                CAST(count(*) AS BIGINT) AS n_tokens
         FROM cnt GROUP BY freq
+    """
+    sqls["e_sliding_mau"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        w AS (
+          SELECT user_id,
+                 unnest(range((us - 604800000000) // 86400000000 + 1,
+                              us // 86400000000 + 1)) AS k
+          FROM e
+        )
+        SELECT make_timestamp(k * 86400000000) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               count(*) AS n_events
+        FROM w GROUP BY 1
+    """
+    sqls["d_distinct_kmv"] = r"""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents
+        ),
+        h AS (
+          SELECT DISTINCT CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS hv
+          FROM tok
+        ),
+        kk AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_used,
+                 CAST(max(hv) AS BIGINT) AS kth_hv
+          FROM kk
+        )
+        SELECT k_used, kth_hv,
+               CASE WHEN k_used < 256 THEN k_used
+                    ELSE CAST((CAST(k_used - 1 AS HUGEINT)
+                               * (CAST(1 AS HUGEINT) << 60)) // kth_hv
+                              AS BIGINT)
+               END AS est_distinct
+        FROM agg
     """
     sqls["h_late_orders"] = """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders

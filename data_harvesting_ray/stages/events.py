@@ -504,3 +504,69 @@ def user_retention(
         Sum("n_active", alias_name="n_active"),
         Sum("n_retained", alias_name="n_retained"),
     )
+
+
+def sliding_mau(
+    ds: ray.data.Dataset,
+    size_s: int = 7 * 86400,
+    slide_s: int = 86400,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Distinct active users + event counts per SLIDING window (the
+    rolling-MAU curve): each event replicates into its size/slide
+    covering windows — but only as (window, user_id) KEY pairs, never
+    payload — then the exact COUNT(DISTINCT) plan of
+    ``window_distinct_users`` takes over: per-batch DISTINCT pair
+    partials shrink the exchange to activity rows, one hash(window)
+    shuffle co-locates each window, and the kernel is a C-level
+    nunique + sum. The exchange is bounded by windows x active users x
+    (size/slide), independent of event volume.
+
+    Reference analogue: the overlapping-interval bookkeeping of the
+    suppression window (``services/harvest_service.py:226-232``) with
+    a distinct-entity dimension."""
+    if size_s % slide_s:
+        raise ValueError("size_s must be a multiple of slide_s")
+    size_us, slide_us = size_s * US, slide_s * US
+    width = size_s // slide_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["user_id", "ts"]).to_pandas()
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lo = (us - size_us) // slide_us + 1
+        k = (lo[:, None] + np.arange(width, dtype=np.int64)).ravel()
+        part = (
+            pd.DataFrame(
+                {
+                    "window_us": k * slide_us,
+                    "user_id": np.repeat(df["user_id"].to_numpy(np.int64), width),
+                    "n": np.int64(1),
+                }
+            )
+            .groupby(["window_us", "user_id"], sort=False, as_index=False)
+            .sum()
+        )
+        return to_clean_arrow(part)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_window(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "window_start": np.array([], "datetime64[us]"),
+                    "n_users": np.array([], np.int64),
+                    "n_events": np.array([], np.int64),
+                }
+            )
+        out = (
+            g.groupby("window_us", sort=False)
+            .agg(n_users=("user_id", "nunique"), n_events=("n", "sum"))
+            .reset_index()
+        )
+        out["window_start"] = out.pop("window_us").astype("datetime64[us]")
+        return out[["window_start", "n_users", "n_events"]]
+
+    return apply_per_bucket(
+        pairs, per_window, key="window_us", num_buckets=num_buckets
+    )

@@ -38,6 +38,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -186,3 +187,73 @@ def heavy_tokens(
     ``unnest(regexp_extract_all(...))`` since the RE2 pattern means
     the same thing in Arrow, Python ``re``, and DuckDB."""
     return heavy_hitters(docs, _bpe_extract, k=k, capacity=capacity)
+
+
+def kmv_distinct_tokens(
+    ds: ray.data.Dataset,
+    k: int = 256,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT tokens) via a K-Minimum-Values
+    sketch (public literature: Bar-Yossef et al. RANDOM'02) — the
+    one-pass cardinality estimator for vocabularies too large even for
+    the (value, count) exchange. DETERMINISTIC and SQL-exact despite
+    being an approximation: the hash is the first 60 bits of md5
+    (DuckDB: ``CAST('0x' || substr(md5(t),1,15) AS BIGINT)``), the
+    estimate is pure integer arithmetic ((k-1)·2^60 // kth_min), and
+    when the corpus has fewer than k distinct tokens the sketch
+    degrades to the EXACT count — so the DuckDB oracle reproduces the
+    sketch bit-for-bit, not just approximately.
+
+    Scale plan: each batch emits its k smallest distinct token hashes
+    (np.unique + partition — at most k rows per block regardless of
+    vocabulary); one repartition(1) merge keeps the final k-smallest
+    reduce off the driver; the driver sees k rows. Standard error is
+    ~1/sqrt(k-2).
+
+    Output: one row (k_used, kth_hv, est_distinct)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t[text_col]), pattern=r"\s+"
+        )
+        toks = pc.unique(pc.list_flatten(lists)).to_pylist()
+        hv = np.unique(
+            np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    for s in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+        )
+        return pa.table({"hv": pa.array(hv[:k], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        hv = np.unique(t["hv"].to_numpy(zero_copy_only=False))
+        return pa.table({"hv": pa.array(hv[:k], pa.int64())})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hv = np.unique(merged["hv"].to_numpy(np.int64))[:k]
+    k_used = int(len(hv))
+    kth = int(hv[-1]) if k_used else 0
+    if k_used < k:
+        est = k_used  # sketch holds the whole distinct set: exact
+    else:
+        est = ((k_used - 1) * (1 << 60)) // kth  # exact Python ints
+    return pd.DataFrame(
+        {
+            "k_used": np.array([k_used], np.int64),
+            "kth_hv": np.array([kth], np.int64),
+            "est_distinct": np.array([est], np.int64),
+        }
+    )

@@ -1543,3 +1543,95 @@ def test_source_dup_stats_with_planted_dups(ray_session):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert int(got.loc[got["source"] == "spam", "n_distinct"].iloc[0]) == 1
+
+
+def test_sliding_mau_vs_duckdb(ray_session):
+    """Sliding COUNT(DISTINCT user) == the SQL window-replication form
+    on random event times, including users active in many windows."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.events import sliding_mau
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "ts": np.datetime64("2024-03-01", "us")
+            + rng.integers(0, 30 * 86400_000_000, n),
+        }
+    )
+    got = (
+        sliding_mau(rd.from_pandas(df), size_s=3 * 86400, slide_s=86400,
+                    num_buckets=4)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        w AS (SELECT user_id,
+                     unnest(range((us - 259200000000) // 86400000000 + 1,
+                                  us // 86400000000 + 1)) AS k
+              FROM e)
+        SELECT make_timestamp(k * 86400000000) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               count(*) AS n_events
+        FROM w GROUP BY 1 ORDER BY 1
+    """).df()
+    con.close()
+    want["window_start"] = want["window_start"].astype("datetime64[us]")
+    got["window_start"] = got["window_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sliding_mau_rejects_non_divisible(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.events import sliding_mau
+
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_mau(
+            rd.from_pandas(
+                pd.DataFrame({"user_id": [1], "ts": [np.datetime64("2024-01-01", "us")]})
+            ),
+            size_s=7000,
+            slide_s=3000,
+        )
+
+
+def test_kmv_distinct_accuracy_and_determinism(ray_session):
+    """KMV estimate within ~4/sqrt(k) of truth on a >k vocabulary;
+    exact when vocab < k; batch-layout independent."""
+    import hashlib
+
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.sketches import kmv_distinct_tokens
+
+    rng = np.random.default_rng(29)
+    vocab = [f"word{i:05d}" for i in range(3000)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 60))) for _ in range(400)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64), "text": texts})
+    truth = len({w for t in texts for w in t.split()})
+    got = kmv_distinct_tokens(rd.from_pandas(df), k=256)
+    est = int(got["est_distinct"].iloc[0])
+    assert abs(est - truth) / truth < 4 / np.sqrt(256)  # 25% guard band
+    # determinism under a different block layout
+    got2 = kmv_distinct_tokens(
+        rd.from_pandas(df).repartition(7), k=256
+    )
+    pd.testing.assert_frame_equal(got, got2)
+    # exact mode: fewer distinct tokens than k
+    small = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "b c d"]})
+    gs = kmv_distinct_tokens(rd.from_pandas(small), k=256)
+    assert int(gs["est_distinct"].iloc[0]) == 4
+    assert int(gs["k_used"].iloc[0]) == 4
+    # hash definition matches the SQL replay (md5 60-bit prefix)
+    hv = int(hashlib.md5(b"a").hexdigest()[:15], 16)
+    assert hv < (1 << 60)
