@@ -97,6 +97,29 @@ def q_t_render_convs(sf_dir: str) -> Any:
     )
 
 
+def q_t_conv_dedup(sf_dir: str) -> Any:
+    """Conversation-level exact dedup: md5 of the rendered transcript
+    (order-sensitive), min conv_id survives per fingerprint — one
+    render co-location pass plus a keys-only fp exchange."""
+    from ..stages.dedup import conv_dedup
+
+    return conv_dedup(_t(sf_dir, ["conv_id", "turn_idx", "role", "text"]))
+
+
+def q_d_hash_sample(sf_dir: str) -> Any:
+    """Deterministic uniform k-sample: k smallest md5(doc_id) rows —
+    per-block partial top-k, one k-sized merge, no corpus shuffle."""
+    from ..stages.projection import hash_sample
+
+    return hash_sample(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        ),
+        k=64,
+        columns=["lang", "n_chars"],
+    )
+
+
 def q_t_session_windows(sf_dir: str) -> Any:
     from ..stages.windows import session_windows
 
@@ -1812,6 +1835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_source_dup_stats": q_d_source_dup_stats,
         "e_sliding_mau": q_e_sliding_mau,
         "d_distinct_kmv": q_d_distinct_kmv,
+        "t_conv_dedup": q_t_conv_dedup,
+        "d_hash_sample": q_d_hash_sample,
         "d_collocations": q_d_collocations,
         "v_centroids_distributed": q_v_centroids_distributed,
         "d_weighted_sample": q_d_weighted_sample,
@@ -2986,6 +3011,24 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT CAST(freq AS BIGINT) AS freq,
                CAST(count(*) AS BIGINT) AS n_tokens
         FROM cnt GROUP BY freq
+    """
+    sqls["t_conv_dedup"] = f"""
+        WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, text FROM {RAW}),
+        r AS (
+          SELECT conv_id,
+                 md5(string_agg(role || ': ' || text, chr(10)
+                     ORDER BY turn_idx)) AS fp
+          FROM t GROUP BY conv_id
+        )
+        SELECT fp, min(conv_id) AS conv_id FROM r GROUP BY fp
+    """
+    sqls["d_hash_sample"] = """
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS hv
+          FROM documents
+        ) ORDER BY hv LIMIT 64
     """
     sqls["e_sliding_mau"] = """
         WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

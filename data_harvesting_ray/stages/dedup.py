@@ -225,3 +225,46 @@ def incremental_dedup(
     right = history.map_batches(hist_fp, batch_format="pyarrow")
     surv = equi_join(left, right, on="fp", how="anti", num_buckets=num_buckets)
     return surv.select_columns(["doc_id", "lang", "n_chars"])
+
+
+def conv_dedup(
+    ds: ray.data.Dataset, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """CONVERSATION-level exact dedup: fingerprint each conversation's
+    rendered transcript (order-sensitive — same turns in a different
+    order are different conversations) and keep the smallest conv_id
+    per fingerprint. The whole-sample dedup an SFT corpus needs on top
+    of turn-level dedup: re-ingested conversations under new ids
+    collapse to one survivor.
+
+    Plan: ``render_conversations``' one hash(conv_id) pass assembles
+    each transcript (dedup + turn-order sort fused); per-batch md5
+    reduces to (fp, conv_id) KEY pairs; one hash(fp) shuffle of those
+    keys picks min(conv_id) per fp. Payload crosses one exchange (the
+    irreducible render co-location); the dedup exchange is keys-only.
+    Output: (fp, conv_id) survivors.
+
+    Reference analogue: the sink's by-media grouping plus
+    delete-after-process (``queue_harvesting.py:57``) — here made
+    content-addressed."""
+    import hashlib
+
+    from .render import render_conversations
+
+    rendered = render_conversations(ds, num_buckets=num_buckets)
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in t["doc"].to_pylist()
+        ]
+        return pa.table(
+            {"fp": pa.array(fps, pa.string()), "conv_id": t["conv_id"]}
+        )
+
+    keys = rendered.map_batches(fp_batch, batch_format="pyarrow")
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("fp", sort=False, as_index=False)["conv_id"].min()
+
+    return apply_per_bucket(keys, keep_min, key="fp", num_buckets=num_buckets)

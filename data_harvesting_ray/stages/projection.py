@@ -223,3 +223,44 @@ def weighted_sample(
         return out
 
     return ds.map_batches(gate, batch_format="pandas")
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    id_col: str = "doc_id",
+    columns: list[str] | None = None,
+) -> pd.DataFrame:
+    """Deterministic uniform k-sample: the k rows with the smallest
+    md5(id) — hash order is a fixed random permutation of ids, so this
+    IS a uniform sample, yet it's reproducible across runs, cluster
+    sizes, and engines (the property ``ds.random_sample`` lacks). The
+    eval-set / spot-check draw every corpus pipeline needs.
+
+    Scale plan: per-block partial top-k by hash (at most k rows leave
+    any block), one repartition(1) merge, k rows on the driver. No
+    shuffle of the corpus; cost is one streaming pass."""
+    import hashlib
+
+    keep = [id_col] + [c for c in (columns or []) if c != id_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                for i in df[id_col]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        out = df[keep].assign(_hv=hv)
+        return out.nsmallest(k, "_hv", keep="first")
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(lambda df: df.nsmallest(k, "_hv"), batch_format="pandas")
+        .to_pandas()
+    )
+    out = merged.nsmallest(k, "_hv").drop(columns=["_hv"])
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -1635,3 +1635,55 @@ def test_kmv_distinct_accuracy_and_determinism(ray_session):
     # hash definition matches the SQL replay (md5 60-bit prefix)
     hv = int(hashlib.md5(b"a").hexdigest()[:15], 16)
     assert hv < (1 << 60)
+
+
+def test_conv_dedup_collapses_reingested_conversations(ray_session):
+    """Identical transcripts under different conv_ids collapse to the
+    min id; reordered turns do NOT collapse (order-sensitive)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.dedup import conv_dedup
+
+    rows = []
+    for cid, (ta, tb) in {
+        "c1": ("hello", "world"),
+        "c2": ("hello", "world"),   # exact re-ingest of c1
+        "c3": ("world", "hello"),   # same turns, different order
+    }.items():
+        rows.append((cid, 0, "user", ta))
+        rows.append((cid, 1, "assistant", tb))
+    rows.append(("c1", 1, "assistant", "world"))  # duplicate turn row
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    got = conv_dedup(rd.from_pandas(df), num_buckets=2).to_pandas()
+    surv = set(got["conv_id"])
+    assert surv == {"c1", "c3"}
+    assert len(got) == got["fp"].nunique() == 2
+
+
+def test_hash_sample_deterministic_and_uniform(ray_session):
+    """k smallest md5(id): equals the single-process reference, stable
+    under repartition, and statistically unbiased across halves."""
+    import hashlib
+
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.projection import hash_sample
+
+    n, k = 5000, 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": (np.arange(n) % 3).astype(str),
+        }
+    )
+    got = hash_sample(rd.from_pandas(df), k=k, columns=["lang"])
+    got2 = hash_sample(rd.from_pandas(df).repartition(11), k=k, columns=["lang"])
+    pd.testing.assert_frame_equal(got, got2)
+    hv = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in range(n)
+    }
+    want_ids = sorted(sorted(hv, key=hv.get)[:k])
+    assert got["doc_id"].tolist() == want_ids
+    # crude uniformity: both id halves represented within 4 sigma
+    lo = (got["doc_id"] < n // 2).sum()
+    assert abs(lo - k / 2) < 4 * np.sqrt(k / 4)
