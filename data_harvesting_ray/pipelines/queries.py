@@ -1633,6 +1633,25 @@ def q_d_distinct_kmv(sf_dir: str) -> Any:
     return kmv_distinct_tokens(_docs(sf_dir), k=256)
 
 
+def q_d_vocab_drift(sf_dir: str) -> Any:
+    """Vocabulary drift between two corpus halves: per-token counts
+    FULL-OUTER joined (tokens in either half survive, absent side
+    coalesces to 0) — vocab-sized exchanges only."""
+    import data_harvesting_ray
+
+    from ..stages.text import vocab_drift
+
+    data_harvesting_ray.configure_session()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    split = docs.count() // 2
+    return vocab_drift(
+        docs.filter(expr=f"doc_id < {split}"),
+        docs.filter(expr=f"doc_id >= {split}"),
+    )
+
+
 def q_d_freq_spectrum(sf_dir: str) -> Any:
     """Vocabulary frequency-of-frequencies (Zipf / Good-Turing
     spectrum): vocab-sized then spectrum-sized exchanges only."""
@@ -1837,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_distinct_kmv": q_d_distinct_kmv,
         "t_conv_dedup": q_t_conv_dedup,
         "d_hash_sample": q_d_hash_sample,
+        "d_vocab_drift": q_d_vocab_drift,
         "d_collocations": q_d_collocations,
         "v_centroids_distributed": q_v_centroids_distributed,
         "d_weighted_sample": q_d_weighted_sample,
@@ -3011,6 +3031,22 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT CAST(freq AS BIGINT) AS freq,
                CAST(count(*) AS BIGINT) AS n_tokens
         FROM cnt GROUP BY freq
+    """
+    sqls["d_vocab_drift"] = r"""
+        WITH s AS (SELECT count(*) // 2 AS split FROM documents),
+        ta AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents, s WHERE doc_id < s.split
+        ),
+        tb AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents, s WHERE doc_id >= s.split
+        ),
+        a AS (SELECT token, CAST(count(*) AS BIGINT) AS n_a FROM ta GROUP BY 1),
+        b AS (SELECT token, CAST(count(*) AS BIGINT) AS n_b FROM tb GROUP BY 1)
+        SELECT COALESCE(a.token, b.token) AS token,
+               COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM a FULL OUTER JOIN b ON a.token = b.token
     """
     sqls["t_conv_dedup"] = f"""
         WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, text FROM {RAW}),

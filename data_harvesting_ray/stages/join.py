@@ -213,9 +213,11 @@ def equi_join(
     (``ray.put`` + lookup in ``map_batches``) when one side fits in
     memory — this operator is for two BIG sides.
 
-    ``how``: "inner" | "left" | "semi" | "anti" (semi/anti return left
-    columns only — the A3/A4 existential/universal quantifier as a
-    generic operator). Non-key columns of the two sides must be
+    ``how``: "inner" | "left" | "outer" | "semi" | "anti" (semi/anti
+    return left columns only — the A3/A4 existential/universal
+    quantifier as a generic operator; "outer" is the FULL outer join —
+    unmatched rows of BOTH sides survive with typed nulls, so
+    ``prefilter`` is rejected there). Non-key columns of the two sides must be
     disjoint (pre-rename the right side). Precision guard (same as
     ``stages.asof``): synthetic widening fills for integer columns are
     zeros, never typed nulls (which would land in pandas as float64 and
@@ -237,10 +239,14 @@ def equi_join(
     keys (output unaffected either way)."""
     from .asof import _fields_resolved, _nullable_int_name
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     if prefilter not in (None, "left", "right"):
         raise ValueError(f"unsupported prefilter={prefilter!r}")
+    if prefilter is not None and how == "outer":
+        raise ValueError(
+            'prefilter would drop unmatched rows a FULL outer join must keep'
+        )
     if prefilter == "right" and how in ("left", "anti"):
         raise ValueError(
             f'prefilter="right" would drop the unmatched left rows '
@@ -273,6 +279,11 @@ def equi_join(
         n: _nullable_int_name(t.to_pandas_dtype())
         for n, t in r_value
         if pa.types.is_integer(t)
+    }
+    l_int_value = {
+        n: _nullable_int_name(t.to_pandas_dtype())
+        for n, t in lf
+        if n not in on_keys and pa.types.is_integer(t)
     }
 
     def widen(side: int):
@@ -311,6 +322,14 @@ def equi_join(
         # int64 values above 2^53 (the asof precision bug, same fix)
         if r_int_value:
             r = r.assign(**{n: r[n].astype(ext) for n, ext in r_int_value.items()})
+        if how == "outer":
+            # FULL outer: unmatched RIGHT rows null out left value
+            # columns too — same nullable-Int guard on the left side
+            if l_int_value:
+                l = l.assign(
+                    **{n: l[n].astype(ext) for n, ext in l_int_value.items()}
+                )
+            return l.merge(r, on=on_keys, how="outer")
         return l.merge(r, on=on_keys, how="left")
 
     return apply_per_bucket(u, kernel, key=on_keys, num_buckets=num_buckets)

@@ -630,3 +630,60 @@ def source_dup_stats(ds: ray.data.Dataset) -> pd.DataFrame:
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["n_distinct"] = out["n_distinct"].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def _token_counts(ds: ray.data.Dataset, out_col: str) -> ray.data.Dataset:
+    """(token, count) reduction: per-batch Arrow value_counts partials
+    before the one vocab-sized groupby (shared by freq_spectrum /
+    vocab_drift)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+"
+        )
+        vc = pc.value_counts(pc.list_flatten(lists))
+        return pa.table(
+            {"token": vc.field("values"), out_col: vc.field("counts").cast(pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum(out_col, alias_name=out_col))
+    )
+
+
+def vocab_drift(
+    docs_a: ray.data.Dataset,
+    docs_b: ray.data.Dataset,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Vocabulary drift between two corpus snapshots: per token, its
+    count in snapshot A vs snapshot B, tokens present in EITHER — the
+    distribution-shift report (new slang, vanished boilerplate, burst
+    topics) a continuously-harvested corpus needs per epoch.
+
+    Plan: each side reduces to (token, count) via per-batch
+    value_counts partials; the FULL OUTER ``equi_join`` co-locates the
+    two vocab-sized tables with one hash(token) exchange; absent-side
+    counts coalesce to 0 in the final projection (keeping the gate's
+    int64 hashing exact). Documents never shuffle.
+    Output: (token, n_a, n_b)."""
+    from .join import equi_join
+
+    a = _token_counts(docs_a, "n_a")
+    b = _token_counts(docs_b, "n_b")
+    joined = equi_join(a, b, on="token", how="outer", num_buckets=num_buckets)
+
+    def coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "token": df["token"].to_numpy(),
+                "n_a": df["n_a"].fillna(0).to_numpy(np.int64),
+                "n_b": df["n_b"].fillna(0).to_numpy(np.int64),
+            }
+        )
+
+    return joined.map_batches(coalesce, batch_format="pandas")

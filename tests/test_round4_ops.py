@@ -1687,3 +1687,94 @@ def test_hash_sample_deterministic_and_uniform(ray_session):
     # crude uniformity: both id halves represented within 4 sigma
     lo = (got["doc_id"] < n // 2).sum()
     assert abs(lo - k / 2) < 4 * np.sqrt(k / 4)
+
+
+def test_equi_join_outer_randomized_vs_duckdb(ray_session):
+    """FULL outer join == DuckDB on random keys, with int64 values
+    above 2^53 on BOTH sides (the nullable-Int precision guard)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    rng = np.random.default_rng(31)
+    big = (1 << 60)
+    l = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, 50).astype(np.int64),
+            "lv": big + rng.integers(0, 1000, 50).astype(np.int64),
+        }
+    )
+    r = pd.DataFrame(
+        {
+            "k": rng.integers(15, 45, 40).astype(np.int64),
+            "rv": big + rng.integers(0, 1000, 40).astype(np.int64),
+        }
+    )
+    got = equi_join(
+        rd.from_pandas(l), rd.from_pandas(r), on="k", how="outer", num_buckets=4
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+    # fetchall(), NOT .df(): pandas readback of nullable BIGINT goes
+    # through float64 and rounds values above 2^53 — the exact bug the
+    # engine's nullable-Int guard exists to avoid.
+    want = con.execute(
+        "SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM l FULL OUTER JOIN r USING (k)"
+    ).fetchall()
+    con.close()
+    g = sorted(
+        (int(k), None if pd.isna(a) else int(a), None if pd.isna(b) else int(b))
+        for k, a, b in got[["k", "lv", "rv"]].itertuples(index=False)
+    )
+    w = sorted((int(k), a, b) for k, a, b in want)
+    assert g == w
+    # precision survived: every non-null value is still exactly >= 2^60
+    assert (got["lv"].dropna() >= big).all() and (got["rv"].dropna() >= big).all()
+
+
+def test_equi_join_outer_rejects_prefilter(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    df = pd.DataFrame({"k": [1], "v": [2]})
+    df2 = pd.DataFrame({"k": [1], "w": [3]})
+    with pytest.raises(ValueError, match="outer"):
+        equi_join(rd.from_pandas(df), rd.from_pandas(df2), on="k",
+                  how="outer", prefilter="left")
+
+
+def test_vocab_drift_vs_brute_force(ray_session):
+    """Full-outer token counts across two snapshots: tokens unique to
+    either side appear with a 0 on the other."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import vocab_drift
+
+    a_texts = ["old slang words here", "old words again"]
+    b_texts = ["new slang appears here", "new words again again"]
+    a = pd.DataFrame({"doc_id": [0, 1], "text": a_texts})
+    b = pd.DataFrame({"doc_id": [2, 3], "text": b_texts})
+    got = (
+        vocab_drift(rd.from_pandas(a), rd.from_pandas(b), num_buckets=2)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    ca = Counter(w for t in a_texts for w in t.split())
+    cb = Counter(w for t in b_texts for w in t.split())
+    toks = sorted(set(ca) | set(cb))
+    want = pd.DataFrame(
+        {
+            "token": toks,
+            "n_a": [ca.get(t, 0) for t in toks],
+            "n_b": [cb.get(t, 0) for t in toks],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(got.loc[got["token"] == "old", "n_b"].iloc[0]) == 0
+    assert int(got.loc[got["token"] == "new", "n_a"].iloc[0]) == 0
