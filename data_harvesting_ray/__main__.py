@@ -29,6 +29,14 @@ from the source log and the merged channel written as parquet:
     python -m data_harvesting_ray repair --out ENGINE_OUT \
         --epochs-root DIR --dest DIR \
         [--channel sessions|pairs|matches|orphans]
+
+The ``compact`` subcommand rewrites a channel's committed per-epoch
+shard files into ~target-rows parquet files, published atomically to
+a separate dir (the upstream epochs/manifests are untouched; a rerun
+with unchanged inputs is a no-op):
+
+    python -m data_harvesting_ray compact --out ENGINE_OUT \
+        --channel sessions --dest DIR [--target-rows N]
 """
 
 from __future__ import annotations
@@ -144,12 +152,41 @@ def repair_main(argv: list[str]) -> int:
     return 0
 
 
+def compact_main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="data_harvesting_ray compact")
+    p.add_argument("--out", required=True, help="finished engine output dir")
+    p.add_argument("--channel", required=True)
+    p.add_argument("--dest", required=True, help="compacted materialization dir")
+    p.add_argument("--target-rows", type=int, default=1_000_000)
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from . import configure_session
+    from .sinks.compact import compact_channel
+    from .sinks.exactly_once import EpochSink
+
+    configure_session()
+    entry = compact_channel(
+        EpochSink(args.out), args.channel, args.dest, target_rows=args.target_rows
+    )
+    print(json.dumps(entry))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "prep":
         return prep_main(argv[1:])
     if argv and argv[0] == "repair":
         return repair_main(argv[1:])
+    if argv and argv[0] == "compact":
+        return compact_main(argv[1:])
     p = argparse.ArgumentParser(prog="data_harvesting_ray", description=__doc__)
     p.add_argument("--epochs-root", required=True, help="directory of epoch=*/ dirs")
     p.add_argument("--out", required=True, help="output directory (channels + manifests)")

@@ -1778,3 +1778,96 @@ def test_vocab_drift_vs_brute_force(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert int(got.loc[got["token"] == "old", "n_b"].iloc[0]) == 0
     assert int(got.loc[got["token"] == "new", "n_a"].iloc[0]) == 0
+
+
+def test_compact_channel_preserves_rows_and_is_idempotent(ray_session, tmp_path):
+    """Compaction: exact row multiset preserved, file count reduced to
+    ceil(rows/target), re-run with same inputs is a no-op, and a new
+    committed epoch triggers an atomic rewrite."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_harvesting_ray.sinks.compact import compact_channel, compacted_files
+    from data_harvesting_ray.sinks.exactly_once import EpochSink
+
+    sink = EpochSink(str(tmp_path / "sink"))
+    rows = 0
+    for e in range(4):
+        d = sink.staging_dir(e)
+        for s in range(3):
+            t = pa.table(
+                {
+                    "k": pa.array(range(rows, rows + 50), pa.int64()),
+                    "v": pa.array([f"e{e}s{s}r{i}" for i in range(50)]),
+                }
+            )
+            pq.write_table(t, sink.staged_file(d, "sessions", s))
+            rows += 50
+        sink.commit(e, [], {})
+    dest = str(tmp_path / "compacted")
+    m1 = compact_channel(sink, "sessions", dest, target_rows=250)
+    assert m1["rows"] == 600 and m1["n_files"] == 3
+    files = compacted_files(dest)
+    assert len(files) == 3  # 12 input files -> 3
+    got = pq.read_table(files)
+    assert sorted(got["k"].to_pylist()) == list(range(600))
+    # no-op re-run: manifest returned unchanged, files untouched
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    m2 = compact_channel(sink, "sessions", dest, target_rows=250)
+    assert m2 == m1
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+    # a new epoch supersedes the compaction atomically
+    d = sink.staging_dir(4)
+    pq.write_table(
+        pa.table({"k": pa.array([999], pa.int64()), "v": pa.array(["x"])}),
+        sink.staged_file(d, "sessions", 0),
+    )
+    sink.commit(4, [], {})
+    m3 = compact_channel(sink, "sessions", dest, target_rows=250)
+    assert m3["rows"] == 601
+    got3 = pq.read_table(compacted_files(dest))
+    assert sorted(got3["k"].to_pylist()) == list(range(600)) + [999]
+
+
+def test_cli_compact_e2e(ray_session, tmp_path, capsys):
+    """Full user story: run the engine, then `compact` its sessions
+    channel via the CLI; the compacted dir reads back the same rows."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from data_harvesting_ray.__main__ import compact_main, main
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.sinks.compact import compacted_files
+    from data_harvesting_ray.sinks.exactly_once import EpochSink
+
+    out = tmp_path / "out"
+    assert main(
+        ["--epochs-root", epochs_root("sf0.001"), "--out", str(out),
+         "--num-shards", "4"]
+    ) == 0
+    capsys.readouterr()
+    dest = tmp_path / "sessions_compacted"
+    assert compact_main(
+        ["--out", str(out), "--channel", "sessions", "--dest", str(dest),
+         "--target-rows", "100000"]
+    ) == 0
+    entry = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    files = compacted_files(str(dest))
+    assert entry["n_files"] == len(files) == 1  # tiny fixture -> one file
+    sink = EpochSink(str(out))
+    # partitioning=None on both reads: the epoch= path component is
+    # sink layout, not a data column
+    orig = pq.read_table(
+        sink.committed_files("sessions"), partitioning=None
+    ).to_pandas()
+    comp = pq.read_table(files, partitioning=None).to_pandas()
+    assert "epoch" not in comp.columns
+    key = sorted(orig.columns)
+    pd.testing.assert_frame_equal(
+        orig[key].sort_values(key).reset_index(drop=True),
+        comp[key].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
