@@ -542,6 +542,19 @@ def q_e_sliding_mau(sf_dir: str) -> Any:
     )
 
 
+def q_e_type_cooccurrence(sf_dir: str) -> Any:
+    """Market-basket support counts: users performing BOTH of each
+    event-type pair — distinct activity partials, one hash(user)
+    shuffle, vectorized per-user pair expansion, pairs-sized result."""
+    from ..stages.events import type_cooccurrence
+
+    return type_cooccurrence(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+    )
+
+
 def q_e_session(sf_dir: str) -> Any:
     from ..stages.events import session_events
 
@@ -1633,6 +1646,14 @@ def q_d_distinct_kmv(sf_dir: str) -> Any:
     return kmv_distinct_tokens(_docs(sf_dir), k=256)
 
 
+def q_d_winnow(sf_dir: str) -> Any:
+    """Winnowing (MOSS) fingerprints: distinct per-window minima of
+    md5-60bit trigram hashes — embarrassingly parallel, no shuffle."""
+    from ..stages.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir), n=3, window=4)
+
+
 def q_d_vocab_drift(sf_dir: str) -> Any:
     """Vocabulary drift between two corpus halves: per-token counts
     FULL-OUTER joined (tokens in either half survive, absent side
@@ -1857,6 +1878,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_conv_dedup": q_t_conv_dedup,
         "d_hash_sample": q_d_hash_sample,
         "d_vocab_drift": q_d_vocab_drift,
+        "e_type_cooccurrence": q_e_type_cooccurrence,
+        "d_winnow": q_d_winnow,
         "d_collocations": q_d_collocations,
         "v_centroids_distributed": q_v_centroids_distributed,
         "d_weighted_sample": q_d_weighted_sample,
@@ -3031,6 +3054,34 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         SELECT CAST(freq AS BIGINT) AS freq,
                CAST(count(*) AS BIGINT) AS n_tokens
         FROM cnt GROUP BY freq
+    """
+    sqls["e_type_cooccurrence"] = """
+        WITH a AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a x JOIN a y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    """
+    sqls["d_winnow"] = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, i, len(toks) - 2 AS n_grams,
+                 CAST('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+                                     1, 15) AS BIGINT) AS hv
+          FROM t, LATERAL (SELECT unnest(generate_series(
+              1, greatest(len(toks) - 2, 0))) AS i)
+        ),
+        m AS (
+          SELECT doc_id, i, n_grams,
+                 min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS hv
+          FROM g
+        )
+        SELECT DISTINCT doc_id, hv FROM m WHERE i <= n_grams - 3
     """
     sqls["d_vocab_drift"] = r"""
         WITH s AS (SELECT count(*) // 2 AS split FROM documents),

@@ -570,3 +570,77 @@ def sliding_mau(
     return apply_per_bucket(
         pairs, per_window, key="window_us", num_buckets=num_buckets
     )
+
+
+def type_cooccurrence(
+    ds: ray.data.Dataset, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users performed BOTH — the support counts behind
+    "users who did A also did B" association mining.
+
+    Scale plan: per-batch DISTINCT (user, type) partials collapse
+    events to activity rows; one hash(user) shuffle co-locates each
+    user's type set; the kernel dedups exactly, forms each user's
+    pairs vectorized (types per user is bounded by the small type
+    alphabet, so the blowup is |types|², not events), and emits
+    pair-count partials; the final groupby is pairs-sized.
+
+    Reference analogue: the cross-class co-detection statistics the
+    multi-model projects imply (``projects/helmet/helmet_project.py``
+    pairs person+helmet detections within one frame)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            t.select(["user_id", "event_type"])
+            .to_pandas()
+            .drop_duplicates()
+        )
+        return to_clean_arrow(df)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        g = g.sort_values(["user_id", "event_type"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1]))
+        )
+        counts = np.diff(np.append(starts, len(uid)))
+        a_parts, b_parts = [], []
+        for w in np.unique(counts):
+            if w < 2:
+                continue
+            # all users with exactly w types, their C(w,2) pairs at once
+            sel = np.flatnonzero(counts == w)
+            rows = starts[sel][:, None] + np.arange(w)
+            types = et[rows]  # (n_users_w, w), sorted within row
+            iu, ju = np.triu_indices(w, k=1)
+            a_parts.append(types[:, iu].ravel())
+            b_parts.append(types[:, ju].ravel())
+        if not a_parts:
+            return pd.DataFrame(
+                {
+                    "type_a": np.array([], dtype=object),
+                    "type_b": np.array([], dtype=object),
+                    "n_users": np.array([], np.int64),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "type_a": np.concatenate(a_parts),
+                "type_b": np.concatenate(b_parts),
+                "n_users": np.int64(1),
+            }
+        )
+        return out.groupby(["type_a", "type_b"], sort=False, as_index=False)[
+            "n_users"
+        ].sum()
+
+    partials = apply_per_bucket(pairs, per_user, key="user_id", num_buckets=num_buckets)
+    return partials.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )

@@ -687,3 +687,60 @@ def vocab_drift(
         )
 
     return joined.map_batches(coalesce, batch_format="pandas")
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset,
+    n: int = 3,
+    window: int = 4,
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (the MOSS sketch — Schleimer,
+    Wilkerson & Aiken, SIGMOD'03): hash every word ``n``-gram
+    (md5-60bit, the engine's SQL-replayable hash) and keep the DISTINCT
+    per-window minima over each run of ``window`` consecutive gram
+    hashes. Two documents sharing a sufficiently long verbatim span
+    are guaranteed to share a selected fingerprint — the
+    plagiarism/boilerplate sketch whose size is ~2/(window+1) of the
+    gram count, independent of where duplication sits.
+
+    Vectorized and embarrassingly parallel: one Arrow split + shifted
+    concatenations build grams (shared ``_ngram_arrays``), one flat
+    ``sliding_window_view`` min with doc-boundary masking — a document
+    is atomic within its batch, so per-batch distinct IS global
+    distinct and nothing shuffles. Documents with fewer than
+    ``n + window - 1`` tokens emit nothing (no full window exists).
+    Output: (doc_id, hv) exploded fingerprint rows."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids, pos, grams = _ngram_arrays(t, n, "text", "doc_id")
+        if len(grams) < window:
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.array([], np.int64)),
+                    "hv": pa.array(np.array([], np.int64)),
+                }
+            )
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                for g in grams
+            ),
+            dtype=np.int64,
+            count=len(grams),
+        )
+        sw = sliding_window_view(hv, window).min(axis=1)
+        # a window is valid iff it stays inside one document: grams are
+        # flat in doc order, so same doc id at both ends suffices
+        valid = ids[: len(sw)] == ids[window - 1 :]
+        out = pd.DataFrame(
+            {"doc_id": ids[: len(sw)][valid], "hv": sw[valid]}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "hv": pa.array(out["hv"].to_numpy(np.int64)),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -1871,3 +1871,81 @@ def test_cli_compact_e2e(ray_session, tmp_path, capsys):
         comp[key].sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_type_cooccurrence_vs_duckdb(ray_session):
+    """Pair support counts equal the distinct self-join oracle on
+    random baskets, incl. single-type users (no pairs emitted)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.events import type_cooccurrence
+
+    rng = np.random.default_rng(37)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 120, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c", "d", "e"], n),
+        }
+    )
+    df.loc[df["user_id"] == 0, "event_type"] = "a"  # single-type user
+    got = (
+        type_cooccurrence(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+        WITH a AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a x JOIN a y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["type_a"] < got["type_b"]).all()
+
+
+def test_winnow_fingerprints_brute_force_and_guarantee(ray_session):
+    """Winnow set == brute-force reference; two docs sharing a long
+    verbatim span share at least one fingerprint; short docs emit
+    nothing; batch-layout independent."""
+    import hashlib
+
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import winnow_fingerprints
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 50))) for _ in range(60)]
+    shared = " ".join(rng.choice(vocab, size=20))
+    texts.append(shared + " unique tail one two three")
+    texts.append("other prefix words " + shared)
+    texts.append("too short")  # < n + window - 1 tokens -> nothing
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    n, w = 3, 4
+
+    def brute(text):
+        toks = text.strip().split()
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        hv = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        return {min(hv[i : i + w]) for i in range(len(hv) - w + 1)}
+
+    got = winnow_fingerprints(rd.from_pandas(df), n=n, window=w).to_pandas()
+    by_doc = {d: set(s["hv"]) for d, s in got.groupby("doc_id")}
+    for i, t in enumerate(texts):
+        assert by_doc.get(i, set()) == brute(t), i
+    assert 62 not in by_doc  # "too short"
+    assert by_doc[60] & by_doc[61]  # shared 20-token span -> shared print
+    got2 = winnow_fingerprints(
+        rd.from_pandas(df).repartition(5), n=n, window=w
+    ).to_pandas()
+    a = got.sort_values(["doc_id", "hv"]).reset_index(drop=True)
+    b = got2.sort_values(["doc_id", "hv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
