@@ -702,15 +702,22 @@ def local_supplier_volume(
             pa.array((us >= lo) & (us < hi))
         )
 
-    ord_side = equi_join(
-        orders.select_columns(
-            ["o_orderkey", "o_custkey", "o_orderdate"]
-        ).map_batches(date_prune, batch_format="pyarrow"),
-        cust,
-        on="o_custkey",
-        how="inner",
-        num_buckets=num_buckets,
-    ).select_columns(["o_orderkey", "c_nationkey"])
+    orders_pruned = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(date_prune, batch_format="pyarrow")
+    # same count-gated hybrid as the supplier side: the region's
+    # customers are dimension-shaped until the corpus says otherwise;
+    # broadcast keeps the orders side LAZY (no schema-resolution
+    # materialization, no shuffle), the distributed join is the
+    # corpus-scale fallback. Metadata-only count on the raw read.
+    if customer.count() <= supplier_broadcast_cap:
+        ord_side = broadcast_join(orders_pruned, cust, on="o_custkey", how="inner")
+    else:
+        ord_side = equi_join(
+            orders_pruned, cust, on="o_custkey", how="inner",
+            num_buckets=num_buckets,
+        )
+    ord_side = ord_side.select_columns(["o_orderkey", "c_nationkey"])
 
     def supp_prune(t: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
@@ -725,6 +732,10 @@ def local_supplier_volume(
             }
         )
 
+    # count-gate on the RAW table: for a pure parquet read this is a
+    # metadata-only count (no execution), and it upper-bounds the
+    # pruned side — the broadcast decision never runs the prune twice
+    supplier_rows = supplier.count()
     supp = supplier.map_batches(supp_prune, batch_format="pyarrow")
 
     def line_project(t: pa.Table) -> pa.Table:
@@ -747,7 +758,7 @@ def local_supplier_volume(
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     ).map_batches(line_project, batch_format="pyarrow")
 
-    if supp.count() <= supplier_broadcast_cap:
+    if supplier_rows <= supplier_broadcast_cap:
         lines_s = broadcast_join(lines, supp, on="l_suppkey", how="inner")
     else:  # corpus-scale supplier table: distributed hash join
         lines_s = equi_join(
@@ -829,6 +840,8 @@ def promo_revenue_share(
             }
         )
 
+    # metadata-only count on the raw read; upper-bounds the pruned side
+    part_rows = part.count()
     pkeys = part.map_batches(part_prune, batch_format="pyarrow")
 
     def line_project(t: pa.Table) -> pa.Table:
@@ -856,7 +869,7 @@ def promo_revenue_share(
         ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
     ).map_batches(line_project, batch_format="pyarrow")
 
-    if pkeys.count() <= part_broadcast_cap:
+    if part_rows <= part_broadcast_cap:
         annotated = broadcast_join(lines, pkeys, on="l_partkey", how="inner")
     else:  # corpus-scale part table: distributed hash join
         annotated = equi_join(
