@@ -26,7 +26,7 @@ from .stages.projection import (  # noqa: F401
 )
 
 # dedup / near-dup / similarity
-from .stages.dedup import dedup_exact  # noqa: F401
+from .stages.dedup import conv_dedup, dedup_exact, incremental_dedup  # noqa: F401
 from .stages.dedup_approx import (  # noqa: F401
     minhash_candidates,
     minhash_near_dups,
@@ -38,10 +38,12 @@ from .stages.components import (  # noqa: F401
     keep_best_per_group,
 )
 from .stages.similarity import (  # noqa: F401
+    dim_stats,
     embedding_near_dups,
     group_centroids,
     knn_bruteforce,
     knn_ivf,
+    label_centroid_dist,
 )
 from .stages.text import (  # noqa: F401
     bpe_token_count,
@@ -49,9 +51,14 @@ from .stages.text import (  # noqa: F401
     explode_ngrams,
     explode_tokens,
     fingerprint_docs,
+    freq_spectrum,
     lang_id,
+    length_percentile_gate,
     quality_score,
+    source_dup_stats,
     token_stats,
+    vocab_drift,
+    winnow_fingerprints,
 )
 
 # window functions (per-key ordered lag/lead, bounded trailing windows)
@@ -67,16 +74,30 @@ from .stages.window_fns import (  # noqa: F401
 from .stages.scrub import PII_RULES, contamination_flags, scrub_text  # noqa: F401
 from .stages.packing import pack_sequences  # noqa: F401
 
-# sketch-accelerated exact aggregates
-from .stages.sketches import heavy_hitters, heavy_tokens  # noqa: F401
+# sketch-accelerated exact aggregates + deterministic cardinality sketch
+from .stages.sketches import (  # noqa: F401
+    heavy_hitters,
+    heavy_tokens,
+    kmv_distinct_tokens,
+)
 
 # reshapes / distributions / funnels
 from .stages.aggregates import (  # noqa: F401
+    late_order_counts,
+    local_supplier_volume,
     pivot_counts,
+    promo_revenue_share,
     rollup_counts,
+    segment_revenue_topk,
     value_histogram,
 )
-from .stages.events import funnel_events  # noqa: F401
+from .stages.events import (  # noqa: F401
+    daily_spikes,
+    funnel_events,
+    sliding_mau,
+    type_cooccurrence,
+    window_distinct_users,
+)
 
 # windows / CEP / state
 from .stages.windows import (  # noqa: F401
@@ -122,6 +143,11 @@ from .stages.events import (  # noqa: F401
     sliding_events,
     tumbling_events,
 )
+
+# sampling / sources / compaction
+from .stages.projection import hash_sample  # noqa: F401
+from .sources.jsonl import read_documents_jsonl  # noqa: F401
+from .sinks.compact import compact_channel, compacted_files  # noqa: F401
 
 # multimodal / debug
 from .stages.multimodal import (  # noqa: F401
