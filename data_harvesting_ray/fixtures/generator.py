@@ -399,9 +399,15 @@ def ivf_side_paths(
         kmeans_lloyd,
     )
 
-    emb = pq.read_table(
-        os.path.join(src_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    ).to_pandas()
+    emb = (
+        pq.read_table(
+            os.path.join(src_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .to_pandas()
+        .sort_values("vec_id", kind="stable")  # canonical sample order,
+        # matching the engine's id-sorted driver-side training sample
+    )
     ids = emb["vec_id"].to_numpy().astype(np.int64)
     mraw = _stack(emb["embedding"])
     # kmeans_lloyd normalizes internally — pass RAW rows exactly like
@@ -470,6 +476,65 @@ def simhash_sigs_path(sf_dir_or_name: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     tmp = out + f".tmp-{os.getpid()}"
     pq.write_table(pa.Table.from_pandas(sigs, preserve_index=False), tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        os.unlink(tmp)
+    return out
+
+
+def semdedup_cells_path(
+    sf_dir_or_name: str,
+    n_centroids: int = 8,
+    sample_frac: float = 0.5,
+    seed: int = 13,
+) -> str:
+    """(vec_id → k-means cell) assignments for the PLANTED-near-dup
+    embeddings table, recomputed DRIVER-SIDE in plain numpy with the
+    SAME shared kernels the engine's ``semdedup`` uses
+    (``ivf_sample_threshold_micro`` + ``ivf_sample_mask`` +
+    ``kmeans_lloyd`` + argmax assignment) and cached beside the
+    fixtures.
+
+    This makes SemDeDup SQL-checkable exactly like IVF KNN: centroid
+    training is not SQL-expressible, but with the cell assignment as
+    an INPUT table DuckDB independently verifies the distributed part
+    — the within-cell keep-first cosine suppression — via
+    list_cosine_similarity + NOT EXISTS over the embeddings view."""
+    import numpy as np
+
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    tag = f"c{n_centroids}_f{int(sample_frac * 1000)}_s{seed}"
+    out = os.path.join(out_dir, f"semdedup_cells_{tag}.parquet")
+    if os.path.exists(out):
+        return out
+    from ..stages.similarity import (
+        _normalize_rows,
+        _stack,
+        ivf_sample_mask,
+        ivf_sample_threshold_micro,
+        kmeans_lloyd,
+    )
+
+    emb = (
+        pq.read_table(
+            neardup_embeddings_path(sf_dir_or_name),
+            columns=["vec_id", "embedding"],
+        )
+        .to_pandas()
+        .sort_values("vec_id", kind="stable")  # canonical sample order
+    )
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    mraw = _stack(emb["embedding"])
+    thr = ivf_sample_threshold_micro(len(ids), sample_frac)
+    cents = kmeans_lloyd(
+        mraw[ivf_sample_mask(ids, threshold_micro=thr)], n_centroids, seed=seed
+    )
+    cell = np.argmax(_normalize_rows(mraw) @ cents.T, axis=1).astype(np.int64)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(pa.table({"vec_id": ids, "cell": cell}), tmp)
     try:
         os.rename(tmp, out)
     except OSError:

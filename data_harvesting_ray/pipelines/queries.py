@@ -1062,6 +1062,27 @@ def q_v_near_dups(sf_dir: str) -> Any:
     return pairs[["vec_a", "vec_b"]]
 
 
+def q_v_semdedup(sf_dir: str) -> Any:
+    """SemDeDup (k-means cells → within-cell keep-first cosine
+    suppression) over the planted-near-dup embeddings table. Gated via
+    a side cell-assignment table exactly like v_knn_ivf: centroid
+    training is not SQL, but with (vec_id, cell) as an INPUT table —
+    recomputed independently driver-side with the same shared kernels
+    (fixtures.generator.semdedup_cells_path) — DuckDB verifies the
+    whole distributed part: assignment-joined grouping and the
+    NOT-EXISTS lower-id cosine rule. Planted pairs sit at cosine
+    ≈ 0.97 and natural pairs ≤ ~0.6, so the 0.9 threshold has wide
+    float margins on both engines."""
+    from ..fixtures.generator import neardup_embeddings_path, semdedup_cells_path
+    from ..stages.similarity import semdedup
+
+    semdedup_cells_path(sf_dir)  # ensure the oracle's input exists
+    emb = rd.read_parquet(
+        neardup_embeddings_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    return semdedup(emb, n_centroids=8, threshold=0.9)
+
+
 def q_d_corpus_prep(sf_dir: str) -> Any:
     """Composite corpus-prep flow (lang gate -> quality gate ->
     near-dup-group keep-one -> token metrics -> train/val/test split)
@@ -1857,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_group_centroid": q_v_group_centroid,
         "v_knn_ivf": q_v_knn_ivf,
         "v_near_dups": q_v_near_dups,
+        "v_semdedup": q_v_semdedup,
         "m_binary_meta": q_m_binary_meta,
         "m_features": q_m_features,
         "m_frame_sample": q_m_frame_sample,
@@ -1892,6 +1914,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         documents_jsonl_path,
         ivf_side_paths,
         neardup_embeddings_path,
+        semdedup_cells_path,
         simhash_sigs_path,
     )
 
@@ -1900,6 +1923,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     ep = neardup_embeddings_path(sf_name)  # planted-near-dup embeddings
     sp = simhash_sigs_path(sf_name)  # engine-kernel simhash signatures
     ivf_cells, ivf_probes = ivf_side_paths(sf_name)  # IVF assignments/probes
+    sd_cells = semdedup_cells_path(sf_name)  # SemDeDup cell assignments
     RAW = f"read_parquet('{p}')"
     T = f"(SELECT DISTINCT * FROM {RAW})"
     NORM = (
@@ -2553,6 +2577,21 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             FROM read_parquet('{ep}') a
             JOIN read_parquet('{ep}') b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        """,
+        # SemDeDup over the side cell table: survivor = no lower-id
+        # cluster-mate at cosine >= threshold (keep-first rule).
+        "v_semdedup": f"""
+            SELECT e.vec_id, c.cell
+            FROM read_parquet('{ep}') e
+            JOIN read_parquet('{sd_cells}') c USING (vec_id)
+            WHERE NOT EXISTS (
+              SELECT 1
+              FROM read_parquet('{ep}') e2
+              JOIN read_parquet('{sd_cells}') c2 ON e2.vec_id = c2.vec_id
+              WHERE c2.cell = c.cell
+                AND e2.vec_id < e.vec_id
+                AND list_cosine_similarity(e2.embedding, e.embedding) >= 0.9
+            )
         """,
         # Exact 5-gram Jaccard in integer milli-units — the LSH path
         # must find every pair >= threshold with the same floor-divided

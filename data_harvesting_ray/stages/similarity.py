@@ -153,9 +153,21 @@ def train_centroids(
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         return df[
             ivf_sample_mask(df["vec_id"].to_numpy(), threshold_micro=thr)
-        ][["embedding"]]
+        ][["vec_id", "embedding"]]
 
-    sample = _stack(ds.map_batches(pick, batch_format="pandas").to_pandas()["embedding"])
+    # Sort the driver-side sample by vec_id: Ray's streaming executor
+    # does NOT preserve block order (preserve_order is off), so the
+    # sample's arrival order is nondeterministic — and both the k-means
+    # init draw (rng.choice indexes INTO the sample) and the float mean
+    # summation order depend on row order. Canonical id order makes the
+    # centroids a pure function of the TABLE, matching the side-table
+    # oracle's recompute.
+    picked = (
+        ds.map_batches(pick, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id", kind="stable")
+    )
+    sample = _stack(picked["embedding"])
     return kmeans_lloyd(sample, n_centroids, iters=iters, seed=seed)
 
 
@@ -500,12 +512,17 @@ def train_centroids_distributed(
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         return df[ivf_sample_mask(df["vec_id"].to_numpy(), threshold_micro=thr)][
-            ["embedding"]
+            ["vec_id", "embedding"]
         ]
 
-    pool = _normalize_rows(
-        _stack(ds.map_batches(pick, batch_format="pandas").to_pandas()["embedding"])
+    # id-sorted for the same reason as train_centroids: block arrival
+    # order is nondeterministic, the init draw must not be.
+    pool_df = (
+        ds.map_batches(pick, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id", kind="stable")
     )
+    pool = _normalize_rows(_stack(pool_df["embedding"]))
     rng = np.random.default_rng(seed)
     cents = pool[
         rng.choice(len(pool), size=min(n_centroids, len(pool)), replace=False)
@@ -638,3 +655,109 @@ def label_centroid_dist(
         )
 
     return ds.map_batches(dist, batch_format="pandas")
+
+
+# Within-cell all-pairs bound for semdedup: a cell larger than this
+# means the centroid model is far too coarse for the corpus (SemDeDup
+# sizes k so cells hold ~corpus/k rows); raising is the honest move —
+# silently subsampling the cell would change the survivor set.
+SEMDEDUP_CELL_CAP = 200_000
+# Soft budget (float64 elements) for one chunked similarity slab —
+# bounds kernel memory at chunk_rows x cell_rows.
+_SEMDEDUP_SLAB_BUDGET = 8_000_000
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    n_centroids: int = 8,
+    threshold: float = 0.9,
+    sample_frac: float = 0.5,
+    seed: int = 13,
+    cell_cap: int = SEMDEDUP_CELL_CAP,
+) -> ray.data.Dataset:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    drop within each cluster every vector whose cosine similarity to a
+    LOWER-vec_id cluster-mate reaches ``threshold`` — the keep-first
+    rule every dedup stage in this repo uses. Returns the survivors as
+    (vec_id, cell).
+
+    The point vs ``embedding_near_dups``: all-pairs work is confined
+    to a cell (~corpus/k rows), so the total comparison count drops
+    from O(N²) to O(N²/k) with recall bounded by the clustering (two
+    near-dups in different cells are never compared — the documented
+    SemDeDup trade; the paper picks k ~ sqrt(N) so cells stay small).
+
+    Scale plan: centroid training is the count-bounded driver sample
+    (``train_centroids`` — constant-size at any corpus); assignment is
+    one broadcast + matmul map_batches pass; the ONLY shuffle moves
+    each vector once to its cell (groupby); the per-cell kernel is
+    chunked matmul (slab memory bounded by ``_SEMDEDUP_SLAB_BUDGET``)
+    and raises past ``cell_cap`` rather than degrade silently.
+
+    Reference analogue: the frame-similarity suppression gate
+    (services/harvest_service.py:206-232) — same "seen something too
+    similar already, drop it" semantics, lifted to embedding space."""
+    cents = train_centroids(
+        ds, n_centroids=n_centroids, sample_frac=sample_frac, seed=seed
+    )
+    ref = ray.put(cents)
+
+    def assign(df: pd.DataFrame):
+        from .partition import to_clean_arrow
+
+        c = ray.get(ref)
+        m = _normalize_rows(_stack(df["embedding"]))
+        return to_clean_arrow(
+            pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"].to_numpy(np.int64),
+                    "cell": np.argmax(m @ c.T, axis=1).astype(np.int64),
+                    "embedding": df["embedding"],
+                }
+            )
+        )
+
+    def cell_survivors(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n > cell_cap:
+            raise ValueError(
+                f"semdedup cell has {n} rows > cell_cap={cell_cap}; "
+                f"raise n_centroids so cells shrink (k ~ sqrt(N))"
+            )
+        g = g.sort_values("vec_id", kind="stable")
+        ids = g["vec_id"].to_numpy(np.int64)
+        m = _normalize_rows(_stack(g["embedding"]))
+        dup = np.zeros(n, dtype=bool)
+        chunk = max(1, _SEMDEDUP_SLAB_BUDGET // max(n, 1))
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            s = m[lo:hi] @ m.T  # (hi-lo, n) slab
+            # row r (global i = lo+r) may only match columns j < i
+            mask = np.tri(hi - lo, n, k=lo - 1, dtype=bool)
+            dup[lo:hi] = ((s >= threshold) & mask).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids[~dup], "cell": g["cell"].to_numpy(np.int64)[~dup]}
+        )
+
+    def survivors_block(df: pd.DataFrame) -> pd.DataFrame:
+        # a bucket-partition holds a handful of WHOLE cells (cell is
+        # the shuffle key), so the per-cell loop is over the model's k,
+        # never over rows
+        outs = [cell_survivors(g) for _, g in df.groupby("cell", sort=False)]
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                {
+                    "vec_id": np.array([], dtype=np.int64),
+                    "cell": np.array([], dtype=np.int64),
+                }
+            )
+        )
+
+    from .partition import apply_per_bucket, default_num_buckets
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    b = max(1, min(n_centroids, default_num_buckets()))
+    return apply_per_bucket(assigned, survivors_block, key="cell", num_buckets=b)

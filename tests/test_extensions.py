@@ -1314,3 +1314,56 @@ def test_value_histogram_matches_numpy(ray_session):
     bins, counts = np.unique(np.floor(v / 10.0).astype(np.int64), return_counts=True)
     want = pd.DataFrame({"bin": bins, "n": counts.astype(np.int64)})
     pd.testing.assert_frame_equal(got.astype({"n": np.int64}), want)
+
+
+def test_semdedup_suppresses_co_celled_planted_dups(ray_session):
+    """SemDeDup keep-first semantics: a planted exact-ish duplicate that
+    lands in the SAME k-means cell as its base must be dropped; the
+    survivor set is deterministic across runs (block order must not
+    leak into centroid training)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 16)).astype(np.float32)
+    # plant 6 near-copies (cosine ~ 0.9999) of ids 0..5 as ids 100..105
+    dups = base[:6] + rng.normal(scale=0.001, size=(6, 16)).astype(np.float32)
+    vecs = np.vstack([base, dups])
+    ids = np.concatenate([np.arange(60), np.arange(100, 106)]).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(map(list, vecs))})
+
+    out = semdedup(rd.from_pandas(df), n_centroids=4, threshold=0.95).to_pandas()
+    survivors = set(out["vec_id"])
+    # keep-first: every base id survives; near-copies at cosine ~1 share
+    # the base's argmax cell, so they must be gone
+    assert set(range(60)) <= survivors
+    assert survivors.isdisjoint(range(100, 106))
+
+    out2 = semdedup(rd.from_pandas(df), n_centroids=4, threshold=0.95).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("vec_id").reset_index(drop=True),
+        out2.sort_values("vec_id").reset_index(drop=True),
+    )
+
+
+def test_semdedup_cell_cap_raises(ray_session):
+    import ray.data as rd
+
+    import pytest
+
+    from data_harvesting_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(30, dtype=np.int64),
+            "embedding": list(map(list, vecs)),
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        semdedup(
+            rd.from_pandas(df), n_centroids=1, threshold=0.99, cell_cap=10
+        ).to_pandas()
+    assert "cell_cap" in str(ei.value)
