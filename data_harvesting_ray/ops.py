@@ -53,6 +53,7 @@ from .stages.text import (  # noqa: F401
     explode_tokens,
     fingerprint_docs,
     freq_spectrum,
+    gopher_gate,
     lang_id,
     length_percentile_gate,
     quality_score,
@@ -129,6 +130,8 @@ from .stages.aggregates import (  # noqa: F401
     gap_quantiles,
     global_value_quantiles,
     lineitem_rollup,
+    profile_table,
+    quota_sample,
     role_mode,
     sample_per_key,
     stride_sample,

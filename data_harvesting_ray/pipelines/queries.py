@@ -817,6 +817,58 @@ def q_d_lang_id(sf_dir: str) -> Any:
     return lang_id(_docs(sf_dir))
 
 
+def q_d_profile(sf_dir: str) -> Any:
+    """Table profiler: per-column n / nulls / exact distinct /
+    lexicographic min-max of the VARCHAR rendering over the documents
+    metadata columns (free text profiled via fingerprints, not raw
+    values — see profile_table docstring)."""
+    import data_harvesting_ray
+    from ..stages.aggregates import profile_table
+
+    data_harvesting_ray.configure_session()
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    return profile_table(docs, columns=cols, num_buckets=4)
+
+
+SOURCE_MIX_QUOTAS = {
+    "src0": 10,
+    "src1": 5,
+    "src2": 15,
+    "src3": 8,
+    "src4": 25,  # == the source's full count (cap exactly met)
+    "src5": 30,  # > count (quota not binding)
+}
+
+
+def q_d_source_mix(sf_dir: str) -> Any:
+    """Source-mix resampling: rebalance the corpus to a target per-
+    source quota (unlisted sources dropped), selected in deterministic
+    hash order — quotas exercise the binding, exactly-met and
+    non-binding cases."""
+    import data_harvesting_ray
+    from ..stages.aggregates import quota_sample
+
+    data_harvesting_ray.configure_session()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return quota_sample(
+        docs, key="source", quotas=SOURCE_MIX_QUOTAS, id_col="doc_id",
+        num_buckets=8,
+    )
+
+
+def q_d_gopher_gate(sf_dir: str) -> Any:
+    """Gopher-rule quality gate (word count, mean word length, symbol
+    ratio, alpha-word fraction) — every rule integer-exact so the
+    DuckDB oracle hashes identically; RE2 regex semantics shared by
+    Arrow and DuckDB."""
+    from ..stages.text import gopher_gate
+
+    return gopher_gate(_docs(sf_dir))
+
+
 def q_d_train_split(sf_dir: str) -> Any:
     from ..stages.projection import train_split
 
@@ -1843,6 +1895,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_stratified_split": q_d_stratified_split,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
+        "d_gopher_gate": q_d_gopher_gate,
+        "d_source_mix": q_d_source_mix,
+        "d_profile": q_d_profile,
         "d_minhash_near_dups": q_d_minhash_near_dups,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_dedup_groups": q_d_dedup_groups,
@@ -2332,6 +2387,72 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(length(list_distinct(list_transform(toks, x -> lower(x)))) AS BIGINT) AS n_unique_tokens,
                    CAST((list_sum(list_transform(toks, x -> length(x))) * 1000)
                         // greatest(length(toks), 1) AS BIGINT) AS mean_token_len_milli
+            FROM t
+        """,
+        # Column profiler: one UNION ALL branch per profiled column,
+        # VARCHAR min/max matching the engine's uniform string schema.
+        "d_profile": r"""
+            SELECT 'doc_id' AS col, count(*) AS n,
+                   count(*) - count(doc_id) AS n_null,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   min(CAST(doc_id AS VARCHAR)) AS min_str,
+                   max(CAST(doc_id AS VARCHAR)) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang), min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source), min(source), max(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars),
+                   min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+            FROM documents
+        """,
+        # Per-source quota resampling in deterministic hash order —
+        # quotas mirror queries.SOURCE_MIX_QUOTAS.
+        "d_source_mix": r"""
+            WITH q AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                     ) AS rn
+              FROM documents
+              WHERE source IN ('src0','src1','src2','src3','src4','src5')
+            )
+            SELECT doc_id, source, CAST(rn AS BIGINT) AS rank
+            FROM q
+            WHERE rn <= CASE source
+                          WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
+                          WHEN 'src2' THEN 15 WHEN 'src3' THEN 8
+                          WHEN 'src4' THEN 25 WHEN 'src5' THEN 30
+                        END
+        """,
+        # Gopher rules as pure integer arithmetic over RE2 counts —
+        # bounds mirror stages/text.py GOPHER_* constants.
+        "d_gopher_gate": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                     CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars,
+                     CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha_words,
+                     CAST((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols
+              FROM documents
+            )
+            SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols,
+                   (n_words BETWEEN 20 AND 400) AS gate_words,
+                   (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words) AS gate_mean_len,
+                   (10 * n_symbols <= n_words) AS gate_symbols,
+                   (5 * n_alpha_words >= 4 * n_words) AS gate_alpha,
+                   ((n_words BETWEEN 20 AND 400)
+                    AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+                    AND (10 * n_symbols <= n_words)
+                    AND (5 * n_alpha_words >= 4 * n_words)) AS keep
             FROM t
         """,
         "d_quality": r"""

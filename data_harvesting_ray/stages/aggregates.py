@@ -217,6 +217,53 @@ def sample_per_key(
     )
 
 
+def quota_sample(
+    ds: ray.data.Dataset,
+    key: str,
+    quotas: dict[str, int],
+    id_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Source-mix resampling: keep at most ``quotas[key]`` rows per
+    key (keys absent from ``quotas`` are dropped entirely), selected
+    by golden-ratio integer-hash order of ``id_col`` — the "rebalance
+    the corpus to a target domain mix" curation op (the per-key
+    generalization of ``sample_per_key``'s single cap).
+
+    Scale plan: quotas are model-sized (one entry per domain/source),
+    shipped in the task closure; the partial per-batch prune caps every
+    key at max(quota) rows per block BEFORE the shuffle, and the final
+    per-key rank filter runs vectorized in the bucket kernel's output.
+    Rows of dropped keys are filtered in the partial pass, so they
+    never enter the exchange."""
+    if not quotas:
+        raise ValueError("quota_sample needs at least one key quota")
+    kmax = int(max(quotas.values()))
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[key].isin(quotas)].copy()
+        df["__h"] = (
+            df[id_col].to_numpy().astype(np.int64) * 2654435761
+        ) % 1000000007
+        return df
+
+    ranked = topk_per_key(
+        ds.map_batches(add_h, batch_format="pandas"),
+        key=key,
+        value="__h",
+        k=kmax,
+        ascending=True,
+        tie=id_col,
+        num_buckets=num_buckets,
+    )
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        q = df[key].map(quotas).fillna(0).astype(np.int64)
+        return df[df["rank"] <= q].drop(columns=["__h"])
+
+    return ranked.map_batches(cut, batch_format="pandas")
+
+
 def gap_quantiles(
     ds: ray.data.Dataset,
     q_milli: tuple[int, ...] = (500, 900),
@@ -1004,3 +1051,74 @@ def late_order_counts(
     return partials.groupby("o_orderpriority").aggregate(
         Sum("n_orders", alias_name="n_orders")
     )
+
+
+def profile_table(
+    ds: ray.data.Dataset,
+    columns: list[str],
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Column profiler — per column: row count, null count, exact
+    distinct count, lexicographic min/max of the VARCHAR rendering
+    (one uniform output schema across mixed column types; the string
+    rendering of int64 matches SQL's CAST(... AS VARCHAR)). The
+    "what's in this table" health check run before any corpus job.
+
+    Scale plan: two streamed passes. Pass 1 collapses every block to
+    one |columns|-row partial (n / n_null / min / max) reduced by a
+    |columns|-row groupby. Pass 2 reuses ``distinct_per_key`` over
+    within-batch-deduped (col, value) pairs — the exchange moves
+    distinct pairs only. Profile FREE-TEXT columns via their
+    fingerprint (stages/text.fingerprint_docs), not raw values: the
+    distinct exchange ships each distinct value string once."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = list(columns)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            vs = s.dropna().astype(str)
+            rows.append(
+                {
+                    "col": c,
+                    "n": np.int64(len(s)),
+                    "n_null": np.int64(s.isna().sum()),
+                    "min_str": vs.min() if len(vs) else None,
+                    "max_str": vs.max() if len(vs) else None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pandas")
+        .groupby("col")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_str", alias_name="min_str"),
+            Max("max_str", alias_name="max_str"),
+        )
+        .to_pandas()  # |columns| rows: bounded by the schema, not data
+    )
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            pd.DataFrame(
+                {"col": c, "value": df[c].dropna().astype(str).unique()}
+            )
+            for c in cols
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    dist = distinct_per_key(
+        ds.map_batches(melt, batch_format="pandas"),
+        key="col",
+        value="value",
+        num_buckets=num_buckets,
+    ).to_pandas()  # |columns| rows
+
+    out = stats.merge(dist, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    return out.sort_values("col", kind="stable").reset_index(drop=True)

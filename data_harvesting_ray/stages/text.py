@@ -744,3 +744,69 @@ def winnow_fingerprints(
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+# Gopher-style document-quality rule bounds (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1 heuristics, adapted
+# to integer-exact comparisons so the SQL oracle hashes identically):
+# word count in [min,max]; mean word length in [3,10] chars; symbol
+# ("#", "...") to word ratio <= 0.1; >= 80% of words contain an
+# alphabetic character.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 400
+
+
+def gopher_gate_batch(t: pa.Table) -> pa.Table:
+    """One zero-copy Arrow pass; every rule is integer arithmetic over
+    RE2 counts (identical semantics in Arrow and DuckDB — the
+    BPE_ISH_PATTERN discipline), so flags never touch floats."""
+    import pyarrow.compute as pc
+
+    txt = t["text"]
+    i64 = pa.int64()
+    wc = pc.cast(pc.count_substring_regex(txt, r"\S+"), i64)
+    sl = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(txt, r"\s", "")), i64
+    )
+    na = pc.cast(pc.count_substring_regex(txt, r"\S*[A-Za-z]\S*"), i64)
+    nsym = pc.cast(
+        pc.add(pc.count_substring(txt, "#"), pc.count_substring(txt, "...")),
+        i64,
+    )
+    gate_words = pc.and_(
+        pc.greater_equal(wc, GOPHER_MIN_WORDS),
+        pc.less_equal(wc, GOPHER_MAX_WORDS),
+    )
+    # 3 <= mean word length <= 10  <=>  3*wc <= sl AND sl <= 10*wc
+    gate_mean_len = pc.and_(
+        pc.less_equal(pc.multiply(pa.scalar(3, i64), wc), sl),
+        pc.less_equal(sl, pc.multiply(pa.scalar(10, i64), wc)),
+    )
+    # symbol-to-word ratio <= 0.1  <=>  10*nsym <= wc
+    gate_symbols = pc.less_equal(pc.multiply(pa.scalar(10, i64), nsym), wc)
+    # alpha-word fraction >= 0.8  <=>  5*na >= 4*wc
+    gate_alpha = pc.greater_equal(
+        pc.multiply(pa.scalar(5, i64), na), pc.multiply(pa.scalar(4, i64), wc)
+    )
+    keep = pc.and_(pc.and_(gate_words, gate_mean_len), pc.and_(gate_symbols, gate_alpha))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_words": wc,
+            "n_word_chars": sl,
+            "n_alpha_words": na,
+            "n_symbols": nsym,
+            "gate_words": gate_words,
+            "gate_mean_len": gate_mean_len,
+            "gate_symbols": gate_symbols,
+            "gate_alpha": gate_alpha,
+            "keep": keep,
+        }
+    )
+
+
+def gopher_gate(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Gopher-rule quality gate per document — the reference's
+    confidence/class filter (M4) shape, applied with the published
+    LLM-corpus heuristics. Embarrassingly parallel, no shuffle."""
+    return ds.map_batches(gopher_gate_batch, batch_format="pyarrow")

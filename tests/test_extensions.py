@@ -1367,3 +1367,82 @@ def test_semdedup_cell_cap_raises(ray_session):
             rd.from_pandas(df), n_centroids=1, threshold=0.99, cell_cap=10
         ).to_pandas()
     assert "cell_cap" in str(ei.value)
+
+
+def test_gopher_gate_rules(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import gopher_gate
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "short doc",  # < 20 words -> gate_words False
+                " ".join(["solid"] * 30),  # all gates pass
+                " ".join(["####"] * 30),  # no alpha words, all symbols
+                " ".join(["a"] * 30),  # mean word length 1 -> too short
+            ],
+        }
+    )
+    out = (
+        gopher_gate(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["keep"]) == [False, True, False, False]
+    assert list(out["gate_words"]) == [False, True, True, True]
+    assert bool(out.loc[2, "gate_alpha"]) is False
+    assert bool(out.loc[3, "gate_mean_len"]) is False
+    assert out.loc[1, "n_words"] == 30 and out.loc[1, "n_word_chars"] == 150
+
+
+def test_quota_sample_quotas_and_determinism(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import quota_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "source": np.repeat(["a", "b", "c", "d"], 25),
+        }
+    )
+    quotas = {"a": 5, "b": 25, "c": 40}  # binding / exact / non-binding; d dropped
+    out = quota_sample(
+        rd.from_pandas(df), key="source", quotas=quotas, id_col="doc_id",
+        num_buckets=4,
+    ).to_pandas()
+    sizes = out.groupby("source").size().to_dict()
+    assert sizes == {"a": 5, "b": 25, "c": 25}
+    out2 = quota_sample(
+        rd.from_pandas(df), key="source", quotas=quotas, id_col="doc_id",
+        num_buckets=2,  # different bucket count, same result
+    ).to_pandas()
+    key = ["source", "doc_id", "rank"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True)[key],
+        out2.sort_values(key).reset_index(drop=True)[key],
+    )
+
+
+def test_profile_table_counts(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import profile_table
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "lang": ["en"] * 5 + ["de"] * 4 + [None],
+        }
+    )
+    out = profile_table(rd.from_pandas(df), columns=["doc_id", "lang"])
+    prof = out.set_index("col")
+    assert prof.loc["lang", "n"] == 10
+    assert prof.loc["lang", "n_null"] == 1
+    assert prof.loc["lang", "n_distinct"] == 2
+    assert prof.loc["lang", "min_str"] == "de"
+    assert prof.loc["doc_id", "n_distinct"] == 10
+    assert prof.loc["doc_id", "max_str"] == "9"  # lexicographic VARCHAR max
