@@ -72,6 +72,14 @@ from .stages.window_fns import (  # noqa: F401
     with_rank,
 )
 
+# relevance / importance scoring
+from .stages.relevance import (  # noqa: F401
+    doc_keywords,
+    dsir_weights,
+    tfidf_scores,
+    unigram_surprisal,
+)
+
 # scrubbing / decontamination / sequence packing
 from .stages.scrub import PII_RULES, contamination_flags, scrub_text  # noqa: F401
 from .stages.packing import pack_sequences  # noqa: F401

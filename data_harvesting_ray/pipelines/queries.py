@@ -817,6 +817,21 @@ def q_d_lang_id(sf_dir: str) -> Any:
     return lang_id(_docs(sf_dir))
 
 
+def q_d_dsir(sf_dir: str) -> Any:
+    """DSIR importance weights: hashed-unigram bag log-ratio of a
+    target slice (source src0/src1) vs the raw corpus, integer
+    micro-quantized per bucket before the per-doc sum (exact SQL
+    parity — the unigram_surprisal discipline)."""
+    import data_harvesting_ray
+    from ..stages.relevance import dsir_weights
+
+    data_harvesting_ray.configure_session()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return dsir_weights(docs, target_col="source", target_values=["src0", "src1"])
+
+
 def q_d_profile(sf_dir: str) -> Any:
     """Table profiler: per-column n / nulls / exact distinct /
     lexicographic min-max of the VARCHAR rendering over the documents
@@ -1898,6 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_gopher_gate": q_d_gopher_gate,
         "d_source_mix": q_d_source_mix,
         "d_profile": q_d_profile,
+        "d_dsir": q_d_dsir,
         "d_minhash_near_dups": q_d_minhash_near_dups,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_dedup_groups": q_d_dedup_groups,
@@ -2388,6 +2404,35 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST((list_sum(list_transform(toks, x -> length(x))) * 1000)
                         // greatest(length(toks), 1) AS BIGINT) AS mean_token_len_milli
             FROM t
+        """,
+        # DSIR: hashed-unigram (md5-60bit % 64) bucket log-ratio of the
+        # target slice vs the raw corpus, floor-quantized to micro
+        # units per bucket BEFORE the per-doc sum (integer-exact).
+        "d_dsir": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents
+            ), b AS (
+              SELECT doc_id, source,
+                     CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 64 AS bucket
+              FROM toks
+            ), agg AS (
+              SELECT bucket, count(*) AS c_raw,
+                     sum(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS c_tgt
+              FROM b GROUP BY 1
+            ), tot AS (
+              SELECT sum(c_raw) AS r_total, sum(c_tgt) AS t_total FROM agg
+            ), lam AS (
+              SELECT bucket,
+                     CAST(floor((ln(c_tgt + 1.0) - ln(t_total + 64.0)
+                               - ln(c_raw + 1.0) + ln(r_total + 64.0)) * 1e6)
+                          AS BIGINT) AS s
+              FROM agg, tot
+            )
+            SELECT b.doc_id, CAST(sum(lam.s) AS BIGINT) AS dsir_score_micro
+            FROM b JOIN lam USING (bucket)
+            GROUP BY b.doc_id
         """,
         # Column profiler: one UNION ALL branch per profiled column,
         # VARCHAR min/max matching the engine's uniform string schema.

@@ -483,3 +483,109 @@ def top_collocations(
         ["pmi_micro", "w1", "w2"], ascending=[False, True, True], kind="stable"
     ).head(k)
     return top.reset_index(drop=True)
+
+
+DSIR_BUCKETS = 64
+
+
+def _md5_buckets(tokens: pd.Series, m: int) -> np.ndarray:
+    """md5-60bit (the engine's SQL-replayable hash) mod m per token,
+    hashing each DISTINCT token once per batch."""
+    import hashlib
+
+    codes, uniq = pd.factorize(tokens, sort=False)
+    hv = np.fromiter(
+        (
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % m
+            for u in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return hv[codes]
+
+
+def dsir_weights(
+    ds: ray.data.Dataset,
+    target_col: str,
+    target_values: Sequence[str],
+    m: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling — Xie et al. 2023, arXiv:2302.03169): score every
+    document by how much more likely its hashed-unigram bag is under
+    the TARGET distribution (rows where ``target_col`` ∈
+    ``target_values``) than under the raw corpus. Selection is then a
+    top-k / threshold epilogue (the paper's Gumbel resampling swapped
+    for the repo's deterministic-ordering discipline).
+
+    Per-bucket log-ratio λ(b) = ln(p_t(b)/p_r(b)) with Laplace
+    smoothing (p(b) = (c(b)+1)/(total+m)) is quantized to integer
+    MICRO-units BEFORE the per-document sum (the unigram_surprisal
+    discipline): doc score = Σ_tokens floor(λ(bucket(token))·1e6) —
+    integer addition, order-independent, exactly SQL-reproducible.
+
+    Scale plan: pass 1 collapses every batch to one m-row bucket-count
+    partial (raw + target), reduced by an m-row groupby; the λ table
+    is MODEL-sized (m buckets) — the only driver hop — and ships in
+    the task closure. Pass 2 is embarrassingly parallel: tokenize,
+    hash distinct tokens once per batch, one ``np.bincount`` segmented
+    sum per document. Payload never shuffles; the exchange is m rows
+    per block."""
+    from ray.data.aggregate import Sum
+
+    tvals = list(target_values)
+
+    def counts(t: pa.Table) -> pa.Table:
+        flat, doc_idx = _tokenize(t, text_col)
+        b = _md5_buckets(pd.Series(flat.to_pandas(), dtype=object), m)
+        is_tgt = np.isin(
+            t[target_col].to_numpy(zero_copy_only=False), tvals
+        )[doc_idx]
+        return pa.table(
+            {
+                "bucket": np.arange(m, dtype=np.int64),
+                "c_raw": np.bincount(b, minlength=m).astype(np.int64),
+                "c_tgt": np.bincount(b[is_tgt], minlength=m).astype(np.int64),
+            }
+        )
+
+    red = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_raw", alias_name="c_raw"), Sum("c_tgt", alias_name="c_tgt"))
+        .to_pandas()  # m rows: bounded by the model, not the data
+        .sort_values("bucket", kind="stable")
+    )
+    c_raw = np.zeros(m, dtype=np.int64)
+    c_tgt = np.zeros(m, dtype=np.int64)
+    c_raw[red["bucket"].to_numpy(np.int64)] = red["c_raw"].to_numpy(np.int64)
+    c_tgt[red["bucket"].to_numpy(np.int64)] = red["c_tgt"].to_numpy(np.int64)
+    R, T = int(c_raw.sum()), int(c_tgt.sum())
+    lam_micro = np.floor(
+        (
+            np.log(c_tgt.astype(np.float64) + 1.0)
+            - np.log(float(T + m))
+            - np.log(c_raw.astype(np.float64) + 1.0)
+            + np.log(float(R + m))
+        )
+        * 1e6
+    ).astype(np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, doc_idx = _tokenize(t, text_col)
+        b = _md5_buckets(pd.Series(flat.to_pandas(), dtype=object), m)
+        s = np.bincount(doc_idx, weights=lam_micro[b].astype(np.float64),
+                        minlength=len(t)).astype(np.int64)
+        # bincount weights go through float64: exact for |sum| < 2^53
+        # micro-units (~9e8 tokens/doc at λ ~ 10 — far past any doc)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "dsir_score_micro": pa.array(s),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1446,3 +1446,37 @@ def test_profile_table_counts(ray_session):
     assert prof.loc["lang", "min_str"] == "de"
     assert prof.loc["doc_id", "n_distinct"] == 10
     assert prof.loc["doc_id", "max_str"] == "9"  # lexicographic VARCHAR max
+
+
+def test_dsir_weights_favor_target_vocabulary(ray_session):
+    """Docs written in the target slice's vocabulary must outscore
+    docs in a disjoint vocabulary, and scores are batch-layout
+    independent (integer micro-quantization before the sum)."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.relevance import dsir_weights
+
+    tgt_text = "alpha beta gamma delta " * 10
+    raw_text = "omega psi chi phi " * 10
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": [tgt_text] * 10 + [raw_text] * 30,
+            "source": ["tgt"] * 10 + ["raw"] * 30,
+        }
+    )
+    out = dsir_weights(
+        rd.from_pandas(df), target_col="source", target_values=["tgt"]
+    ).to_pandas()
+    s = out.set_index("doc_id")["dsir_score_micro"]
+    assert s[range(10)].min() > s[range(10, 40)].max()
+
+    out2 = dsir_weights(
+        rd.from_pandas(df).repartition(7),
+        target_col="source",
+        target_values=["tgt"],
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
