@@ -72,7 +72,7 @@ class EngineConfig:
         if self.state_ttl_s <= 0:
             raise ValueError("state_ttl_s must be positive")
         if self.channels is not None:
-            allowed = {"tumbling", "sliding", "latency", "rolling"}
+            allowed = {"tumbling", "sliding", "latency", "rolling", "tool_counts"}
             bad = set(self.channels) - allowed
             if bad:
                 raise ValueError(

@@ -406,6 +406,23 @@ def q_t_streaming_rolling(sf_dir: str) -> Any:
     return _run_streaming(sf_dir).results("rolling")
 
 
+def q_t_streaming_topk(sf_dir: str) -> Any:
+    """Streaming top-k tools: the tool_counts channel emits per-close
+    per-tool PARTIALS (deduped, watermark-gated), so global top-3 is a
+    channel-scale SUM + sort epilogue — must equal the bounded
+    t_topk_tools oracle over any epoch decomposition."""
+    import numpy as np
+
+    parts = _run_streaming(sf_dir).results_pandas("tool_counts")
+    agg = parts.groupby("tool", as_index=False)["n"].sum()
+    agg = agg.rename(columns={"n": "n_calls"})
+    agg["n_calls"] = agg["n_calls"].astype(np.int64)
+    agg = agg.sort_values(
+        ["n_calls", "tool"], ascending=[False, True], kind="stable"
+    )
+    return agg.head(3).reset_index(drop=True)
+
+
 def q_t_sessions_repaired(sf_dir: str) -> Any:
     """Late-data REPAIR invariant: a tight-watermark streaming run over
     a deterministically disordered epoch layout (every 50th row arrives
@@ -1882,6 +1899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_streaming_sliding": q_t_streaming_sliding,
         "t_streaming_latency": q_t_streaming_latency,
         "t_streaming_rolling": q_t_streaming_rolling,
+        "t_streaming_topk": q_t_streaming_topk,
         "t_sessions_repaired": q_t_sessions_repaired,
         "t_pairs_repaired": q_t_pairs_repaired,
         "t_matches_repaired": q_t_matches_repaired,
@@ -2191,6 +2209,13 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "t_topk_tools": f"""
+            SELECT tool, count(*) AS n_calls FROM {T}
+            WHERE tool <> '' AND role = 'assistant'
+            GROUP BY 1 ORDER BY n_calls DESC, tool LIMIT 3
+        """,
+        # streaming twin: summed tool_counts channel partials must
+        # reproduce the same bounded top-3
+        "t_streaming_topk": f"""
             SELECT tool, count(*) AS n_calls FROM {T}
             WHERE tool <> '' AND role = 'assistant'
             GROUP BY 1 ORDER BY n_calls DESC, tool LIMIT 3

@@ -103,6 +103,10 @@ EMPTY_SCHEMAS = {
         "turn_count": np.int64,
         "tool_call_count": np.int64,
     },
+    "tool_counts": {
+        "tool": object,
+        "n": np.int64,
+    },
     "sliding": {
         "conv_id": object,
         "window_start": "datetime64[us]",
@@ -145,7 +149,7 @@ class ShardState:
         # dominate close/commit cost when nobody consumes them —
         # channel selection is the output-side analogue of column
         # pruning at the read. Default: all on (back-compat).
-        optional = {"tumbling", "sliding", "latency", "rolling"}
+        optional = {"tumbling", "sliding", "latency", "rolling", "tool_counts"}
         if channels is None:
             self.emit_channels = set(optional)
         else:
@@ -201,6 +205,7 @@ class ShardState:
             "sliding_emitted": 0,
             "latency_emitted": 0,
             "rolling_emitted": 0,
+            "tool_counts_emitted": 0,
         }
 
     # ------------------------------------------------------------ ingest
@@ -280,6 +285,7 @@ class ShardState:
             ("sliding", lambda: self._advance_sliding(ready, wm, flush)),
             ("latency", lambda: self._advance_latency(ready)),
             ("rolling", lambda: self._advance_rolling(ready)),
+            ("tool_counts", lambda: self._advance_tool_counts(ready)),
         ):
             if name in self.emit_channels:
                 out[name] = advance()
@@ -495,6 +501,32 @@ class ShardState:
             .reset_index(drop=True)
         )
         return out
+
+    def _advance_tool_counts(self, ready: pd.DataFrame) -> pd.DataFrame:
+        """Per-tool call-count PARTIALS over this close's ready rows —
+        the streaming feed of a global top-k/heavy-hitter aggregate
+        (A8's streaming twin). Emitting decomposable partials instead
+        of a running total keeps the channel append-only (exactly-once
+        sink files are immutable) and the final ``SUM → top-k`` a
+        bounded, channel-scale epilogue: each close contributes at most
+        |tools| rows, and because ``ready`` is already deduped and
+        watermark-gated, the summed channel equals the bounded operator
+        over any epoch decomposition."""
+        if not len(ready):
+            return empty_frame("tool_counts")
+        mask = (ready["tool"].to_numpy() != "") & (
+            ready["role"].to_numpy() == "assistant"
+        )
+        if not mask.any():
+            return empty_frame("tool_counts")
+        out = (
+            pd.DataFrame({"tool": ready["tool"].to_numpy()[mask]})
+            .groupby("tool", sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out[["tool", "n"]]
 
     # ---------------------------------------------------- windowed counts
     def _advance_tumbling(self, ready: pd.DataFrame, wm: int, flush: bool) -> pd.DataFrame:
@@ -872,6 +904,7 @@ class ShardState:
             s.roll_window = 5
             s.roll_carry = _empty(["conv_id", "turn_idx", "is_call"])
         s.metrics.setdefault("rolling_emitted", 0)
+        s.metrics.setdefault("tool_counts_emitted", 0)
         if "emit_channels" not in s.__dict__:
             s.emit_channels = {"tumbling", "sliding", "latency", "rolling"}
         return s

@@ -573,3 +573,29 @@ def test_late_repair_randomized_differential(ray_session, tmp_path, seed):
         R.orphan_calls(df),
         ["conv_id", "call_turn_idx"],
     )
+
+
+def test_tool_counts_channel_sums_to_bounded_topk(ray_session, tmp_path):
+    """tool_counts partials summed across closes equal the bounded
+    per-tool call counts regardless of epoch decomposition."""
+    import duckdb
+
+    from data_harvesting_ray.fixtures.generator import (
+        epochs_root,
+        transcripts_path,
+    )
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+
+    sf = "/root/testdata/sf0.001"
+    eng = StreamingEngine(str(tmp_path / "out"))
+    eng.run(epochs_root=epochs_root(sf))
+    parts = eng.results_pandas("tool_counts")
+    got = (
+        parts.groupby("tool", as_index=False)["n"].sum().sort_values("tool")
+    )
+    want = duckdb.sql(
+        f"""SELECT tool, count(*) AS n FROM (SELECT DISTINCT * FROM
+            read_parquet('{transcripts_path(sf)}'))
+            WHERE tool <> '' AND role = 'assistant' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert dict(zip(got["tool"], got["n"])) == dict(zip(want["tool"], want["n"]))
