@@ -48,6 +48,7 @@ from .stages.similarity import (  # noqa: F401
 )
 from .stages.text import (  # noqa: F401
     bpe_token_count,
+    char_entropy,
     doc_dedup_exact,
     explode_ngrams,
     explode_tokens,

@@ -834,6 +834,14 @@ def q_d_lang_id(sf_dir: str) -> Any:
     return lang_id(_docs(sf_dir))
 
 
+def q_d_char_entropy(sf_dir: str) -> Any:
+    """Character-entropy quality signal, integer micro-quantized
+    per character class before the per-doc sum (exact SQL parity)."""
+    from ..stages.text import char_entropy
+
+    return char_entropy(_docs(sf_dir))
+
+
 def q_d_dsir(sf_dir: str) -> Any:
     """DSIR importance weights: hashed-unigram bag log-ratio of a
     target slice (source src0/src1) vs the raw corpus, integer
@@ -1932,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_source_mix": q_d_source_mix,
         "d_profile": q_d_profile,
         "d_dsir": q_d_dsir,
+        "d_char_entropy": q_d_char_entropy,
         "d_minhash_near_dups": q_d_minhash_near_dups,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_dedup_groups": q_d_dedup_groups,
@@ -2429,6 +2438,25 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST((list_sum(list_transform(toks, x -> length(x))) * 1000)
                         // greatest(length(toks), 1) AS BIGINT) AS mean_token_len_milli
             FROM t
+        """,
+        # Character entropy: per-class floor-quantized micro terms,
+        # floor division by L at the end — pure integer arithmetic.
+        "d_char_entropy": r"""
+            WITH ch AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+              FROM ch GROUP BY 1, 2
+            ), tot AS (
+              SELECT doc_id, CAST(sum(k) AS BIGINT) AS L FROM cnt GROUP BY 1
+            )
+            SELECT cnt.doc_id,
+                   CAST(sum(k * CAST(floor(1e6 * ln(CAST(L AS DOUBLE) / k))
+                                     AS BIGINT)) // max(L) AS BIGINT)
+                       AS entropy_micro
+            FROM cnt JOIN tot USING (doc_id)
+            GROUP BY cnt.doc_id
         """,
         # DSIR: hashed-unigram (md5-60bit % 64) bucket log-ratio of the
         # target slice vs the raw corpus, floor-quantized to micro

@@ -810,3 +810,58 @@ def gopher_gate(ds: ray.data.Dataset) -> ray.data.Dataset:
     confidence/class filter (M4) shape, applied with the published
     LLM-corpus heuristics. Embarrassingly parallel, no shuffle."""
     return ds.map_batches(gopher_gate_batch, batch_format="pyarrow")
+
+
+def char_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Character-entropy quality signal per document — near-zero
+    entropy flags degenerate/repetitive text (one repeated char/page
+    of padding), abnormally high flags binary-ish noise; the cheap
+    first-pass filter before any tokenizer sees the doc.
+
+    Integer-exact contract (the unigram_surprisal discipline): each
+    character class contributes ``k · floor(1e6·ln(L/k))``; the
+    per-doc sum divides by L with floor at the END, so the value is
+    order-independent integer arithmetic and hashes identically to
+    the SQL oracle. Entropy is over Unicode code points (utf-32
+    view == DuckDB's per-character regexp match).
+
+    Embarrassingly parallel: one utf-32 reinterpret per batch, one
+    ``np.unique`` over (doc, codepoint) keys — a document is atomic in
+    its batch, so nothing shuffles."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64, count=len(texts))
+        nz = lens > 0  # empty docs emit nothing (no chars — matches SQL)
+        if not nz.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.array([], np.int64)),
+                    "entropy_micro": pa.array(np.array([], np.int64)),
+                }
+            )
+        cp = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        doc_pos = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        # (doc, codepoint) combined key: codepoints < 0x110000
+        key = doc_pos * 0x110000 + cp
+        uniq, counts = np.unique(key, return_counts=True)
+        d = uniq // 0x110000
+        L = lens[d]
+        term = counts * np.floor(
+            1e6 * np.log(L.astype(np.float64) / counts.astype(np.float64))
+        ).astype(np.int64)
+        sums = np.bincount(d, weights=term.astype(np.float64), minlength=len(texts)).astype(
+            np.int64
+        )  # exact: |term sums| < 2^53 for any real document
+        ent = sums[nz] // lens[nz]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz]),
+                "entropy_micro": pa.array(ent),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

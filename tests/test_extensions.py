@@ -1480,3 +1480,30 @@ def test_dsir_weights_favor_target_vocabulary(ray_session):
         out.sort_values("doc_id").reset_index(drop=True),
         out2.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_char_entropy_orders_degenerate_below_diverse(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import char_entropy
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "text": [
+                "aaaaaaaaaaaaaaaaaaaa",  # zero entropy
+                "abcdefghijklmnopqrst",  # max entropy for 20 chars
+                "aabbccddeeffgghhiijj",  # middle
+            ],
+        }
+    )
+    out = (
+        char_entropy(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("doc_id")["entropy_micro"]
+    )
+    assert out[0] == 0
+    assert out[0] < out[2] < out[1]
+    # 20 distinct chars -> entropy = ln(20); term-floor then //L keeps
+    # it within one micro-unit of the closed form
+    assert abs(out[1] - int(np.log(20) * 1e6)) <= 1
