@@ -57,6 +57,7 @@ from .stages.text import (  # noqa: F401
     gopher_gate,
     lang_id,
     length_percentile_gate,
+    normalize_text,
     quality_score,
     source_dup_stats,
     token_stats,

@@ -834,6 +834,15 @@ def q_d_lang_id(sf_dir: str) -> Any:
     return lang_id(_docs(sf_dir))
 
 
+def q_d_normalize_text(sf_dir: str) -> Any:
+    """Canonical text normalization (NFC -> lower -> whitespace
+    collapse -> trim) with the normalized strings themselves hashed
+    by the gate."""
+    from ..stages.text import normalize_text
+
+    return normalize_text(_docs(sf_dir))
+
+
 def q_d_char_entropy(sf_dir: str) -> Any:
     """Character-entropy quality signal, integer micro-quantized
     per character class before the per-doc sum (exact SQL parity)."""
@@ -1941,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_profile": q_d_profile,
         "d_dsir": q_d_dsir,
         "d_char_entropy": q_d_char_entropy,
+        "d_normalize_text": q_d_normalize_text,
         "d_minhash_near_dups": q_d_minhash_near_dups,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_dedup_groups": q_d_dedup_groups,
@@ -2437,6 +2447,21 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(length(list_distinct(list_transform(toks, x -> lower(x)))) AS BIGINT) AS n_unique_tokens,
                    CAST((list_sum(list_transform(toks, x -> length(x))) * 1000)
                         // greatest(length(toks), 1) AS BIGINT) AS mean_token_len_milli
+            FROM t
+        """,
+        # Text normalization: exact string equality via ICU NFC +
+        # lower + RE2 whitespace collapse on both engines.
+        "d_normalize_text": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(nfc_normalize(text)),
+                                         '\s+', ' ', 'g')) AS norm_text,
+                     text
+              FROM documents
+            )
+            SELECT doc_id, norm_text,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+                   (norm_text <> text) AS changed
             FROM t
         """,
         # Character entropy: per-class floor-quantized micro terms,

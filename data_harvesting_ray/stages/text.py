@@ -865,3 +865,51 @@ def char_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def normalize_text(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Canonical text normalization: Unicode NFC → lowercase →
+    whitespace collapse → trim, plus the normalized length and a
+    changed flag — the deterministic pre-pass shared by dedup keys
+    and tokenizers (normalizing INSIDE each consumer would fork the
+    canon; reference analogue: the per-record normalize step M3,
+    services/harvest_service.py:169-183).
+
+    The lower / collapse / trim steps are zero-copy Arrow kernels with
+    exact DuckDB equivalents (lower / regexp_replace 'g' / trim). NFC
+    goes through ``unicodedata.normalize`` — this build's
+    ``pc.utf8_normalize`` does NOT apply canonical composition
+    (A + U+0301 stays decomposed, diverging from DuckDB's
+    nfc_normalize), so the one per-row step is the composition pass;
+    ASCII-only batches skip it entirely (one vectorized is-ascii
+    check). The gate hashes the exact normalized strings."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def kernel(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        # NFC is the identity on pure-ASCII input: normalize only when
+        # a batch actually carries non-ASCII (the vectorized check is
+        # one regex over the batch)
+        if pc.any(pc.match_substring_regex(txt, r"[^\x00-\x7F]")).as_py():
+            txt = pa.array(
+                [
+                    None if s is None else unicodedata.normalize("NFC", s)
+                    for s in txt.to_pylist()
+                ],
+                pa.string(),
+            )
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " ")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": norm,
+                "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+                "changed": pc.not_equal(norm, t["text"]),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

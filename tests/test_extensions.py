@@ -1507,3 +1507,26 @@ def test_char_entropy_orders_degenerate_below_diverse(ray_session):
     # 20 distinct chars -> entropy = ln(20); term-floor then //L keeps
     # it within one micro-unit of the closed form
     assert abs(out[1] - int(np.log(20) * 1e6)) <= 1
+
+
+def test_normalize_text_unicode_and_whitespace(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import normalize_text
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": ["  MiXeD\t\tCase  text\n", "A" + "́" + "bc"],
+        }
+    )
+    out = (
+        normalize_text(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "norm_text"] == "mixed case text"
+    assert bool(out.loc[0, "changed"]) is True
+    # combining acute composes to a single precomposed code point
+    assert out.loc[1, "norm_text"] == "ábc"
+    assert out.loc[1, "n_chars_norm"] == 3
