@@ -118,6 +118,11 @@ def run_bench() -> dict:
             # MinHash is the scalable near-dup path on such corpora.
             timed("corpus_prep", lambda: Q.q_d_corpus_prep(SF_DIR))
             timed("knn", lambda: Q.q_v_knn(SF_DIR))
+            # round-4 headliners: semantic dedup over the planted-near-
+            # dup embeddings table and DSIR importance weighting over
+            # the documents table
+            timed("semdedup", lambda: Q.q_v_semdedup(SF_DIR))
+            timed("dsir", lambda: Q.q_d_dsir(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))

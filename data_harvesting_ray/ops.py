@@ -139,6 +139,7 @@ from .stages.aggregates import (  # noqa: F401
     distinct_per_key,
     gap_quantiles,
     global_value_quantiles,
+    key_skew_stats,
     lineitem_rollup,
     profile_table,
     quota_sample,

@@ -423,6 +423,15 @@ def q_t_streaming_topk(sf_dir: str) -> Any:
     return agg.head(3).reset_index(drop=True)
 
 
+def q_t_key_skew(sf_dir: str) -> Any:
+    """Shuffle-skew diagnostics over the raw turn stream keyed by
+    conv_id: per md5-bucket row/key totals + hottest key — the
+    pre-flight salting check."""
+    from ..stages.aggregates import key_skew_stats
+
+    return key_skew_stats(_t(sf_dir, ["conv_id"]), key="conv_id", num_buckets=16)
+
+
 def q_t_sessions_repaired(sf_dir: str) -> Any:
     """Late-data REPAIR invariant: a tight-watermark streaming run over
     a deterministically disordered epoch layout (every 50th row arrives
@@ -1917,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_streaming_latency": q_t_streaming_latency,
         "t_streaming_rolling": q_t_streaming_rolling,
         "t_streaming_topk": q_t_streaming_topk,
+        "t_key_skew": q_t_key_skew,
         "t_sessions_repaired": q_t_sessions_repaired,
         "t_pairs_repaired": q_t_pairs_repaired,
         "t_matches_repaired": q_t_matches_repaired,
@@ -2231,6 +2241,33 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             SELECT tool, count(*) AS n_calls FROM {T}
             WHERE tool <> '' AND role = 'assistant'
             GROUP BY 1 ORDER BY n_calls DESC, tool LIMIT 3
+        """,
+        # Skew diagnostics: per md5-bucket totals + hottest key over
+        # the RAW (pre-dedup) turn stream — the physical shuffle input.
+        "t_key_skew": f"""
+            WITH k AS (
+              SELECT conv_id, CAST(count(*) AS BIGINT) AS n
+              FROM {RAW} GROUP BY 1
+            ), b AS (
+              SELECT conv_id, n,
+                     CAST('0x' || substr(md5(conv_id), 1, 15) AS BIGINT) % 16
+                         AS bucket
+              FROM k
+            ), s AS (
+              SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_keys
+              FROM b GROUP BY 1
+            ), h AS (
+              SELECT bucket, conv_id AS hot_key, n AS hot_rows
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY bucket ORDER BY n DESC, conv_id) AS rn
+                FROM b
+              ) WHERE rn = 1
+            )
+            SELECT s.bucket, s.n_rows, s.n_keys, h.hot_key,
+                   CAST(h.hot_rows AS BIGINT) AS hot_rows
+            FROM s JOIN h USING (bucket)
         """,
         # streaming twin: summed tool_counts channel partials must
         # reproduce the same bounded top-3

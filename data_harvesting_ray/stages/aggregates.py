@@ -1122,3 +1122,79 @@ def profile_table(
     out = stats.merge(dist, on="col", how="left")
     out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
     return out.sort_values("col", kind="stable").reset_index(drop=True)
+
+
+def key_skew_stats(
+    ds: ray.data.Dataset,
+    key: str,
+    num_buckets: int = 16,
+    hash_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Shuffle-skew diagnostics for a partition key: per hash bucket,
+    total rows, distinct keys, and the hottest key with its row count
+    — the pre-flight check that decides whether a key needs salting
+    (stages/windows.session_windows_salted and friends) before a
+    100 TB shuffle pins one straggler partition.
+
+    The reported bucket is the SQL-replayable md5-60bit hash mod
+    ``num_buckets`` (the engine's internal shuffle hash differs, but
+    any uniform hash yields the same skew statistics for diagnosis;
+    the hot KEYS themselves are hash-independent). Scale plan: exact
+    per-key counts via per-batch partials + one key-scale exchange;
+    a second (key-count-scale) exchange co-locates md5-buckets and one
+    fused kernel emits totals, key counts and the per-bucket argmax —
+    the raw input never shuffles."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, sort=False, as_index=False)["n"].sum()
+        ks = out[key].astype(str)
+        codes, uniq = pd.factorize(ks, sort=False)
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % num_buckets
+                for u in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        out["skew_bucket"] = hv[codes]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    per_key = apply_per_bucket(
+        ds.map_batches(partial, batch_format="pandas"),
+        kernel,
+        key=key,
+        num_buckets=hash_buckets,
+    )
+
+    def bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # whole md5-buckets are co-located here, so one pass yields
+        # totals, key counts and the per-bucket argmax exactly
+        g = g.sort_values(
+            ["skew_bucket", "n", key], ascending=[True, False, True],
+            kind="stable",
+        )
+        hot = g.drop_duplicates(subset=["skew_bucket"], keep="first")
+        agg = g.groupby("skew_bucket", sort=False, as_index=False).agg(
+            n_rows=("n", "sum"), n_keys=("n", "size")
+        )
+        out = agg.merge(
+            hot.rename(columns={key: "hot_key", "n": "hot_rows"})[
+                ["skew_bucket", "hot_key", "hot_rows"]
+            ],
+            on="skew_bucket",
+        ).rename(columns={"skew_bucket": "bucket"})
+        for c in ("bucket", "n_rows", "n_keys", "hot_rows"):
+            out[c] = out[c].astype(np.int64)
+        return out[["bucket", "n_rows", "n_keys", "hot_key", "hot_rows"]]
+
+    stats = apply_per_bucket(
+        per_key, bucket_kernel, key="skew_bucket", num_buckets=hash_buckets
+    ).to_pandas()  # <= num_buckets rows: bounded by config, not data
+    return stats.sort_values("bucket", kind="stable").reset_index(drop=True)

@@ -1530,3 +1530,20 @@ def test_normalize_text_unicode_and_whitespace(ray_session):
     # combining acute composes to a single precomposed code point
     assert out.loc[1, "norm_text"] == "ábc"
     assert out.loc[1, "n_chars_norm"] == 3
+
+
+def test_key_skew_stats_finds_hot_key(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import key_skew_stats
+
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["hot", "a", "b", "c"], [70, 10, 10, 10]),
+        }
+    )
+    out = key_skew_stats(rd.from_pandas(df), key="k", num_buckets=4)
+    assert out["n_rows"].sum() == 100
+    assert out["n_keys"].sum() == 4
+    hot_row = out[out["hot_key"] == "hot"]
+    assert len(hot_row) == 1 and int(hot_row["hot_rows"].iloc[0]) == 70
