@@ -149,6 +149,7 @@ from .stages.aggregates import (  # noqa: F401
     topk_per_key,
     topk_tools,
     turn_stats,
+    winsorize_per_key,
 )
 
 # event-stream variants

@@ -843,6 +843,23 @@ def q_d_lang_id(sf_dir: str) -> Any:
     return lang_id(_docs(sf_dir))
 
 
+def q_d_winsorize(sf_dir: str) -> Any:
+    """Per-language winsorization of doc length at the discrete
+    [5%, 95%] quantiles — quantile_disc index semantics shared with
+    gap_quantiles."""
+    import data_harvesting_ray
+    from ..stages.aggregates import winsorize_per_key
+
+    data_harvesting_ray.configure_session()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return winsorize_per_key(
+        docs, key="lang", value="n_chars", p_lo_milli=50, p_hi_milli=950,
+        num_buckets=8,
+    )
+
+
 def q_d_normalize_text(sf_dir: str) -> Any:
     """Canonical text normalization (NFC -> lower -> whitespace
     collapse -> trim) with the normalized strings themselves hashed
@@ -1961,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_dsir": q_d_dsir,
         "d_char_entropy": q_d_char_entropy,
         "d_normalize_text": q_d_normalize_text,
+        "d_winsorize": q_d_winsorize,
         "d_minhash_near_dups": q_d_minhash_near_dups,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_dedup_groups": q_d_dedup_groups,
@@ -2485,6 +2503,20 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST((list_sum(list_transform(toks, x -> length(x))) * 1000)
                         // greatest(length(toks), 1) AS BIGINT) AS mean_token_len_milli
             FROM t
+        """,
+        # Winsorization: per-key discrete-quantile clip (quantile_disc
+        # == the engine's ceil(q*n)-1 index rule).
+        "d_winsorize": r"""
+            WITH q AS (
+              SELECT lang,
+                     quantile_disc(n_chars, 0.05) AS lo,
+                     quantile_disc(n_chars, 0.95) AS hi
+              FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CAST(least(greatest(d.n_chars, q.lo), q.hi) AS BIGINT)
+                       AS n_chars_wins
+            FROM documents d JOIN q USING (lang)
         """,
         # Text normalization: exact string equality via ICU NFC +
         # lower + RE2 whitespace collapse on both engines.

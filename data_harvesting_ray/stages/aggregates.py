@@ -1198,3 +1198,48 @@ def key_skew_stats(
         per_key, bucket_kernel, key="skew_bucket", num_buckets=hash_buckets
     ).to_pandas()  # <= num_buckets rows: bounded by config, not data
     return stats.sort_values("bucket", kind="stable").reset_index(drop=True)
+
+
+def winsorize_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    p_lo_milli: int = 50,
+    p_hi_milli: int = 950,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key winsorization: clip ``value`` at the key's discrete
+    [p_lo, p_hi] quantiles — the outlier-taming pre-pass for
+    length/score features before thresholds are tuned on them
+    (a handful of megadocs otherwise drag every percentile gate).
+
+    Quantile semantics match DuckDB ``quantile_disc`` exactly: the
+    element at index ``ceil(q·n) - 1`` of the key's sorted values,
+    with the index computed in integer milli-arithmetic (the
+    gap_quantiles discipline). One hash(key) exchange co-locates each
+    key; the kernel computes thresholds and clips vectorized across
+    all keys in the bucket (one lexsort, no per-key Python)."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value].to_numpy(np.int64)
+        codes, _ = pd.factorize(g[key].to_numpy(), sort=False)
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        n = len(g)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = cs[1:] != cs[:-1]
+        starts = np.nonzero(new_grp)[0]
+        counts = np.diff(np.append(starts, n))
+        # ceil(q*n) - 1 in integer milli units
+        lo_idx = starts + (p_lo_milli * counts + 999) // 1000 - 1
+        hi_idx = starts + (p_hi_milli * counts + 999) // 1000 - 1
+        grp_of = np.cumsum(new_grp) - 1  # per sorted row
+        lo = vs[lo_idx][grp_of]
+        hi = vs[hi_idx][grp_of]
+        clipped = np.minimum(np.maximum(vs, lo), hi)
+        out = g.iloc[order].copy()
+        out[f"{value}_wins"] = clipped.astype(np.int64)
+        return out
+
+    return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)

@@ -1547,3 +1547,25 @@ def test_key_skew_stats_finds_hot_key(ray_session):
     assert out["n_keys"].sum() == 4
     hot_row = out[out["hot_key"] == "hot"]
     assert len(hot_row) == 1 and int(hot_row["hot_rows"].iloc[0]) == 70
+
+
+def test_winsorize_per_key_clips_at_disc_quantiles(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import winsorize_per_key
+
+    # one key, values 1..20: lo = ceil(0.05*20)-1 = idx 0 -> 1,
+    # hi = ceil(0.95*20)-1 = idx 18 -> 19
+    df = pd.DataFrame(
+        {
+            "k": ["x"] * 20,
+            "v": np.arange(1, 21, dtype=np.int64),
+            "doc_id": np.arange(20, dtype=np.int64),
+        }
+    )
+    out = winsorize_per_key(
+        rd.from_pandas(df), key="k", value="v", num_buckets=2
+    ).to_pandas()
+    assert out["v_wins"].max() == 19  # 20 clipped down
+    assert out["v_wins"].min() == 1
+    assert (out.loc[out["v"] == 20, "v_wins"] == 19).all()
