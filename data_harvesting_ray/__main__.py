@@ -112,7 +112,16 @@ def repair_main(argv: list[str]) -> int:
     p.add_argument("--dest", required=True, help="where to write the repaired channel")
     p.add_argument(
         "--channel",
-        choices=("sessions", "pairs", "matches", "orphans"),
+        choices=(
+            "sessions",
+            "pairs",
+            "matches",
+            "orphans",
+            "latency",
+            "rolling",
+            "tumbling",
+            "sliding",
+        ),
         default="sessions",
     )
     args = p.parse_args(argv)
@@ -129,10 +138,14 @@ def repair_main(argv: list[str]) -> int:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from . import configure_session
     from .pipelines.repair import (
+        repair_latency,
         repair_matches,
         repair_orphans,
         repair_pairs,
+        repair_rolling,
         repair_sessions,
+        repair_sliding,
+        repair_tumbling,
     )
 
     configure_session()
@@ -141,6 +154,10 @@ def repair_main(argv: list[str]) -> int:
         "pairs": repair_pairs,
         "matches": repair_matches,
         "orphans": repair_orphans,
+        "latency": repair_latency,
+        "rolling": repair_rolling,
+        "tumbling": repair_tumbling,
+        "sliding": repair_sliding,
     }[args.channel]
     ds = fn(args.out, args.epochs_root)
     ds.write_parquet(args.dest)

@@ -176,4 +176,13 @@ from .stages.render import debug_render, render_conversations  # noqa: F401
 
 # composite pipelines
 from .pipelines.corpus_prep import corpus_prep  # noqa: F401
-from .pipelines.repair import repair_pairs, repair_sessions  # noqa: F401
+from .pipelines.repair import (  # noqa: F401
+    repair_latency,
+    repair_matches,
+    repair_orphans,
+    repair_pairs,
+    repair_rolling,
+    repair_sessions,
+    repair_sliding,
+    repair_tumbling,
+)

@@ -522,6 +522,94 @@ def q_t_orphans_repaired(sf_dir: str) -> Any:
     return repair_orphans(out, root)
 
 
+def q_t_latency_repaired(sf_dir: str) -> Any:
+    """Repair invariant for the streaming-LAG (latency) channel — a
+    late turn changes its successor's gap and gains its own; shares
+    t_response_latency's oracle."""
+    import tempfile
+
+    from ..config import EngineConfig
+    from ..fixtures.generator import late_epochs_root
+    from .repair import repair_latency
+    from .streaming import StreamingEngine
+
+    root = late_epochs_root(sf_dir)
+    out = tempfile.mkdtemp(prefix="repair-latency-gate-")
+    eng = StreamingEngine(
+        out, config=EngineConfig(channels=("latency",), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    if len(eng.results_pandas("late")) == 0:
+        raise RuntimeError("repair gate is vacuous: no late rows produced")
+    return repair_latency(out, root)
+
+
+def q_t_rolling_repaired(sf_dir: str) -> Any:
+    """Repair invariant for the streaming trailing-window (rolling)
+    channel — a late turn shifts every window that would have
+    contained it; shares t_rolling_tool_rate's oracle."""
+    import tempfile
+
+    from ..config import EngineConfig
+    from ..fixtures.generator import late_epochs_root
+    from .repair import repair_rolling
+    from .streaming import StreamingEngine
+
+    root = late_epochs_root(sf_dir)
+    out = tempfile.mkdtemp(prefix="repair-rolling-gate-")
+    eng = StreamingEngine(
+        out, config=EngineConfig(channels=("rolling",), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    if len(eng.results_pandas("late")) == 0:
+        raise RuntimeError("repair gate is vacuous: no late rows produced")
+    return repair_rolling(out, root)
+
+
+def q_t_tumbling_repaired(sf_dir: str) -> Any:
+    """Repair invariant for the tumbling-window channel — a late turn
+    lands in an already-emitted window; shares t_tumbling_windows'
+    oracle. With this, EVERY committed channel (core + derived) has a
+    gated late-data correction path."""
+    import tempfile
+
+    from ..config import EngineConfig
+    from ..fixtures.generator import late_epochs_root
+    from .repair import repair_tumbling
+    from .streaming import StreamingEngine
+
+    root = late_epochs_root(sf_dir)
+    out = tempfile.mkdtemp(prefix="repair-tumbling-gate-")
+    eng = StreamingEngine(
+        out, config=EngineConfig(channels=("tumbling",), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    if len(eng.results_pandas("late")) == 0:
+        raise RuntimeError("repair gate is vacuous: no late rows produced")
+    return repair_tumbling(out, root)
+
+
+def q_t_sliding_repaired(sf_dir: str) -> Any:
+    """Repair invariant for the sliding-window channel; shares
+    t_sliding_windows' oracle."""
+    import tempfile
+
+    from ..config import EngineConfig
+    from ..fixtures.generator import late_epochs_root
+    from .repair import repair_sliding
+    from .streaming import StreamingEngine
+
+    root = late_epochs_root(sf_dir)
+    out = tempfile.mkdtemp(prefix="repair-sliding-gate-")
+    eng = StreamingEngine(
+        out, config=EngineConfig(channels=("sliding",), watermark_delay_s=600)
+    )
+    eng.run(epochs_root=root)
+    if len(eng.results_pandas("late")) == 0:
+        raise RuntimeError("repair gate is vacuous: no late rows produced")
+    return repair_sliding(out, root)
+
+
 def q_e_tumbling(sf_dir: str) -> Any:
     from ..stages.events import tumbling_events
 
@@ -1948,6 +2036,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pairs_repaired": q_t_pairs_repaired,
         "t_matches_repaired": q_t_matches_repaired,
         "t_orphans_repaired": q_t_orphans_repaired,
+        "t_latency_repaired": q_t_latency_repaired,
+        "t_rolling_repaired": q_t_rolling_repaired,
+        "t_tumbling_repaired": q_t_tumbling_repaired,
+        "t_sliding_repaired": q_t_sliding_repaired,
         "e_tumbling": q_e_tumbling,
         "e_window_distinct": q_e_window_distinct,
         "e_daily_spikes": q_e_daily_spikes,
@@ -3752,6 +3844,10 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sqls["t_pairs_repaired"] = sqls["t_tool_join"]
     sqls["t_matches_repaired"] = sqls["t_cep_matches"]
     sqls["t_orphans_repaired"] = sqls["t_orphan_calls"]
+    sqls["t_latency_repaired"] = sqls["t_response_latency"]
+    sqls["t_rolling_repaired"] = sqls["t_rolling_tool_rate"]
+    sqls["t_tumbling_repaired"] = sqls["t_tumbling_windows"]
+    sqls["t_sliding_repaired"] = sqls["t_sliding_windows"]
     sqls["t_response_latency_salted"] = sqls["t_response_latency"]
     # broadcast plan must be output-identical to the shuffle plan
     sqls["t_stats_join_broadcast"] = sqls["t_stats_join"]

@@ -185,3 +185,137 @@ def repair_orphans(
         lambda ds: orphan_calls(normalize_turns(ds), num_buckets=num_buckets),
         None,  # normalize parses call ids from the payload
     )
+
+
+def repair_latency(
+    out_dir: str,
+    epochs_root: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Committed response-latency rows (streaming-LAG channel) with
+    late-affected conversations recomputed via the bounded window
+    function — a late turn changes its successor's gap AND gains a
+    gap of its own, so the conversation's whole LAG output is
+    recomputed."""
+    import numpy as np
+
+    from ..stages.dedup import dedup_kernel
+    from ..stages.window_fns import with_lag
+
+    def recompute(ds: rd.Dataset) -> rd.Dataset:
+        lagged = with_lag(
+            ds,
+            key="conv_id",
+            order="turn_idx",
+            col="ts",
+            out_col="prev_ts",
+            prepare=dedup_kernel,
+            num_buckets=num_buckets,
+        )
+
+        def project(df: pd.DataFrame) -> pd.DataFrame:
+            gap = (
+                (df["ts"].to_numpy() - df["prev_ts"].to_numpy())
+                .astype("timedelta64[us]")
+                .astype(np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "conv_id": df["conv_id"].to_numpy(),
+                    "turn_idx": df["turn_idx"].to_numpy(),
+                    "gap_us": gap,
+                }
+            )
+
+        return lagged.map_batches(project, batch_format="pandas")
+
+    return _repair_channel(
+        out_dir, epochs_root, "latency", recompute, ["conv_id", "turn_idx", "ts"]
+    )
+
+
+def repair_rolling(
+    out_dir: str,
+    epochs_root: str,
+    window: int = 5,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Committed trailing-window rows (streaming rolling channel) with
+    late-affected conversations recomputed via the bounded
+    ``rolling_sum`` — a late turn shifts every window that would have
+    contained it."""
+    from ..stages.dedup import dedup_kernel
+    from ..stages.window_fns import rolling_sum
+    from ..stages.windows import _is_tool_call
+
+    def recompute(ds: rd.Dataset) -> rd.Dataset:
+        def flag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "conv_id": df["conv_id"].to_numpy(),
+                    "turn_idx": df["turn_idx"].to_numpy(),
+                    "is_call": _is_tool_call(df),
+                }
+            )
+
+        flagged = ds.map_batches(flag, batch_format="pandas")
+        rolled = rolling_sum(
+            flagged,
+            key="conv_id",
+            order="turn_idx",
+            col="is_call",
+            window=window,
+            out_col="calls_last5",
+            prepare=dedup_kernel,
+            num_buckets=num_buckets,
+        )
+        return rolled.map_batches(
+            lambda df: df[["conv_id", "turn_idx", "calls_last5"]],
+            batch_format="pandas",
+        )
+
+    return _repair_channel(
+        out_dir,
+        epochs_root,
+        "rolling",
+        recompute,
+        ["conv_id", "turn_idx", "role", "tool"],
+    )
+
+
+def repair_tumbling(
+    out_dir: str,
+    epochs_root: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Committed tumbling-window counts with late-affected
+    conversations recomputed via the bounded ``tumbling_windows`` — a
+    late turn lands in an already-emitted window, so the conv's whole
+    window set is recomputed."""
+    from ..stages.windows import tumbling_windows
+
+    return _repair_channel(
+        out_dir,
+        epochs_root,
+        "tumbling",
+        lambda ds: tumbling_windows(ds, num_buckets=num_buckets),
+        ["conv_id", "turn_idx", "role", "tool", "ts"],
+    )
+
+
+def repair_sliding(
+    out_dir: str,
+    epochs_root: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Committed sliding-window counts with late-affected
+    conversations recomputed via the bounded ``sliding_windows``."""
+    from ..stages.windows import sliding_windows
+
+    return _repair_channel(
+        out_dir,
+        epochs_root,
+        "sliding",
+        lambda ds: sliding_windows(ds, num_buckets=num_buckets),
+        ["conv_id", "turn_idx", "ts"],
+    )
