@@ -507,15 +507,21 @@ def test_streaming_randomized_differential_vs_reference(
 @pytest.mark.parametrize("seed", [21, 22])
 def test_late_repair_randomized_differential(ray_session, tmp_path, seed):
     """Random corpus + random epoch disorder + TIGHT watermark (many
-    late rows) — repair must restore the bounded truth on all four
-    core channels (sessions, pairs, matches, orphans)."""
+    late rows) — repair must restore the bounded truth on EVERY
+    committed channel: the four core ones (sessions, pairs, matches,
+    orphans) and the four derived ones (latency, rolling, tumbling,
+    sliding)."""
     from data_harvesting_ray.config import EngineConfig
     from data_harvesting_ray.oracle import reference as R
     from data_harvesting_ray.pipelines.repair import (
+        repair_latency,
         repair_matches,
         repair_orphans,
         repair_pairs,
+        repair_rolling,
         repair_sessions,
+        repair_sliding,
+        repair_tumbling,
     )
     from data_harvesting_ray.pipelines.streaming import StreamingEngine
     from data_harvesting_ray.sources.epochs import discover_epochs
@@ -548,7 +554,12 @@ def test_late_repair_randomized_differential(ray_session, tmp_path, seed):
 
     out = str(tmp_path / "out")
     eng = StreamingEngine(
-        out, num_shards=3, config=EngineConfig(channels=(), watermark_delay_s=60)
+        out,
+        num_shards=3,
+        config=EngineConfig(
+            channels=("latency", "rolling", "tumbling", "sliding"),
+            watermark_delay_s=60,
+        ),
     )
     eng.run(discover_epochs(root))
     assert len(eng.results_pandas("late")) > 0  # tight watermark bites
@@ -572,6 +583,26 @@ def test_late_repair_randomized_differential(ray_session, tmp_path, seed):
         repair_orphans(out, root).to_pandas(),
         R.orphan_calls(df),
         ["conv_id", "call_turn_idx"],
+    )
+    assert_frames_equal(
+        repair_latency(out, root).to_pandas(),
+        R.response_latency(df),
+        ["conv_id", "turn_idx"],
+    )
+    assert_frames_equal(
+        repair_rolling(out, root).to_pandas(),
+        R.rolling_tool_rate(df),
+        ["conv_id", "turn_idx"],
+    )
+    assert_frames_equal(
+        repair_tumbling(out, root).to_pandas(),
+        R.tumbling_windows(df),
+        ["conv_id", "window_start"],
+    )
+    assert_frames_equal(
+        repair_sliding(out, root).to_pandas(),
+        R.sliding_windows(df),
+        ["conv_id", "window_start"],
     )
 
 
