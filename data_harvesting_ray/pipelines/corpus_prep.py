@@ -60,9 +60,29 @@ class CorpusMetrics:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = quality_batch(df)  # doc_id, n_chars, n_tokens, stop_ratio_milli
         out["lang_pred"] = self._lang(df)["lang_pred"].to_numpy()
+        txt = pa.array(df["text"], pa.string())
         out["n_bpe_tokens"] = (
-            pc.count_substring_regex(
-                pa.array(df["text"], pa.string()), BPE_ISH_PATTERN
+            pc.count_substring_regex(txt, BPE_ISH_PATTERN)
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        # Gopher-rule inputs (stages/text.gopher_gate definitions),
+        # fused into the same pass — integer counts, no extra
+        # tokenization (word count reuses n_tokens: both count \S+
+        # runs)
+        out["n_word_chars"] = (
+            pc.utf8_length(pc.replace_substring_regex(txt, r"\s", ""))
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        out["n_alpha_words"] = (
+            pc.count_substring_regex(txt, r"\S*[A-Za-z]\S*")
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        out["n_symbols"] = (
+            pc.add(
+                pc.count_substring(txt, "#"), pc.count_substring(txt, "...")
             )
             .cast(pa.int64())
             .to_numpy()
@@ -71,12 +91,31 @@ class CorpusMetrics:
         return out
 
 
-def _gate(df: pd.DataFrame, lang: str, min_tokens: int, min_stop_milli: int) -> pa.Table:
+def _gate(
+    df: pd.DataFrame,
+    lang: str,
+    min_tokens: int,
+    min_stop_milli: int,
+    gopher: bool = False,
+) -> pa.Table:
     keep = (
         (df["lang_pred"].to_numpy() == lang)
         & (df["n_tokens"].to_numpy() >= min_tokens)
         & (df["stop_ratio_milli"].to_numpy() >= min_stop_milli)
     )
+    if gopher:
+        wc = df["n_tokens"].to_numpy()
+        sl = df["n_word_chars"].to_numpy()
+        na = df["n_alpha_words"].to_numpy()
+        ns = df["n_symbols"].to_numpy()
+        keep &= (
+            (wc >= 20)
+            & (wc <= 400)
+            & (3 * wc <= sl)
+            & (sl <= 10 * wc)
+            & (10 * ns <= wc)
+            & (5 * na >= 4 * wc)
+        )
     # Arrow out, metadata-less: pandas blocks carry an unhashable
     # schema that knocks every downstream shuffle aggregator off its
     # schema-dedup fast path (logged once per aggregator)
@@ -94,6 +133,7 @@ def corpus_prep(
     num_buckets: int | None = 16,
     keep: str = "min_id",
     losers_cap: int = 2_000_000,
+    gopher: bool = False,
 ) -> ray.data.Dataset:
     """documents (doc_id, text) -> curated corpus manifest
     (doc_id, lang_pred, n_tokens, stop_ratio_milli, n_bpe_tokens, split).
@@ -121,7 +161,7 @@ def corpus_prep(
         num_cpus=0.25,
     ).map_batches(
         _gate,
-        fn_args=(lang, min_tokens, min_stop_milli),
+        fn_args=(lang, min_tokens, min_stop_milli, gopher),
         batch_format="pandas",
     ).materialize()
 

@@ -1317,6 +1317,16 @@ def q_d_corpus_prep_best(sf_dir: str) -> Any:
     return corpus_prep(_docs(sf_dir), keep="best_tokens")
 
 
+def q_d_corpus_prep_gopher(sf_dir: str) -> Any:
+    """Corpus prep with the Gopher quality rules fused into the gate
+    (word count, mean word length, symbol ratio, alpha-word fraction
+    on top of lang/length/stopword) — the full published-heuristics
+    curation flow as ONE streamed pipeline."""
+    from .corpus_prep import corpus_prep
+
+    return corpus_prep(_docs(sf_dir), gopher=True)
+
+
 def q_d_topk_per_lang(sf_dir: str) -> Any:
     """Grouped top-k: the 3 longest (BPE-token) docs per predicted
     language — partial per-batch top-k before the shuffle, exact per
@@ -2071,6 +2081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_char_entropy": q_d_char_entropy,
         "d_normalize_text": q_d_normalize_text,
         "d_winsorize": q_d_winsorize,
+        "d_corpus_prep_gopher": q_d_corpus_prep_gopher,
         "d_minhash_near_dups": q_d_minhash_near_dups,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_dedup_groups": q_d_dedup_groups,
@@ -3151,6 +3162,25 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     )
     assert best != sqls["d_corpus_prep"] and "ranked" in best
     sqls["d_corpus_prep_best"] = best
+    # Gopher variant: extend the gate CTE's WHERE with the four
+    # published rules (same integer-exact forms as d_gopher_gate;
+    # word count == n_tokens, both count \S+ runs).
+    _plain_gate = "WHERE lang_pred = 'en' AND n_tokens >= 20 AND stop_ratio_milli >= 30"
+    _gopher_gate_sql = (
+        _plain_gate
+        + r"""
+            AND n_tokens BETWEEN 20 AND 400
+            AND 3 * n_tokens <= length(regexp_replace(text, '\s', '', 'g'))
+            AND length(regexp_replace(text, '\s', '', 'g')) <= 10 * n_tokens
+            AND 10 * ((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) // 3)
+                <= n_tokens
+            AND 5 * len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))
+                >= 4 * n_tokens"""
+    )
+    gopher_sql = sqls["d_corpus_prep"].replace(_plain_gate, _gopher_gate_sql)
+    assert gopher_sql != sqls["d_corpus_prep"]
+    sqls["d_corpus_prep_gopher"] = gopher_sql
     # Exact per-key count-distinct over assistant tool calls.
     sqls["t_distinct_tools"] = f"""
         SELECT conv_id, CAST(count(DISTINCT tool) AS BIGINT) AS n_tools
