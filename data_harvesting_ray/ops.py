@@ -83,7 +83,14 @@ from .stages.relevance import (  # noqa: F401
 )
 
 # scrubbing / decontamination / sequence packing
-from .stages.scrub import PII_RULES, contamination_flags, scrub_text  # noqa: F401
+from .stages.scrub import (  # noqa: F401
+    PII_RULES,
+    contamination_flags,
+    cross_split_contamination,
+    fuzzy_split_contamination,
+    overlap_contamination_ratio,
+    scrub_text,
+)
 from .stages.packing import pack_sequences  # noqa: F401
 
 # sketch-accelerated exact aggregates + deterministic cardinality sketch

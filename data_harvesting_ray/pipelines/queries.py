@@ -1600,6 +1600,15 @@ def q_d_fuzzy_contamination(sf_dir: str) -> Any:
     return fuzzy_split_contamination(_docs(sf_dir), threshold_milli=700)
 
 
+def q_d_overlap_ratio(sf_dir: str) -> Any:
+    """Graded decontamination: fraction of each eval doc's distinct
+    8-gram windows that occur in train (GPT-3-appendix style),
+    integer milli-exact."""
+    from ..stages.scrub import overlap_contamination_ratio
+
+    return overlap_contamination_ratio(_docs(sf_dir), n=8)
+
+
 def q_d_surprisal(sf_dir: str) -> Any:
     """CCNet-style unigram surprisal per document: mean per-token
     integer-micro surprisal under the corpus's own unigram model —
@@ -2082,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_normalize_text": q_d_normalize_text,
         "d_winsorize": q_d_winsorize,
         "d_corpus_prep_gopher": q_d_corpus_prep_gopher,
+        "d_overlap_ratio": q_d_overlap_ratio,
         "d_minhash_near_dups": q_d_minhash_near_dups,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_dedup_groups": q_d_dedup_groups,
@@ -2606,6 +2616,37 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST((list_sum(list_transform(toks, x -> length(x))) * 1000)
                         // greatest(length(toks), 1) AS BIGINT) AS mean_token_len_milli
             FROM t
+        """,
+        # Graded n-gram-overlap decontamination: exact counts, floor
+        # division — the engine's split hash reproduced inline.
+        "d_overlap_ratio": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS toks,
+                     CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+                          WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id, split,
+                     array_to_string(toks[i:i+7], ' ') AS ngram
+              FROM t, LATERAL (SELECT unnest(generate_series(
+                  1, greatest(len(toks) - 7, 0))) AS i)
+            ), traing AS (
+              SELECT DISTINCT ngram FROM g WHERE split = 'train'
+            ), ev AS (
+              SELECT g.doc_id, g.split,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN tg.ngram IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+              FROM g LEFT JOIN traing tg USING (ngram)
+              WHERE g.split <> 'train'
+              GROUP BY 1, 2
+            )
+            SELECT doc_id, split, n_grams, n_overlap,
+                   CAST(n_overlap * 1000 // n_grams AS BIGINT) AS ratio_milli,
+                   (n_overlap * 1000 // n_grams >= 200) AS contaminated
+            FROM ev
         """,
         # Winsorization: per-key discrete-quantile clip (quantile_disc
         # == the engine's ceil(q*n)-1 index rule).

@@ -273,3 +273,98 @@ def fuzzy_split_contamination(
     return out.sort_values(["eval_id", "train_id"], kind="stable").reset_index(
         drop=True
     )
+
+
+def overlap_contamination_ratio(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    threshold_milli: int = 200,
+    pct: tuple[int, int] = (90, 5),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """GPT-3-appendix-style decontamination score: for every val/test
+    document, the FRACTION of its distinct word ``n``-grams that also
+    occur in any train document (the binary window flag of
+    ``cross_split_contamination`` graded into a ratio, so borderline
+    quote-a-sentence cases are separable from wholesale leaks).
+    Output: (id, split, n_grams, n_overlap, ratio_milli, contaminated)
+    per eval doc with at least one full window.
+
+    Integer contract: ratio_milli = n_overlap·1000 // n_grams — exact
+    counts, floor division, no floats. Scale plan: same key-only
+    exchange as cross_split_contamination (distinct (id, ngram) rows
+    grouped by hash(ngram)); each bucket emits ONE partial row per
+    (eval doc, bucket) — counts, not windows — and a doc-keyed sum
+    finishes. No pair blowup, no train-set broadcast."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .partition import apply_per_bucket, to_clean_arrow
+    from .text import _ngram_arrays
+
+    train_p, val_p = pct
+
+    def grams_with_split(t: pa.Table) -> pa.Table:
+        ids, _, grams = _ngram_arrays(t, n, text_col, id_col)
+        df = pd.DataFrame({id_col: ids, "ngram": grams}).drop_duplicates()
+        h = (df[id_col].astype(np.int64) * 2654435761) % 1000
+        df["split"] = np.where(
+            h < train_p * 10,
+            "train",
+            np.where(h < (train_p + val_p) * 10, "val", "test"),
+        )
+        return to_clean_arrow(df)
+
+    keyed = ds.map_batches(grams_with_split, batch_format="pyarrow")
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: np.array([], dtype=np.int64),
+                    "split": np.array([], dtype=object),
+                    "n_grams": np.array([], dtype=np.int64),
+                    "n_overlap": np.array([], dtype=np.int64),
+                }
+            )
+        g = g.drop_duplicates()  # cross-batch repeats of (id, ngram)
+        is_train = (g["split"] == "train").to_numpy()
+        has_train = (
+            pd.Series(is_train).groupby(g["ngram"].to_numpy()).transform("max")
+        ).to_numpy()
+        ev = g[~is_train].assign(hit=has_train[~is_train].astype(np.int64))
+        out = ev.groupby([id_col, "split"], sort=False, as_index=False).agg(
+            n_grams=("hit", "size"), n_overlap=("hit", "sum")
+        )
+        out["n_grams"] = out["n_grams"].astype(np.int64)
+        out["n_overlap"] = out["n_overlap"].astype(np.int64)
+        return out
+
+    per_bucket = apply_per_bucket(
+        keyed, partials, key="ngram", num_buckets=num_buckets
+    )
+
+    summed = per_bucket.groupby([id_col, "split"]).aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_overlap", alias_name="n_overlap"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        no = t["n_overlap"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = no * 1000 // np.maximum(ng, 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "split": t["split"],
+                "n_grams": pa.array(ng),
+                "n_overlap": pa.array(no),
+                "ratio_milli": pa.array(ratio),
+                "contaminated": pa.array(ratio >= threshold_milli),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")

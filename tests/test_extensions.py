@@ -1569,3 +1569,41 @@ def test_winsorize_per_key_clips_at_disc_quantiles(ray_session):
     assert out["v_wins"].max() == 19  # 20 clipped down
     assert out["v_wins"].min() == 1
     assert (out.loc[out["v"] == 20, "v_wins"] == 19).all()
+
+
+def test_overlap_contamination_ratio_grades_leakage(ray_session):
+    """A test doc quoting half its windows from a train doc scores
+    ratio ~500; an unrelated doc scores 0."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.scrub import overlap_contamination_ratio
+
+    # split hash: (id*2654435761)%1000 < 900 -> train. Pick ids so we
+    # control splits deterministically.
+    ids = np.arange(200, dtype=np.int64)
+    h = (ids * 2654435761) % 1000
+    train_id = int(ids[h < 900][0])
+    eval_ids = ids[h >= 900]
+    ev_quote, ev_clean = int(eval_ids[0]), int(eval_ids[1])
+
+    train_text = " ".join(f"w{i}" for i in range(16))  # 9 windows of 8
+    # eval doc: first 8 tokens verbatim from train, then 8 novel ones
+    quote_text = " ".join(f"w{i}" for i in range(8)) + " " + " ".join(
+        f"q{i}" for i in range(8)
+    )
+    clean_text = " ".join(f"z{i}" for i in range(16))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([train_id, ev_quote, ev_clean], dtype=np.int64),
+            "text": [train_text, quote_text, clean_text],
+        }
+    )
+    out = (
+        overlap_contamination_ratio(rd.from_pandas(df), n=8)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[ev_quote, "n_grams"] == 9
+    assert out.loc[ev_quote, "n_overlap"] == 1  # only the fully-quoted window
+    assert out.loc[ev_clean, "n_overlap"] == 0
+    assert train_id not in out.index
