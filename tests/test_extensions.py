@@ -1607,3 +1607,80 @@ def test_overlap_contamination_ratio_grades_leakage(ray_session):
     assert out.loc[ev_quote, "n_overlap"] == 1  # only the fully-quoted window
     assert out.loc[ev_clean, "n_overlap"] == 0
     assert train_id not in out.index
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_winsorize_randomized_vs_pandas_reference(ray_session, seed):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import winsorize_per_key
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(list("abcd"), size=n),
+            "v": rng.integers(0, 1000, size=n).astype(np.int64),
+            "i": np.arange(n, dtype=np.int64),
+        }
+    )
+    got = (
+        winsorize_per_key(rd.from_pandas(df), key="k", value="v", num_buckets=3)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+
+    def ref_group(g):
+        vs = np.sort(g["v"].to_numpy())
+        cnt = len(vs)
+        lo = vs[(50 * cnt + 999) // 1000 - 1]
+        hi = vs[(950 * cnt + 999) // 1000 - 1]
+        g = g.copy()
+        g["v_wins"] = g["v"].clip(lo, hi)
+        return g
+
+    want = (
+        df.groupby("k", group_keys=False)[["k", "v", "i"]]
+        .apply(ref_group)
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["i", "v_wins"]], want[["i", "v_wins"]], check_dtype=False
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_quota_sample_randomized_vs_reference(ray_session, seed):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import quota_sample
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n).astype(np.int64),
+            "source": rng.choice(["a", "b", "c", "d", "e"], size=n),
+        }
+    )
+    quotas = {"a": 3, "b": 17, "c": 1000}
+    got = quota_sample(
+        rd.from_pandas(df), key="source", quotas=quotas, id_col="doc_id",
+        num_buckets=4,
+    ).to_pandas()
+
+    r = df[df["source"].isin(quotas)].copy()
+    r["h"] = (r["doc_id"] * 2654435761) % 1000000007
+    r = r.sort_values(["source", "h", "doc_id"], kind="stable")
+    r["rank"] = r.groupby("source").cumcount() + 1
+    want = r[r["rank"] <= r["source"].map(quotas)]
+    key = ["source", "doc_id", "rank"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key],
+        want.sort_values(key).reset_index(drop=True)[key].astype(
+            {"rank": "int64"}
+        ),
+        check_dtype=False,
+    )
