@@ -1684,3 +1684,117 @@ def test_quota_sample_randomized_vs_reference(ray_session, seed):
         ),
         check_dtype=False,
     )
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_semdedup_randomized_vs_single_process(ray_session, seed):
+    """Distributed SemDeDup equals a pure-numpy single-process
+    replication of the same quantized algorithm on random data."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import (
+        _normalize_rows,
+        _stack,
+        ivf_sample_mask,
+        ivf_sample_threshold_micro,
+        kmeans_lloyd,
+        semdedup,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, d, k, thr = 150, 12, 4, 0.85
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    # plant some near-dups so the threshold actually fires
+    vecs[100:110] = vecs[:10] + rng.normal(
+        scale=0.005, size=(10, d)
+    ).astype(np.float32)
+    ids = rng.permutation(n * 3)[:n].astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(map(list, vecs))})
+
+    got = (
+        semdedup(rd.from_pandas(df), n_centroids=k, threshold=thr)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    o = df.sort_values("vec_id").reset_index(drop=True)  # id-sorted sample
+    m_raw = _stack(o["embedding"])
+    oids = o["vec_id"].to_numpy(np.int64)
+    t = ivf_sample_threshold_micro(n, 0.5)
+    cents = kmeans_lloyd(m_raw[ivf_sample_mask(oids, threshold_micro=t)], k)
+    mn = _normalize_rows(m_raw)
+    cell = np.argmax(mn @ cents.T, axis=1)
+    keep = []
+    for c in range(k):
+        idx = np.nonzero(cell == c)[0]  # already vec_id-ascending
+        sims = mn[idx] @ mn[idx].T
+        for r, i in enumerate(idx):
+            if not (sims[r, :r] >= thr).any():
+                keep.append((int(oids[i]), int(c)))
+    want = (
+        pd.DataFrame(keep, columns=["vec_id", "cell"])
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [13, 14])
+def test_dsir_randomized_vs_single_process(ray_session, seed):
+    import hashlib
+
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.relevance import dsir_weights
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"tok{i}" for i in range(40)]
+    n = 120
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 20)))
+        for _ in range(n)
+    ]
+    src = rng.choice(["t", "r"], size=n, p=[0.3, 0.7])
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "source": src,
+        }
+    )
+    got = (
+        dsir_weights(rd.from_pandas(df), target_col="source", target_values=["t"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    m = 64
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % m
+
+    c_raw = np.zeros(m, np.int64)
+    c_tgt = np.zeros(m, np.int64)
+    doc_buckets = []
+    for txt, s in zip(texts, src):
+        bs = [bucket(w) for w in txt.strip().split()]
+        doc_buckets.append(bs)
+        for b in bs:
+            c_raw[b] += 1
+            if s == "t":
+                c_tgt[b] += 1
+    R, T = int(c_raw.sum()), int(c_tgt.sum())
+    lam = np.floor(
+        (np.log(c_tgt + 1.0) - np.log(float(T + m))
+         - np.log(c_raw + 1.0) + np.log(float(R + m))) * 1e6
+    ).astype(np.int64)
+    want = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "dsir_score_micro": np.array(
+                [int(lam[bs].sum()) for bs in doc_buckets], dtype=np.int64
+            ),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
