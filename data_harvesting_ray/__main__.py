@@ -211,6 +211,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-shards", type=int, default=None)
     p.add_argument("--no-flush", action="store_true", help="keep windows open for a later run")
     p.add_argument("--no-checkpoint", action="store_true")
+    p.add_argument(
+        "--channels",
+        default=None,
+        help=(
+            "comma-separated optional derived channels to compute "
+            "(tumbling,sliding,latency,rolling,tool_counts); empty "
+            "string = core channels only; default = all (output-side "
+            "pruning — unconsumed full-volume channels dominate "
+            "close/commit cost at scale)"
+        ),
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -227,6 +238,11 @@ def main(argv: list[str] | None = None) -> int:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, checkpoint=False)
+    if args.channels is not None:
+        import dataclasses
+
+        chans = tuple(c for c in args.channels.split(",") if c)
+        cfg = dataclasses.replace(cfg, channels=chans)
     eng = StreamingEngine(args.out, num_shards=args.num_shards, config=cfg)
     summary = eng.run(epochs_root=args.epochs_root, flush_at_end=not args.no_flush)
     print(json.dumps(summary))
