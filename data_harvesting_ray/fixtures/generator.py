@@ -507,7 +507,8 @@ def semdedup_cells_path(
     out_dir = os.path.join(FIXTURE_ROOT, name)
     tag = f"c{n_centroids}_f{int(sample_frac * 1000)}_s{seed}"
     out = os.path.join(out_dir, f"semdedup_cells_{tag}.parquet")
-    if os.path.exists(out):
+    cents_out = os.path.join(out_dir, f"semdedup_cents_{tag}.parquet")
+    if os.path.exists(out) and os.path.exists(cents_out):
         return out
     from ..stages.similarity import (
         _normalize_rows,
@@ -533,13 +534,45 @@ def semdedup_cells_path(
     )
     cell = np.argmax(_normalize_rows(mraw) @ cents.T, axis=1).astype(np.int64)
     os.makedirs(out_dir, exist_ok=True)
-    tmp = out + f".tmp-{os.getpid()}"
-    pq.write_table(pa.table({"vec_id": ids, "cell": cell}), tmp)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        os.unlink(tmp)
+    for path, table in (
+        (out, pa.table({"vec_id": ids, "cell": cell})),
+        (
+            # unit-norm centroids as float64 lists: lets the oracle
+            # compute centroid-cosines with list_cosine_similarity for
+            # the paper-keep (low-centroid-sim survivor) variant
+            cents_out,
+            pa.table(
+                {
+                    "cell": np.arange(len(cents), dtype=np.int64),
+                    "centroid": pa.array(
+                        [row.tolist() for row in cents],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+        ),
+    ):
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            os.unlink(tmp)
     return out
+
+
+def semdedup_cents_path(
+    sf_dir_or_name: str,
+    n_centroids: int = 8,
+    sample_frac: float = 0.5,
+    seed: int = 13,
+) -> str:
+    """The (cell → unit-norm centroid) side table written alongside
+    ``semdedup_cells_path`` (same parameter-keyed cache)."""
+    semdedup_cells_path(sf_dir_or_name, n_centroids, sample_frac, seed)
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    tag = f"c{n_centroids}_f{int(sample_frac * 1000)}_s{seed}"
+    return os.path.join(FIXTURE_ROOT, name, f"semdedup_cents_{tag}.parquet")
 
 
 def documents_jsonl_path(sf_dir_or_name: str, shards: int = 4) -> str:

@@ -1298,6 +1298,22 @@ def q_v_semdedup(sf_dir: str) -> Any:
     return semdedup(emb, n_centroids=8, threshold=0.9)
 
 
+def q_v_semdedup_far(sf_dir: str) -> Any:
+    """SemDeDup with the PAPER's keep rule: within-cell duplicate
+    groups (connected components of the thresholded cosine graph)
+    each keep their lowest-centroid-cosine member — verified against
+    a recursive-CTE closure over the same side cell table plus the
+    (cell → centroid) side table."""
+    from ..fixtures.generator import neardup_embeddings_path, semdedup_cells_path
+    from ..stages.similarity import semdedup
+
+    semdedup_cells_path(sf_dir)  # ensures cells + centroids exist
+    emb = rd.read_parquet(
+        neardup_embeddings_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    return semdedup(emb, n_centroids=8, threshold=0.9, keep="low_centroid")
+
+
 def q_d_corpus_prep(sf_dir: str) -> Any:
     """Composite corpus-prep flow (lang gate -> quality gate ->
     near-dup-group keep-one -> token metrics -> train/val/test split)
@@ -2128,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_knn_ivf": q_v_knn_ivf,
         "v_near_dups": q_v_near_dups,
         "v_semdedup": q_v_semdedup,
+        "v_semdedup_far": q_v_semdedup_far,
         "m_binary_meta": q_m_binary_meta,
         "m_features": q_m_features,
         "m_frame_sample": q_m_frame_sample,
@@ -2173,6 +2190,9 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sp = simhash_sigs_path(sf_name)  # engine-kernel simhash signatures
     ivf_cells, ivf_probes = ivf_side_paths(sf_name)  # IVF assignments/probes
     sd_cells = semdedup_cells_path(sf_name)  # SemDeDup cell assignments
+    from ..fixtures.generator import semdedup_cents_path
+
+    sd_cents = semdedup_cents_path(sf_name)  # SemDeDup cell centroids
     RAW = f"read_parquet('{p}')"
     T = f"(SELECT DISTINCT * FROM {RAW})"
     NORM = (
@@ -3034,6 +3054,48 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             FROM read_parquet('{ep}') a
             JOIN read_parquet('{ep}') b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        """,
+        # SemDeDup, paper keep rule: within-cell components of the
+        # thresholded cosine graph each keep the lowest-centroid-
+        # cosine member (ties to smallest id); singletons survive.
+        "v_semdedup_far": f"""
+            WITH RECURSIVE base AS (
+              SELECT e.vec_id, e.embedding, c.cell
+              FROM read_parquet('{ep}') e
+              JOIN read_parquet('{sd_cells}') c USING (vec_id)
+            ), p AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM base a JOIN base b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+            ), edges AS (
+              SELECT u, v FROM p UNION SELECT v, u FROM p
+            ), reach(x, y) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.x, e.v FROM reach r JOIN edges e ON r.y = e.u
+            ), grp AS (
+              SELECT x AS vec_id, least(x, min(y)) AS gid
+              FROM reach GROUP BY x
+            ), scored AS (
+              SELECT b.vec_id, g.gid,
+                     list_cosine_similarity(
+                       CAST(b.embedding AS DOUBLE[]), ct.centroid) AS csim
+              FROM base b
+              JOIN grp g ON g.vec_id = b.vec_id
+              JOIN read_parquet('{sd_cents}') ct ON ct.cell = b.cell
+            ), keepers AS (
+              SELECT vec_id FROM (
+                SELECT vec_id, row_number() OVER (
+                  PARTITION BY gid ORDER BY csim, vec_id) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            )
+            SELECT b.vec_id, b.cell
+            FROM base b
+            LEFT JOIN grp g ON g.vec_id = b.vec_id
+            WHERE g.vec_id IS NULL
+               OR b.vec_id IN (SELECT vec_id FROM keepers)
         """,
         # SemDeDup over the side cell table: survivor = no lower-id
         # cluster-mate at cosine >= threshold (keep-first rule).

@@ -674,13 +674,19 @@ def semdedup(
     sample_frac: float = 0.5,
     seed: int = 13,
     cell_cap: int = SEMDEDUP_CELL_CAP,
+    keep: str = "min_id",
 ) -> ray.data.Dataset:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
     drop within each cluster every vector whose cosine similarity to a
     LOWER-vec_id cluster-mate reaches ``threshold`` — the keep-first
-    rule every dedup stage in this repo uses. Returns the survivors as
-    (vec_id, cell).
+    rule every dedup stage in this repo uses (``keep="min_id"``).
+    ``keep="low_centroid"`` is the PAPER's rule: form the within-cell
+    duplicate GROUPS (connected components of the thresholded sim
+    graph) and keep each group's member with the LOWEST cosine to the
+    cell centroid (ties to smallest vec_id) — the example farthest
+    from the cluster prototype, which the paper argues preserves the
+    most diversity. Returns the survivors as (vec_id, cell).
 
     The point vs ``embedding_near_dups``: all-pairs work is confined
     to a cell (~corpus/k rows), so the total comparison count drops
@@ -718,6 +724,9 @@ def semdedup(
             )
         )
 
+    if keep not in ("min_id", "low_centroid"):
+        raise ValueError(f"unsupported keep={keep!r}")
+
     def cell_survivors(g: pd.DataFrame) -> pd.DataFrame:
         n = len(g)
         if n > cell_cap:
@@ -729,15 +738,60 @@ def semdedup(
         ids = g["vec_id"].to_numpy(np.int64)
         m = _normalize_rows(_stack(g["embedding"]))
         dup = np.zeros(n, dtype=bool)
+        edges: list[np.ndarray] = []
         chunk = max(1, _SEMDEDUP_SLAB_BUDGET // max(n, 1))
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             s = m[lo:hi] @ m.T  # (hi-lo, n) slab
             # row r (global i = lo+r) may only match columns j < i
             mask = np.tri(hi - lo, n, k=lo - 1, dtype=bool)
-            dup[lo:hi] = ((s >= threshold) & mask).any(axis=1)
+            hit = (s >= threshold) & mask
+            dup[lo:hi] = hit.any(axis=1)
+            if keep == "low_centroid" and hit.any():
+                r, j = np.nonzero(hit)  # thresholded pairs are dup-scale
+                edges.append(np.stack([r + lo, j], axis=1))
+        if keep == "min_id":
+            return pd.DataFrame(
+                {
+                    "vec_id": ids[~dup],
+                    "cell": g["cell"].to_numpy(np.int64)[~dup],
+                }
+            )
+        # paper rule: components of the thresholded graph, keep the
+        # member with the lowest centroid cosine (ties: smallest id)
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        if edges:
+            for a, b in np.concatenate(edges):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        root = np.fromiter((find(i) for i in range(n)), np.int64, n)
+        cell_id = int(g["cell"].iloc[0])
+        c = ray.get(ref)[cell_id]
+        csim = m @ c  # cosine to the (unit-norm) cell centroid
+        # order members by (centroid-sim asc, id asc); the first row of
+        # each component survives; singleton components always survive
+        order = np.lexsort((ids, csim))
+        first = (
+            pd.Series(order)
+            .groupby(root[order], sort=False)
+            .transform("first")
+            .to_numpy()
+        )
+        survive = np.zeros(n, dtype=bool)
+        survive[order] = order == first
         return pd.DataFrame(
-            {"vec_id": ids[~dup], "cell": g["cell"].to_numpy(np.int64)[~dup]}
+            {
+                "vec_id": ids[survive],
+                "cell": g["cell"].to_numpy(np.int64)[survive],
+            }
         )
 
     def survivors_block(df: pd.DataFrame) -> pd.DataFrame:

@@ -1798,3 +1798,37 @@ def test_dsir_randomized_vs_single_process(ray_session, seed):
         }
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_semdedup_low_centroid_keeps_farthest_member(ray_session):
+    """The paper rule keeps a dup group's LOWEST-centroid-cosine
+    member, regardless of id order — build a pair where the higher id
+    is farther from the centroid so the two modes disagree."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    # id 200 = a copy of id 0 pushed AWAY from the crowd mean a bit
+    away = base[0] * 1.0 + base[0] * 0.001 + rng.normal(
+        scale=0.002, size=16
+    ).astype(np.float32)
+    vecs = np.vstack([base, away[None, :]])
+    ids = np.concatenate([np.arange(40), [200]]).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(map(list, vecs))})
+
+    kw = dict(n_centroids=2, threshold=0.99)
+    first = set(
+        semdedup(rd.from_pandas(df), keep="min_id", **kw).to_pandas()["vec_id"]
+    )
+    far = set(
+        semdedup(rd.from_pandas(df), keep="low_centroid", **kw).to_pandas()[
+            "vec_id"
+        ]
+    )
+    # min_id keeps 0; both keep exactly one of {0, 200} and all others
+    assert 0 in first and 200 not in first
+    assert len(far) == len(first) == 40
+    assert len({0, 200} & far) == 1
+    assert far - {0, 200} == first - {0, 200}
