@@ -44,6 +44,7 @@ from .stages.similarity import (  # noqa: F401
     knn_bruteforce,
     knn_ivf,
     label_centroid_dist,
+    quantize_embeddings,
     semdedup,
 )
 from .stages.text import (  # noqa: F401

@@ -1298,6 +1298,19 @@ def q_v_semdedup(sf_dir: str) -> Any:
     return semdedup(emb, n_centroids=8, threshold=0.9)
 
 
+def q_v_quantize(sf_dir: str) -> Any:
+    """Symmetric per-vector int8 quantization of the embeddings table
+    — integer-exact codes + scale, exploded to (vec_id, dim) rows."""
+    import data_harvesting_ray
+    from ..stages.similarity import quantize_embeddings
+
+    data_harvesting_ray.configure_session()
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings(emb)
+
+
 def q_v_semdedup_far(sf_dir: str) -> Any:
     """SemDeDup with the PAPER's keep rule: within-cell duplicate
     groups (connected components of the thresholded cosine graph)
@@ -2145,6 +2158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_near_dups": q_v_near_dups,
         "v_semdedup": q_v_semdedup,
         "v_semdedup_far": q_v_semdedup_far,
+        "v_quantize": q_v_quantize,
         "m_binary_meta": q_m_binary_meta,
         "m_features": q_m_features,
         "m_frame_sample": q_m_frame_sample,
@@ -3054,6 +3068,31 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             FROM read_parquet('{ep}') a
             JOIN read_parquet('{ep}') b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        """,
+        # Per-vector symmetric quantization: micro floor once, then
+        # pure integer arithmetic (floor division spelled sign-safely
+        # out of SQL's truncating //, the label_centroid_dist form).
+        "v_quantize": """
+            WITH m AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       v -> CAST(floor(v * 1e6) AS BIGINT)) AS micro
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, micro,
+                     list_max(list_transform(micro, x -> abs(x))) AS scale_micro
+              FROM m
+            )
+            SELECT vec_id,
+                   CAST(gs.dim AS BIGINT) AS dim,
+                   CASE WHEN scale_micro = 0 THEN 0
+                        ELSE (micro[dim] * 127
+                              - ((micro[dim] * 127 % scale_micro + scale_micro)
+                                 % scale_micro)) // scale_micro
+                   END AS code,
+                   scale_micro
+            FROM s, LATERAL (SELECT unnest(generate_series(
+                1, len(micro))) AS dim) gs
         """,
         # SemDeDup, paper keep rule: within-cell components of the
         # thresholded cosine graph each keep the lowest-centroid-

@@ -815,3 +815,40 @@ def semdedup(
     assigned = ds.map_batches(assign, batch_format="pandas")
     b = max(1, min(n_centroids, default_num_buckets()))
     return apply_per_bucket(assigned, survivors_block, key="cell", num_buckets=b)
+
+
+def quantize_embeddings(ds: ray.data.Dataset, levels: int = 127) -> ray.data.Dataset:
+    """Symmetric per-vector int8-style quantization: each vector's
+    components quantize to ``code = floor(micro·levels / scale)`` with
+    ``scale = max |micro component|`` (micro = floor(v·1e6) int64) —
+    the 4× memory cut that keeps a 10^9-vector ANN index in RAM, with
+    the scale riding along for dequantization. Pure integer arithmetic
+    after the one micro floor, so the gate is an exact hash compare
+    (floor division spelled sign-safely, matching the SQL oracle's
+    truncating ``//``).
+
+    Embarrassingly parallel, one pass, no shuffle; output EXPLODED to
+    (vec_id, dim, code, scale_micro) rows — dim 1-based like SQL's
+    generate_subscripts (the dim_stats convention)."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.int64)
+        micro = np.floor(_stack(df["embedding"]) * 1e6).astype(np.int64)
+        n, d = micro.shape
+        s = np.abs(micro).max(axis=1)  # per-vector scale
+        s_safe = np.maximum(s, 1)[:, None]
+        x = micro * levels
+        # sign-safe floor division (numpy // already floors; the SQL
+        # oracle spells the same floor out of truncating division)
+        codes = x // s_safe
+        codes[s == 0] = 0
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+                "code": codes.reshape(-1),
+                "scale_micro": np.repeat(s, d),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")

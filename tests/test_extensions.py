@@ -1832,3 +1832,30 @@ def test_semdedup_low_centroid_keeps_farthest_member(ray_session):
     assert len(far) == len(first) == 40
     assert len({0, 200} & far) == 1
     assert far - {0, 200} == first - {0, 200}
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(30, dtype=np.int64),
+            "vec_id": np.arange(30, dtype=np.int64),
+            "embedding": list(map(list, vecs)),
+        }
+    )
+    out = quantize_embeddings(rd.from_pandas(df)).to_pandas()
+    assert out["code"].abs().max() <= 127
+    # dequantized value within one quantization step of the original
+    deq = (
+        out["code"].to_numpy()
+        * out["scale_micro"].to_numpy()
+        / (127 * 1e6)
+    )
+    orig = vecs[out["vec_id"].to_numpy(), out["dim"].to_numpy() - 1]
+    step = out["scale_micro"].to_numpy() / (127 * 1e6)
+    assert (np.abs(deq - orig) <= step + 2e-6).all()
