@@ -1859,3 +1859,44 @@ def test_quantize_embeddings_roundtrip_error_bounded(ray_session):
     orig = vecs[out["vec_id"].to_numpy(), out["dim"].to_numpy() - 1]
     step = out["scale_micro"].to_numpy() / (127 * 1e6)
     assert (np.abs(deq - orig) <= step + 2e-6).all()
+
+
+def test_quantized_knn_recall(ray_session):
+    """Brute-force cosine top-5 over DEQUANTIZED codes recovers most
+    of the exact top-5 — the memory/recall trade the quantizer buys."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import (
+        knn_bruteforce,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(29)
+    n, d = 200, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(map(list, vecs)),
+        }
+    )
+    q_ids = np.arange(5, dtype=np.int64)
+    q_vecs = vecs[:5].astype(np.float64)
+
+    exact = knn_bruteforce(rd.from_pandas(df), q_ids, q_vecs, k=5)
+
+    codes = quantize_embeddings(rd.from_pandas(df)).to_pandas()
+    wide = codes.pivot_table(index="vec_id", columns="dim", values="code")
+    scale = codes.groupby("vec_id")["scale_micro"].first()
+    deq = wide.to_numpy() * scale.to_numpy()[:, None] / (127 * 1e6)
+    dq = pd.DataFrame(
+        {
+            "vec_id": wide.index.to_numpy().astype(np.int64),
+            "embedding": list(map(list, deq)),
+        }
+    )
+    approx = knn_bruteforce(rd.from_pandas(dq), q_ids, q_vecs, k=5)
+
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(e & a) / len(e) >= 0.8
