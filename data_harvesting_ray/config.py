@@ -26,6 +26,11 @@ class EngineConfig:
     pattern: PatternSpec = field(default_factory=PatternSpec)
     num_shards: int | None = None  # None → sized from cluster CPUs
     checkpoint: bool = True
+    # keep this many newest committed-epoch checkpoints; older dirs are
+    # pruned after each commit (resume only ever uses the newest one —
+    # without GC a 10^6-epoch stream accumulates 10^6 snapshot dirs).
+    # 0 disables pruning.
+    checkpoint_keep: int = 2
     # batch-UDF hook (the reference's model slot, M3/ST1 —
     # projects/base_project.py:84-106): an Arrow-batch fn applied in
     # the router after normalize, before late eviction and routing.

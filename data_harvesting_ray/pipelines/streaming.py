@@ -377,6 +377,29 @@ class StreamingEngine:
     def _ckpt_manifest(self, epoch: int) -> str:
         return os.path.join(self.ckpt_dir, f"epoch={epoch:06d}", "manifest.json")
 
+    def _gc_checkpoints(self, committed_epoch: int) -> None:
+        """Prune checkpoint dirs made obsolete by a newer COMMITTED
+        epoch — resume only ever restores from the max committed epoch,
+        so anything older than the retention window is dead weight (a
+        long stream otherwise accumulates one snapshot dir per epoch).
+        Only dirs with epoch <= committed - keep are removed: in-flight
+        snapshots of LATER epochs (the pipelined close) are strictly
+        newer and never touched, and a crash mid-GC just leaves a
+        removable dir behind."""
+        keep = getattr(self.config, "checkpoint_keep", 2) if self.config else 2
+        if not keep or keep <= 0:
+            return
+        cutoff = committed_epoch - keep
+        if cutoff < 0 or not os.path.isdir(self.ckpt_dir):
+            return
+        import re
+        import shutil
+
+        for name in os.listdir(self.ckpt_dir):
+            m = re.fullmatch(r"epoch=(\d+)", name)
+            if m and int(m.group(1)) <= cutoff:
+                shutil.rmtree(os.path.join(self.ckpt_dir, name), ignore_errors=True)
+
     def _write_ckpt_manifest(self, epoch: int) -> None:
         """Written AFTER the snapshot barrier: records the shard count
         and file list so a partial/corrupt checkpoint directory is
@@ -538,6 +561,8 @@ class StreamingEngine:
                     "shards": metrics,
                 }
                 self.sink.commit(head["epoch"], head["files"], epoch_metrics)
+                if head["snap_refs"]:
+                    self._gc_checkpoints(head["epoch"])
                 with open(os.path.join(self.sink.root, "metrics.jsonl"), "a") as f:
                     f.write(
                         json.dumps(

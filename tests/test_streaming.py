@@ -630,3 +630,28 @@ def test_tool_counts_channel_sums_to_bounded_topk(ray_session, tmp_path):
             WHERE tool <> '' AND role = 'assistant' GROUP BY 1 ORDER BY 1"""
     ).df()
     assert dict(zip(got["tool"], got["n"])) == dict(zip(want["tool"], want["n"]))
+
+
+def test_checkpoint_gc_prunes_old_epochs_and_resume_survives(
+    ray_session, tmp_path
+):
+    """Only the newest checkpoint_keep committed-epoch checkpoints
+    remain after a run, and a rerun (exactly-once no-op) still resumes
+    cleanly from the newest one."""
+    import glob
+
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "out")
+    eng = StreamingEngine(out, checkpoint=True)
+    s1 = eng.run(epochs_root=epochs_root(sf))
+    assert s1["epochs"] == 4
+    dirs = sorted(glob.glob(os.path.join(out, "checkpoints", "epoch=*")))
+    assert len(dirs) == 2  # default checkpoint_keep
+    assert dirs[-1].endswith("epoch=000003")
+
+    eng2 = StreamingEngine(out, checkpoint=True)
+    s2 = eng2.run(epochs_root=epochs_root(sf))
+    assert s2["skipped"] == 4 and s2["epochs"] == 0  # exactly-once no-op
