@@ -293,3 +293,27 @@ def test_cli_prep_writes_split_partitioned_manifest(ray_session, tmp_path, capsy
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again == {"rows": 375, "out": str(out), "skipped": True}
     assert len(pd.read_parquet(out)) == 375
+
+
+def test_cli_channels_flag_prunes_derived_channels(ray_session, tmp_path, capsys):
+    """--channels tool_counts commits the core channels plus only the
+    selected derived one."""
+    import glob
+
+    from data_harvesting_ray.__main__ import main
+    from data_harvesting_ray.fixtures.generator import epochs_root
+
+    out = str(tmp_path / "chan")
+    assert main([
+        "--epochs-root", epochs_root("sf0.001"),
+        "--out", out,
+        "--channels", "tool_counts",
+        "--no-checkpoint",
+    ]) == 0
+    committed = {
+        os.path.basename(f).split("-shard")[0]
+        for f in glob.glob(os.path.join(out, "data", "epoch=*", "*.parquet"))
+    }
+    assert "tool_counts" in committed
+    assert {"latency", "rolling", "tumbling", "sliding"}.isdisjoint(committed)
+    assert {"sessions", "pairs", "matches"} <= committed
