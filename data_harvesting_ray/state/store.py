@@ -306,6 +306,22 @@ class ShardState:
             turns = ready.drop(columns=["text"], errors="ignore").copy()
             turns["ts"] = turns.pop("ts_us").astype(np.int64).astype("datetime64[us]")
             out["turns"] = turns
+        # capacity-planning observability: rows currently HELD by this
+        # shard's state (surfaces unbounded-growth bugs in metrics.jsonl
+        # long before they OOM a worker)
+        self.metrics["state_rows"] = int(
+            len(self.processed_keys)
+            + len(self.open_sess)
+            + len(self.cep_tail)
+            + len(self.pend_calls)
+            + len(self.pend_resps)
+            + len(self.open_tumbles)
+            + len(self.open_slides)
+            + len(self.lag_carry)
+            + len(self.roll_carry)
+            + len(self.conv_last)
+            + sum(len(p) for p in self.pending)
+        )
         return out
 
     # ------------------------------------------------------- TTL eviction
