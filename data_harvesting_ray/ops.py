@@ -62,6 +62,7 @@ from .stages.text import (  # noqa: F401
     quality_score,
     source_dup_stats,
     token_stats,
+    tokenizer_fertility,
     vocab_drift,
     winnow_fingerprints,
 )

@@ -1022,6 +1022,15 @@ def q_d_source_mix(sf_dir: str) -> Any:
     )
 
 
+def q_d_fertility(sf_dir: str) -> Any:
+    """Tokenizer fertility per predicted language: milli-exact chars
+    per BPE-ish token plus doc/char/token totals — |languages|-row
+    partials per block, one tiny groupby."""
+    from ..stages.text import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(sf_dir))
+
+
 def q_d_gopher_gate(sf_dir: str) -> Any:
     """Gopher-rule quality gate (word count, mean word length, symbol
     ratio, alpha-word fraction) — every rule integer-exact so the
@@ -2113,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
         "d_gopher_gate": q_d_gopher_gate,
+        "d_fertility": q_d_fertility,
         "d_source_mix": q_d_source_mix,
         "d_profile": q_d_profile,
         "d_dsir": q_d_dsir,
@@ -2801,6 +2811,41 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                           WHEN 'src2' THEN 15 WHEN 'src3' THEN 8
                           WHEN 'src4' THEN 25 WHEN 'src5' THEN 30
                         END
+        """,
+        # Tokenizer fertility per predicted language (lang CTE shared
+        # with d_lang_id; totals integer, ratio milli-floored).
+        "d_fertility": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, text,
+                list_sum(list_transform(toks, x -> CASE WHEN list_contains(['the','and','of','a','is','to'], x) THEN 1 ELSE 0 END)) AS n_en,
+                list_sum(list_transform(toks, x -> CASE WHEN list_contains(['der','die','das','und','ist','ein'], x) THEN 1 ELSE 0 END)) AS n_de,
+                list_sum(list_transform(toks, x -> CASE WHEN list_contains(['le','la','et','les','des','est'], x) THEN 1 ELSE 0 END)) AS n_fr,
+                list_sum(list_transform(toks, x -> CASE WHEN list_contains(['el','la','los','las','es','una'], x) THEN 1 ELSE 0 END)) AS n_es
+              FROM t
+            ), langed AS (
+              SELECT doc_id, text, CASE
+                WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+                WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+                WHEN n_es > 0 THEN 'es'
+                ELSE 'unknown' END AS lang_pred
+              FROM c
+            )
+            SELECT lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(sum(len(regexp_extract_all(text,
+                        ' ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+'))) AS BIGINT)
+                       AS n_bpe_tokens,
+                   CAST(sum(length(text)) * 1000 //
+                        greatest(sum(len(regexp_extract_all(text,
+                          ' ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+'))), 1)
+                        AS BIGINT) AS fertility_milli
+            FROM langed GROUP BY 1
         """,
         # Gopher rules as pure integer arithmetic over RE2 counts —
         # bounds mirror stages/text.py GOPHER_* constants.

@@ -913,3 +913,58 @@ def normalize_text(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def tokenizer_fertility(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Tokenizer fertility per predicted language: characters per
+    BPE-ish token (milli-exact: 1000·Σchars // Σtokens) plus the doc
+    and token totals — the "is the tokenizer efficient for this
+    language" health metric a multilingual corpus pipeline tracks
+    (high fertility = the vocabulary underserves that language).
+
+    One fused metric pass (LangId + regex token count share the
+    batch), then a per-batch partial per language — the exchange is
+    |languages| rows per block."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    lang_stage = LangId()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lang = lang_stage(df)["lang_pred"].to_numpy()
+        txt = pa.array(df["text"], pa.string())
+        n_bpe = (
+            pc.count_substring_regex(txt, BPE_ISH_PATTERN)
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        n_chars = pc.utf8_length(txt).cast(pa.int64()).to_numpy()
+        out = pd.DataFrame(
+            {
+                "lang_pred": lang,
+                "n_docs": np.int64(1),
+                "n_chars": n_chars,
+                "n_bpe_tokens": n_bpe,
+            }
+        )
+        return out.groupby("lang_pred", sort=False, as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang_pred")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+            Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tk = t["n_bpe_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "fertility_milli", pa.array(ch * 1000 // np.maximum(tk, 1))
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
