@@ -817,7 +817,9 @@ def semdedup(
     return apply_per_bucket(assigned, survivors_block, key="cell", num_buckets=b)
 
 
-def quantize_embeddings(ds: ray.data.Dataset, levels: int = 127) -> ray.data.Dataset:
+def quantize_embeddings(
+    ds: ray.data.Dataset, levels: int = 127, explode: bool = True
+) -> ray.data.Dataset:
     """Symmetric per-vector int8-style quantization: each vector's
     components quantize to ``code = floor(micro·levels / scale)`` with
     ``scale = max |micro component|`` (micro = floor(v·1e6) int64) —
@@ -827,11 +829,15 @@ def quantize_embeddings(ds: ray.data.Dataset, levels: int = 127) -> ray.data.Dat
     (floor division spelled sign-safely, matching the SQL oracle's
     truncating ``//``).
 
-    Embarrassingly parallel, one pass, no shuffle; output EXPLODED to
-    (vec_id, dim, code, scale_micro) rows — dim 1-based like SQL's
-    generate_subscripts (the dim_stats convention)."""
+    Embarrassingly parallel, one pass, no shuffle. ``explode=True``
+    (the gate layout) emits (vec_id, dim, code, scale_micro) rows —
+    dim 1-based like SQL's generate_subscripts; ``explode=False`` is
+    the PRODUCTION layout: one row per vector with the codes as an
+    int8 list column (the actual 4x memory cut — never materialize
+    the exploded form at corpus scale)."""
+    import pyarrow as pa
 
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+    def kernel(df: pd.DataFrame):
         ids = df["vec_id"].to_numpy(np.int64)
         micro = np.floor(_stack(df["embedding"]) * 1e6).astype(np.int64)
         n, d = micro.shape
@@ -842,12 +848,22 @@ def quantize_embeddings(ds: ray.data.Dataset, levels: int = 127) -> ray.data.Dat
         # oracle spells the same floor out of truncating division)
         codes = x // s_safe
         codes[s == 0] = 0
-        return pd.DataFrame(
+        if explode:
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, d),
+                    "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+                    "code": codes.reshape(-1),
+                    "scale_micro": np.repeat(s, d),
+                }
+            )
+        flat = pa.array(codes.reshape(-1).astype(np.int8), pa.int8())
+        offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+        return pa.table(
             {
-                "vec_id": np.repeat(ids, d),
-                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
-                "code": codes.reshape(-1),
-                "scale_micro": np.repeat(s, d),
+                "vec_id": pa.array(ids),
+                "codes": pa.ListArray.from_arrays(offs, flat),
+                "scale_micro": pa.array(s),
             }
         )
 

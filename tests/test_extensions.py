@@ -1900,3 +1900,25 @@ def test_quantized_knn_recall(ray_session):
     e = set(zip(exact["query_id"], exact["neighbor_id"]))
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     assert len(e & a) / len(e) >= 0.8
+
+
+def test_quantize_compact_layout_matches_exploded(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(20, 6)).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(20, dtype=np.int64),
+            "embedding": list(map(list, vecs)),
+        }
+    )
+    ex = quantize_embeddings(rd.from_pandas(df), explode=True).to_pandas()
+    co = quantize_embeddings(rd.from_pandas(df), explode=False).to_pandas()
+    assert len(co) == 20
+    for _, row in co.iterrows():
+        sub = ex[ex["vec_id"] == row["vec_id"]].sort_values("dim")
+        assert list(sub["code"]) == list(row["codes"])
+        assert (sub["scale_micro"] == row["scale_micro"]).all()
