@@ -1129,7 +1129,7 @@ def key_skew_stats(
     key: str,
     num_buckets: int = 16,
     hash_buckets: int | None = None,
-) -> ray.data.Dataset:
+) -> pd.DataFrame:
     """Shuffle-skew diagnostics for a partition key: per hash bucket,
     total rows, distinct keys, and the hottest key with its row count
     — the pre-flight check that decides whether a key needs salting
