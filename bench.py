@@ -240,7 +240,13 @@ def run_scale_one_streaming() -> dict:
     from data_harvesting_ray.pipelines.streaming import StreamingEngine
 
     scale_fixture = os.environ.get("GRAFT_SCALE_FIXTURE", "sfxxl")
-    d = ensure_fixture(scale_fixture, GenParams(n_convs=600_000))
+    # GRAFT_SCALE_EPOCHS: epoch granularity of the fixture (default 4).
+    # BASELINE.md pins the streaming-mode scaling residual to the
+    # ~1.2 s/epoch route/ingest/fence/commit floor — coarser epochs
+    # amortize it (name the fixture per-granularity to avoid a stale
+    # cached layout).
+    n_ep = int(os.environ.get("GRAFT_SCALE_EPOCHS", "4"))
+    d = ensure_fixture(scale_fixture, GenParams(n_convs=600_000, n_epochs=n_ep))
     files = sorted(_glob.glob(os.path.join(d, "epochs", "epoch=*", "part-*.parquet")))
     n = rd.read_parquet(files, partitioning=None).count()  # warm page cache
     shards_env = os.environ.get("GRAFT_SCALE_SHARDS", "auto")
