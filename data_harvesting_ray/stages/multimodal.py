@@ -4,12 +4,13 @@ The reference's media path is: fetch blob → decode frames → model
 features (``services/harvest_service.py:104-158``, S2/S3/M3). The
 engine treats image/audio/video as opaque ``binary`` columns with
 typed metadata and runs decode / feature-extract as actor-pool
-``map_batches`` stages. The image/audio codecs are NOT in this
-container, so the decode kernel is STUBBED (deterministic fake
-features behind ``decode_stub``; ``decode_real`` raises
-NotImplementedError) — the Ray-side plumbing (schema, small batch
-size for wide rows, actor signature, output layout) is real and
-tested.
+``map_batches`` stages. Compressed-media codecs are NOT in this
+container, so those paths stay STUBBED (deterministic fake features
+behind ``decode_stub``); the one raster format that needs no codec —
+binary PPM (P6) — has a REAL numpy decode path in ``_decode_real``
+(tested end-to-end through the actor pool). The Ray-side plumbing
+(schema, small batch size for wide rows, actor signature, output
+layout) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -70,9 +71,45 @@ class FeatureExtractor:
         self.ready = True
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
+        """REAL decode for the one raster format that needs no codec:
+        binary PPM (P6 — 'P6\\n<w> <h>\\n<maxval>\\n' + raw RGB), parsed
+        with numpy alone. Features (uint8, FEATURE_DIM=8): overall
+        R/G/B means, top/bottom-half gray means, w%256, h%256,
+        maxval%256 — the shape a tiny vision embedding has. Compressed
+        formats (JPEG/PNG/audio/video) still raise: their codecs are
+        not in this container, and faking them would be dishonest."""
+        if payload[:2] == b"P6":
+            # minimal whitespace-token header (no comment support —
+            # the engine's own packer never emits comments)
+            parts = payload.split(maxsplit=4)
+            if len(parts) == 5:
+                w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+                raw = parts[4][: w * h * 3]
+                if maxval < 256 and len(raw) == w * h * 3:
+                    img = (
+                        np.frombuffer(raw, dtype=np.uint8)
+                        .reshape(h, w, 3)
+                        .astype(np.int64)
+                    )
+                    gray = img.mean(axis=2, dtype=np.float64)
+                    top, bottom = gray[: h // 2], gray[h - h // 2 :]
+                    feats = np.array(
+                        [
+                            img[:, :, 0].sum() // (h * w),
+                            img[:, :, 1].sum() // (h * w),
+                            img[:, :, 2].sum() // (h * w),
+                            int(top.sum() // max(top.size, 1)),
+                            int(bottom.sum() // max(bottom.size, 1)),
+                            w % 256,
+                            h % 256,
+                            maxval % 256,
+                        ],
+                        dtype=np.int64,
+                    )
+                    return feats.astype(np.uint8)
         raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "plug a real decoder here (cv2 / PIL / torchaudio)"
+            "only binary PPM (P6) decodes without codecs; plug a real "
+            "decoder here (cv2 / PIL / torchaudio) for compressed media"
         )
 
     def _decode_stub(self, payload: bytes) -> np.ndarray:

@@ -1922,3 +1922,42 @@ def test_quantize_compact_layout_matches_exploded(ray_session):
         sub = ex[ex["vec_id"] == row["vec_id"]].sort_values("dim")
         assert list(sub["code"]) == list(row["codes"])
         assert (sub["scale_micro"] == row["scale_micro"]).all()
+
+
+def test_feature_extractor_real_ppm_decode(ray_session):
+    """The real decoder actually parses binary PPM (P6) — no stub, no
+    codec dependency — and still raises for compressed formats."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.multimodal import FeatureExtractor
+
+    w, h = 4, 2
+    # top row red-ish, bottom row blue-ish
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[0, :, 0] = 200
+    img[1, :, 2] = 100
+    payload = f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+    df = pd.DataFrame({"doc_id": np.array([7], dtype=np.int64),
+                       "payload": [payload]})
+    out = (
+        rd.from_pandas(df)
+        .map_batches(
+            FeatureExtractor,
+            fn_constructor_kwargs={"use_real_decoder": True},
+            batch_format="pandas",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    feats = (np.asarray(out["features"].iloc[0]) * 255).round().astype(int)
+    # overall channel means: R = 200*4/8 = 100, G = 0, B = 100*4/8 = 50
+    assert list(feats[:3]) == [100, 0, 50]
+    # top gray = 200/3 = 66, bottom gray = 100/3 = 33
+    assert list(feats[3:5]) == [66, 33]
+    assert list(feats[5:]) == [w, h, 255]
+
+    import pytest
+
+    fx = FeatureExtractor(use_real_decoder=True)
+    with pytest.raises(NotImplementedError):
+        fx._decode_real(b"\x89PNG....")
