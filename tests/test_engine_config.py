@@ -317,3 +317,33 @@ def test_cli_channels_flag_prunes_derived_channels(ray_session, tmp_path, capsys
     assert "tool_counts" in committed
     assert {"latency", "rolling", "tumbling", "sliding"}.isdisjoint(committed)
     assert {"sessions", "pairs", "matches"} <= committed
+
+
+def test_pii_scrub_enrich_redacts_stream(ray_session, tmp_path):
+    """enrich='pii_scrub' rewrites the payload in the stream and the
+    redaction count rides to the committed turns channel."""
+    import pyarrow as pa
+
+    from data_harvesting_ray.enrich import get_enrich
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.config import EngineConfig
+
+    fn = get_enrich("pii_scrub")
+    t = pa.table({"text": ["mail me at a.b@example.com now", None]})
+    out = fn(t)
+    assert "@" not in out["text"][0].as_py()
+    assert out["n_redactions"][0].as_py() >= 1
+    assert out["text"][1].as_py() is None
+
+    o = str(tmp_path / "out")
+    eng = StreamingEngine(
+        o,
+        config=EngineConfig(
+            enrich="pii_scrub", emit_turns=True, channels=(), num_shards=2
+        ),
+    )
+    eng.run(epochs_root=epochs_root("sf0.001"))
+    turns = eng.results_pandas("turns")
+    assert "n_redactions" in turns.columns
+    assert (turns["n_redactions"] >= 0).all()
