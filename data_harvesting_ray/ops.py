@@ -158,6 +158,7 @@ from .stages.aggregates import (  # noqa: F401
     topk_per_key,
     topk_tools,
     turn_stats,
+    value_quantiles_per_key,
     winsorize_per_key,
 )
 

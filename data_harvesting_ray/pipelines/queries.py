@@ -423,6 +423,33 @@ def q_t_streaming_topk(sf_dir: str) -> Any:
     return agg.head(3).reset_index(drop=True)
 
 
+def q_t_tool_latency(sf_dir: str) -> Any:
+    """Per-tool response-latency p50/p90 over the call↔response pairs
+    (the generic per-key discrete-quantile op on the join output) —
+    exact, quantile_disc semantics."""
+    import pandas as pd
+
+    from ..stages.aggregates import value_quantiles_per_key
+    from ..stages.join import tool_join
+
+    pairs = tool_join(_norm(sf_dir))
+
+    def lat(df: pd.DataFrame) -> pd.DataFrame:
+        gap = (
+            (df["resp_ts"].to_numpy() - df["call_ts"].to_numpy())
+            .astype("timedelta64[us]")
+            .astype("int64")
+        )
+        return pd.DataFrame({"tool": df["tool"].to_numpy(), "latency_us": gap})
+
+    return value_quantiles_per_key(
+        pairs.map_batches(lat, batch_format="pandas"),
+        key="tool",
+        value="latency_us",
+        num_buckets=8,
+    )
+
+
 def q_t_key_skew(sf_dir: str) -> Any:
     """Shuffle-skew diagnostics over the raw turn stream keyed by
     conv_id: per md5-bucket row/key totals + hottest key — the
@@ -2089,6 +2116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_streaming_rolling": q_t_streaming_rolling,
         "t_streaming_topk": q_t_streaming_topk,
         "t_key_skew": q_t_key_skew,
+        "t_tool_latency": q_t_tool_latency,
         "t_sessions_repaired": q_t_sessions_repaired,
         "t_pairs_repaired": q_t_pairs_repaired,
         "t_matches_repaired": q_t_matches_repaired,
@@ -2416,6 +2444,26 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             SELECT tool, count(*) AS n_calls FROM {T}
             WHERE tool <> '' AND role = 'assistant'
             GROUP BY 1 ORDER BY n_calls DESC, tool LIMIT 3
+        """,
+        # Per-tool response-latency discrete quantiles over the pair
+        # join output (quantile_disc == ceil(q*n)-1).
+        "t_tool_latency": f"""
+            WITH j AS (
+              SELECT tool,
+                     epoch_us(resp_ts) - epoch_us(call_ts) AS latency_us
+              FROM (
+                SELECT c.tool, c.call_ts, r.resp_ts,
+                       row_number() OVER (PARTITION BY c.conv_id, c.call_id
+                                          ORDER BY r.resp_turn_idx) AS rn
+                FROM {CALLS} c JOIN {RESPS} r
+                  ON c.conv_id = r.conv_id AND c.call_id = r.call_id
+                 AND r.resp_turn_idx > c.call_turn_idx
+              ) WHERE rn = 1
+            )
+            SELECT tool, CAST(count(*) AS BIGINT) AS n,
+                   quantile_disc(latency_us, 0.5) AS p50_latency_us,
+                   quantile_disc(latency_us, 0.9) AS p90_latency_us
+            FROM j GROUP BY 1
         """,
         # Skew diagnostics: per md5-bucket totals + hottest key over
         # the RAW (pre-dedup) turn stream — the physical shuffle input.

@@ -1243,3 +1243,44 @@ def winsorize_per_key(
         return out
 
     return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
+
+
+def value_quantiles_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    q_milli: tuple[int, ...] = (500, 900),
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact per-key discrete quantiles of an integer column — the
+    generic form of ``gap_quantiles`` (any key, any pre-computed
+    value; e.g. per-TOOL response-latency p50/p90 from the pair
+    channel). quantile_disc semantics: element at ceil(q·n)−1, index
+    in integer milli arithmetic. One hash(key) exchange; the kernel
+    is one lexsort across every key in the bucket."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy()
+        v = g[value].to_numpy(np.int64)
+        if not len(k):
+            return pd.DataFrame(
+                {
+                    key: np.array([], dtype=object),
+                    "n": np.array([], dtype=np.int64),
+                    **{
+                        f"p{qm // 10}_{value}": np.array([], dtype=np.int64)
+                        for qm in q_milli
+                    },
+                }
+            )
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        cnts = np.diff(np.concatenate([starts, [len(k)]])).astype(np.int64)
+        out = {key: k[starts], "n": cnts}
+        for qm in q_milli:
+            idx = -((-qm * cnts) // 1000) - 1  # ceil(q*n) - 1, exact
+            out[f"p{qm // 10}_{value}"] = v[starts + idx]
+        return pd.DataFrame(out)
+
+    return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
