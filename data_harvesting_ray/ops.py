@@ -114,6 +114,7 @@ from .stages.aggregates import (  # noqa: F401
 )
 from .stages.events import (  # noqa: F401
     daily_spikes,
+    dow_profile,
     funnel_events,
     sliding_mau,
     type_cooccurrence,

@@ -1674,6 +1674,20 @@ def q_d_overlap_ratio(sf_dir: str) -> Any:
     return overlap_contamination_ratio(_docs(sf_dir), n=8)
 
 
+def q_e_dow_profile(sf_dir: str) -> Any:
+    """Day-of-week volume + exact distinct-user profile per event
+    type; dow via pure integer date arithmetic (0=Mon), identical in
+    the oracle."""
+    import data_harvesting_ray
+    from ..stages.events import dow_profile
+
+    data_harvesting_ray.configure_session()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"]
+    )
+    return dow_profile(ev)
+
+
 def q_d_surprisal(sf_dir: str) -> Any:
     """CCNet-style unigram surprisal per document: mean per-token
     integer-micro surprisal under the corpus's own unigram model —
@@ -2117,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_streaming_topk": q_t_streaming_topk,
         "t_key_skew": q_t_key_skew,
         "t_tool_latency": q_t_tool_latency,
+        "e_dow_profile": q_e_dow_profile,
         "t_sessions_repaired": q_t_sessions_repaired,
         "t_pairs_repaired": q_t_pairs_repaired,
         "t_matches_repaired": q_t_matches_repaired,
@@ -2444,6 +2459,16 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             SELECT tool, count(*) AS n_calls FROM {T}
             WHERE tool <> '' AND role = 'assistant'
             GROUP BY 1 ORDER BY n_calls DESC, tool LIMIT 3
+        """,
+        # Day-of-week profile: integer date arithmetic (0=Mon), exact
+        # distinct users.
+        "e_dow_profile": """
+            SELECT event_type,
+                   CAST(((epoch_us(ts) // 86400000000) + 3) % 7 AS BIGINT)
+                       AS dow,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
         """,
         # Per-tool response-latency discrete quantiles over the pair
         # join output (quantile_disc == ceil(q*n)-1).

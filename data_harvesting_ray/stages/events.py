@@ -644,3 +644,67 @@ def type_cooccurrence(
     return partials.groupby(["type_a", "type_b"]).aggregate(
         Sum("n_users", alias_name="n_users")
     )
+
+
+def dow_profile(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Day-of-week volume/user profile per event type — the seasonality
+    fingerprint a stream monitor baselines against. dow is pure
+    integer arithmetic (0=Thu epoch anchor shifted so 0=Mon:
+    ``(days_since_epoch + 3) % 7``), identical in the SQL oracle — no
+    locale-dependent date functions. Per-batch partials collapse each
+    block to <= |types|·7 rows (counts) plus distinct (type, dow,
+    user) rows for the exact user count; both exchanges are key-scale."""
+    from ray.data.aggregate import Sum
+
+    from .aggregates import distinct_per_key
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dow = ((us // 86_400_000_000) + 3) % 7
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "dow": dow.astype(np.int64),
+                "n": np.int64(1),
+            }
+        )
+        return out.groupby(["event_type", "dow"], sort=False, as_index=False).sum()
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dow = ((us // 86_400_000_000) + 3) % 7
+        out = pd.DataFrame(
+            {
+                "key": df["event_type"].astype(str) + "\x1f" + pd.Series(dow).astype(str),
+                "user_id": df["user_id"].to_numpy(np.int64),
+            }
+        )
+        return out.drop_duplicates()
+
+    dist = distinct_per_key(
+        ds.map_batches(melt, batch_format="pandas"),
+        key="key",
+        value="user_id",
+        out_col="n_users",
+    )
+
+    def split_key(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["key"].str.split("\x1f", expand=True)
+        return pd.DataFrame(
+            {
+                "event_type": parts[0],
+                "dow": parts[1].astype(np.int64),
+                "n_users": df["n_users"].to_numpy(np.int64),
+            }
+        )
+
+    dist = dist.map_batches(split_key, batch_format="pandas")
+    from .join import equi_join
+
+    return equi_join(counts, dist, on=["event_type", "dow"], num_buckets=8)
