@@ -239,14 +239,24 @@ def run_scale_one_streaming() -> dict:
     from data_harvesting_ray.fixtures.generator import GenParams, ensure_fixture
     from data_harvesting_ray.pipelines.streaming import StreamingEngine
 
-    scale_fixture = os.environ.get("GRAFT_SCALE_FIXTURE", "sfxxl")
     # GRAFT_SCALE_EPOCHS: epoch granularity of the fixture (default 4).
     # BASELINE.md pins the streaming-mode scaling residual to the
     # ~1.2 s/epoch route/ingest/fence/commit floor — coarser epochs
-    # amortize it (name the fixture per-granularity to avoid a stale
-    # cached layout).
+    # amortize it. The fixture NAME is derived from the granularity
+    # (ensure_fixture caches by name and would otherwise silently
+    # return a stale layout generated with different n_epochs), and
+    # the cached layout is validated against the requested count.
     n_ep = int(os.environ.get("GRAFT_SCALE_EPOCHS", "4"))
+    default_name = "sfxxl" if n_ep == 4 else f"sfxxl-e{n_ep}"
+    scale_fixture = os.environ.get("GRAFT_SCALE_FIXTURE", default_name)
     d = ensure_fixture(scale_fixture, GenParams(n_convs=600_000, n_epochs=n_ep))
+    got_eps = len(_glob.glob(os.path.join(d, "epochs", "epoch=*")))
+    if got_eps != n_ep:
+        raise RuntimeError(
+            f"fixture {scale_fixture!r} has {got_eps} epochs but "
+            f"GRAFT_SCALE_EPOCHS={n_ep}: cached layout is stale — pick a "
+            f"granularity-specific GRAFT_SCALE_FIXTURE name or delete it"
+        )
     files = sorted(_glob.glob(os.path.join(d, "epochs", "epoch=*", "part-*.parquet")))
     n = rd.read_parquet(files, partitioning=None).count()  # warm page cache
     shards_env = os.environ.get("GRAFT_SCALE_SHARDS", "auto")

@@ -55,24 +55,14 @@ def _token_count(t: pa.Table) -> pa.Table:
 
 
 def _pii_scrub(t: pa.Table) -> pa.Table:
-    """Streaming PII scrub: apply the shared PII_RULES chain to the
-    turn payload IN PLACE (sequential regexp_replace, same semantics
-    as the bounded scrub_text) and count redactions — makes
-    ``enrich: pii_scrub`` in a YAML config redact the stream before
-    anything is committed."""
-    import numpy as np
+    """Streaming PII scrub: apply the SHARED scrub kernel
+    (stages/scrub.scrub_column — one copy of the sequential-replace
+    semantics) to the turn payload IN PLACE and count redactions —
+    makes ``enrich: pii_scrub`` in a YAML config redact the stream
+    before anything is committed."""
+    from .stages.scrub import scrub_column
 
-    from .stages.scrub import PII_RULES
-
-    isnull = pc.is_null(t["text"])
-    cur = pc.coalesce(t["text"], pa.scalar("", pa.string()))
-    total = np.zeros(len(t), dtype=np.int64)
-    for pat, rep in PII_RULES:
-        total += pc.count_substring_regex(cur, pat).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        cur = pc.replace_substring_regex(cur, pat, replacement=rep)
-    cur = pc.if_else(isnull, t["text"], cur)
+    cur, total = scrub_column(t["text"])
     idx = t.schema.get_field_index("text")
     return t.set_column(idx, "text", cur).append_column(
         "n_redactions", pa.array(total)

@@ -104,13 +104,15 @@ def _gate(
         & (df["stop_ratio_milli"].to_numpy() >= min_stop_milli)
     )
     if gopher:
+        from ..stages.text import GOPHER_MAX_WORDS, GOPHER_MIN_WORDS
+
         wc = df["n_tokens"].to_numpy()
         sl = df["n_word_chars"].to_numpy()
         na = df["n_alpha_words"].to_numpy()
         ns = df["n_symbols"].to_numpy()
         keep &= (
-            (wc >= 20)
-            & (wc <= 400)
+            (wc >= GOPHER_MIN_WORDS)
+            & (wc <= GOPHER_MAX_WORDS)
             & (3 * wc <= sl)
             & (sl <= 10 * wc)
             & (10 * ns <= wc)

@@ -312,7 +312,8 @@ def gap_quantiles(
         cnts = np.diff(np.concatenate([starts, [len(gc)]])).astype(np.int64)
         out = {"conv_id": gc[starts], "n_gaps": cnts}
         for qm in q_milli:
-            idx = -((-qm * cnts) // 1000) - 1  # ceil(q*n) - 1, exact
+            # ceil(q*n) - 1, clamped so q=0 == quantile_disc(0) (min)
+            idx = np.maximum(-((-qm * cnts) // 1000) - 1, 0)
             out[f"p{qm // 10}_gap_us"] = gv[starts + idx]
         return pd.DataFrame(out)
 
@@ -1144,7 +1145,7 @@ def key_skew_stats(
     a second (key-count-scale) exchange co-locates md5-buckets and one
     fused kernel emits totals, key counts and the per-bucket argmax —
     the raw input never shuffles."""
-    import hashlib
+    from .partition import md5_mod
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(key, sort=False, as_index=False).size()
@@ -1152,17 +1153,7 @@ def key_skew_stats(
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(key, sort=False, as_index=False)["n"].sum()
-        ks = out[key].astype(str)
-        codes, uniq = pd.factorize(ks, sort=False)
-        hv = np.fromiter(
-            (
-                int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % num_buckets
-                for u in uniq
-            ),
-            dtype=np.int64,
-            count=len(uniq),
-        )
-        out["skew_bucket"] = hv[codes]
+        out["skew_bucket"] = md5_mod(out[key].astype(str), num_buckets)
         out["n"] = out["n"].astype(np.int64)
         return out
 
@@ -1231,9 +1222,11 @@ def winsorize_per_key(
         new_grp[1:] = cs[1:] != cs[:-1]
         starts = np.nonzero(new_grp)[0]
         counts = np.diff(np.append(starts, n))
-        # ceil(q*n) - 1 in integer milli units
-        lo_idx = starts + (p_lo_milli * counts + 999) // 1000 - 1
-        hi_idx = starts + (p_hi_milli * counts + 999) // 1000 - 1
+        # ceil(q*n) - 1 in integer milli units, clamped at the group
+        # start so q=0 returns the group MIN (DuckDB quantile_disc(0))
+        # instead of indexing into the previous group
+        lo_idx = starts + np.maximum((p_lo_milli * counts + 999) // 1000 - 1, 0)
+        hi_idx = starts + np.maximum((p_hi_milli * counts + 999) // 1000 - 1, 0)
         grp_of = np.cumsum(new_grp) - 1  # per sorted row
         lo = vs[lo_idx][grp_of]
         hi = vs[hi_idx][grp_of]
@@ -1279,7 +1272,8 @@ def value_quantiles_per_key(
         cnts = np.diff(np.concatenate([starts, [len(k)]])).astype(np.int64)
         out = {key: k[starts], "n": cnts}
         for qm in q_milli:
-            idx = -((-qm * cnts) // 1000) - 1  # ceil(q*n) - 1, exact
+            # ceil(q*n) - 1, clamped so q=0 == quantile_disc(0) (min)
+            idx = np.maximum(-((-qm * cnts) // 1000) - 1, 0)
             out[f"p{qm // 10}_{value}"] = v[starts + idx]
         return pd.DataFrame(out)
 

@@ -80,11 +80,17 @@ class FeatureExtractor:
         not in this container, and faking them would be dishonest."""
         if payload[:2] == b"P6":
             # minimal whitespace-token header (no comment support —
-            # the engine's own packer never emits comments)
-            parts = payload.split(maxsplit=4)
-            if len(parts) == 5:
-                w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-                raw = parts[4][: w * h * 3]
+            # the engine's own packer never emits comments). Parsed
+            # with an anchored regex, NOT split(): per the spec exactly
+            # ONE whitespace byte follows maxval, and a raster whose
+            # first pixel byte happens to be ASCII whitespace must not
+            # be consumed as header separator.
+            import re
+
+            m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload[:64])
+            if m:
+                w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+                raw = payload[m.end() : m.end() + w * h * 3]
                 if maxval < 256 and len(raw) == w * h * 3:
                     img = (
                         np.frombuffer(raw, dtype=np.uint8)

@@ -43,6 +43,28 @@ def to_clean_arrow(df: pd.DataFrame) -> pa.Table:
     )
 
 
+def md5_mod(values, m: int) -> np.ndarray:
+    """The engine's SQL-replayable hash — ``int(md5(str(v))[:15
+    hex], 16) % m``, DuckDB's ``CAST('0x' || substr(md5(v), 1, 15) AS
+    BIGINT) % m`` — vectorized by hashing each DISTINCT value once per
+    batch. ONE copy of the replayable-hash contract (DSIR buckets,
+    skew diagnostics, and future oracle-checkable bucketing all share
+    it); ``_stable_hash`` below is the internal (non-SQL) shuffle
+    hash — do not mix them."""
+    import hashlib
+
+    codes, uniq = pd.factorize(pd.Series(values), sort=False)
+    hv = np.fromiter(
+        (
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % m
+            for u in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return hv[codes]
+
+
 def _stable_hash(arr: np.ndarray) -> np.ndarray:
     """Deterministic (cross-process, cross-run) vectorized hash for
     string or integer key columns."""

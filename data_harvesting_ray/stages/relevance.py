@@ -489,20 +489,11 @@ DSIR_BUCKETS = 64
 
 
 def _md5_buckets(tokens: pd.Series, m: int) -> np.ndarray:
-    """md5-60bit (the engine's SQL-replayable hash) mod m per token,
-    hashing each DISTINCT token once per batch."""
-    import hashlib
+    """md5-60bit (the engine's SQL-replayable hash) mod m per token —
+    the shared ``partition.md5_mod`` contract."""
+    from .partition import md5_mod
 
-    codes, uniq = pd.factorize(tokens, sort=False)
-    hv = np.fromiter(
-        (
-            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % m
-            for u in uniq
-        ),
-        dtype=np.int64,
-        count=len(uniq),
-    )
-    return hv[codes]
+    return md5_mod(tokens, m)
 
 
 def dsir_weights(

@@ -37,6 +37,34 @@ PII_RULES: list[tuple[str, str]] = [
 ]
 
 
+def scrub_column(
+    col, rules: list[tuple[str, str]] | None = None
+):
+    """The one shared scrub kernel: sequentially apply (pattern,
+    replacement) regex rules to an Arrow string array/chunked-array
+    and count total redactions per row. Null text stays null with 0
+    redactions (a null through the count kernel becomes NaN and would
+    astype to INT64_MIN). Each rule's count is measured on the text
+    AFTER earlier rules ran (sequential semantics — what a nested
+    ``regexp_replace`` chain computes). Returns (scrubbed_col,
+    n_redactions int64 ndarray). Used by both the bounded scrub_text
+    and the streaming ``pii_scrub`` enrich stage — one copy of the
+    semantics."""
+    import pyarrow.compute as pc
+
+    rules = PII_RULES if rules is None else rules
+    isnull = pc.is_null(col)
+    cur = pc.coalesce(col, pa.scalar("", pa.string()))
+    total = np.zeros(len(col), dtype=np.int64)
+    for pat, rep in rules:
+        total += (
+            pc.count_substring_regex(cur, pat).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=rep)
+    cur = pc.if_else(isnull, pa.scalar(None, pa.string()), cur)
+    return cur, total
+
+
 def scrub_text(
     ds: ray.data.Dataset,
     rules: list[tuple[str, str]] | None = None,
@@ -46,25 +74,11 @@ def scrub_text(
 ) -> ray.data.Dataset:
     """Sequentially apply (pattern, replacement) regex rules to
     ``text_col`` and count total redactions. Returns
-    (id_col, out_col, n_redactions); each rule's count is measured on
-    the text AFTER earlier rules ran (sequential semantics — what a
-    nested ``regexp_replace`` chain computes)."""
-    rules = PII_RULES if rules is None else rules
+    (id_col, out_col, n_redactions); see ``scrub_column`` for the
+    kernel contract."""
 
     def kernel(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        # null text stays null with 0 redactions (a null through the
-        # count kernel becomes NaN and would astype to INT64_MIN)
-        isnull = pc.is_null(t[text_col])
-        cur = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
-        total = np.zeros(len(t), dtype=np.int64)
-        for pat, rep in rules:
-            total += (
-                pc.count_substring_regex(cur, pat).to_numpy(zero_copy_only=False)
-            ).astype(np.int64)
-            cur = pc.replace_substring_regex(cur, pattern=pat, replacement=rep)
-        cur = pc.if_else(isnull, pa.scalar(None, pa.string()), cur)
+        cur, total = scrub_column(t[text_col], rules)
         return pa.table(
             {id_col: t[id_col], out_col: cur, "n_redactions": pa.array(total)}
         )

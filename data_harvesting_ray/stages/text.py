@@ -830,7 +830,9 @@ def char_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
     its batch, so nothing shuffles."""
 
     def kernel(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
+        # null text == empty text: emits nothing (the SQL side's
+        # regexp over NULL unnests to zero rows — same absence)
+        texts = [s if isinstance(s, str) else "" for s in t["text"].to_pylist()]
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         lens = np.fromiter((len(s) for s in texts), dtype=np.int64, count=len(texts))
         nz = lens > 0  # empty docs emit nothing (no chars — matches SQL)
@@ -932,6 +934,10 @@ def tokenizer_fertility(ds: ray.data.Dataset) -> ray.data.Dataset:
     lang_stage = LangId()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # null text counts as an empty doc (0 chars / 0 tokens); the
+        # Arrow count kernels would otherwise propagate nulls and
+        # refuse the zero-copy numpy conversion
+        df = df.assign(text=df["text"].fillna(""))
         lang = lang_stage(df)["lang_pred"].to_numpy()
         txt = pa.array(df["text"], pa.string())
         n_bpe = (

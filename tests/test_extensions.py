@@ -1961,3 +1961,69 @@ def test_feature_extractor_real_ppm_decode(ray_session):
     fx = FeatureExtractor(use_real_decoder=True)
     with pytest.raises(NotImplementedError):
         fx._decode_real(b"\x89PNG....")
+
+
+def test_review_fix_ppm_raster_starting_with_whitespace_byte(ray_session):
+    """A valid P6 image whose first pixel byte is ASCII whitespace
+    (32) must decode — the header parse may consume exactly one
+    separator byte, never the raster."""
+    from data_harvesting_ray.stages.multimodal import FeatureExtractor
+
+    w, h = 2, 2
+    img = np.full((h, w, 3), 32, dtype=np.uint8)  # all-space pixels
+    payload = f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+    fx = FeatureExtractor(use_real_decoder=True)
+    feats = fx._decode_real(payload)
+    assert list(feats[:3]) == [32, 32, 32]
+
+
+def test_review_fix_quantile_zero_returns_group_min(ray_session):
+    """q=0 must return the group's MIN (DuckDB quantile_disc(0)),
+    never index into the previous group."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import (
+        value_quantiles_per_key,
+        winsorize_per_key,
+    )
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 4,
+            "v": np.array([1, 2, 3, 4, 100, 200, 300, 400], dtype=np.int64),
+        }
+    )
+    q = (
+        value_quantiles_per_key(
+            rd.from_pandas(df), key="k", value="v", q_milli=(0, 1000),
+            num_buckets=2,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    assert q.loc["a", "p0_v"] == 1 and q.loc["b", "p0_v"] == 100
+    assert q.loc["a", "p100_v"] == 4 and q.loc["b", "p100_v"] == 400
+
+    w = winsorize_per_key(
+        rd.from_pandas(df.assign(i=np.arange(8))), key="k", value="v",
+        p_lo_milli=0, p_hi_milli=1000, num_buckets=2,
+    ).to_pandas()
+    # no-clip bounds: values unchanged
+    assert (w.sort_values("i")["v_wins"].to_numpy() == df["v"].to_numpy()).all()
+
+
+def test_review_fix_null_text_tolerated(ray_session):
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.text import char_entropy, tokenizer_fertility
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": ["abab", None],
+        }
+    )
+    ent = char_entropy(rd.from_pandas(df)).to_pandas()
+    assert set(ent["doc_id"]) == {0}  # null == empty: emits nothing
+    fert = tokenizer_fertility(rd.from_pandas(df)).to_pandas()
+    assert fert["n_docs"].sum() == 2  # null doc counted as empty
