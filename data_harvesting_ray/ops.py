@@ -187,6 +187,7 @@ from .stages.render import debug_render, render_conversations  # noqa: F401
 
 # composite pipelines
 from .pipelines.corpus_prep import corpus_prep  # noqa: F401
+from .pipelines.flagship import conv_scorecard  # noqa: F401
 from .pipelines.repair import (  # noqa: F401
     repair_latency,
     repair_matches,

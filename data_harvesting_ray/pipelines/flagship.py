@@ -202,3 +202,78 @@ def split_channels(union_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
         }
     ).reset_index(drop=True)
     return {"sessions": sessions, "matches": matches, "pairs": pairs}
+
+
+def conv_scorecard(
+    ds: rd.Dataset,
+    gap_s: int | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-conversation quality scorecard — the "which conversations
+    are good training data" table: turn/tool-call volume, session
+    fragmentation, and tool-call outcome quality (answered vs orphan
+    calls, as a milli-exact success ratio) in one conv-keyed frame.
+
+    Composed from the already-gated operators (turn_stats,
+    session_windows, tool_join, orphan_calls) — the composite adds
+    joins, not new semantics. The normalized stream is materialized
+    ONCE for its two payload consumers (the corpus_prep multi-consumer
+    checkpoint discipline); every aggregate is conv-scale, so the
+    three left joins move key-only rows. Missing pair/orphan counts
+    coalesce to 0 engine-side (int64 out — no nullable-Int leaks)."""
+    from ..schema import DEFAULT_SESSION_GAP_S
+    from ..stages.aggregates import turn_stats
+    from ..stages.join import equi_join, orphan_calls, tool_join
+    from ..stages.normalize import normalize_turns
+    from ..stages.windows import session_windows
+
+    gap = DEFAULT_SESSION_GAP_S if gap_s is None else gap_s
+    norm = normalize_turns(ds).materialize()  # two payload consumers
+
+    stats = turn_stats(
+        norm.select_columns(["conv_id", "turn_idx", "ts", "role", "tool"]),
+        num_buckets=num_buckets,
+    ).drop_columns(["first_ts", "last_ts"])
+
+    def count_by_conv(src: rd.Dataset, out_col: str) -> rd.Dataset:
+        from ray.data.aggregate import Sum
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("conv_id", sort=False, as_index=False).size()
+            return out.rename(columns={"size": out_col})
+
+        return (
+            src.map_batches(partial, batch_format="pandas")
+            .groupby("conv_id")
+            .aggregate(Sum(out_col, alias_name=out_col))
+        )
+
+    sess = count_by_conv(
+        session_windows(
+            norm.select_columns(["conv_id", "turn_idx", "ts"]),
+            gap_s=gap,
+            num_buckets=num_buckets,
+        ),
+        "n_sessions",
+    )
+    pairs = count_by_conv(tool_join(norm, num_buckets=num_buckets), "n_pairs")
+    orph = count_by_conv(orphan_calls(norm, num_buckets=num_buckets), "n_orphans")
+
+    j = equi_join(stats, sess, on="conv_id", num_buckets=num_buckets)
+    j = equi_join(j, pairs, on="conv_id", how="left", num_buckets=num_buckets)
+    j = equi_join(j, orph, on="conv_id", how="left", num_buckets=num_buckets)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for c in ("n_pairs", "n_orphans"):
+            out[c] = out[c].fillna(0).astype(np.int64)
+        calls = out["n_pairs"] + out["n_orphans"]
+        out["tool_success_milli"] = (
+            out["n_pairs"] * 1000 // calls.clip(lower=1)
+        ).astype(np.int64)
+        # convs with no calls at all: define success as 1000 (nothing
+        # failed), matching the SQL CASE
+        out.loc[calls == 0, "tool_success_milli"] = np.int64(1000)
+        return out
+
+    return j.map_batches(finalize, batch_format="pandas")

@@ -450,6 +450,15 @@ def q_t_tool_latency(sf_dir: str) -> Any:
     )
 
 
+def q_t_conv_scorecard(sf_dir: str) -> Any:
+    """Per-conversation quality scorecard: volume + session
+    fragmentation + tool-call outcome quality, composed from the
+    gated turn_stats / session_windows / tool_join / orphan_calls."""
+    from .flagship import conv_scorecard
+
+    return conv_scorecard(_t(sf_dir))
+
+
 def q_t_key_skew(sf_dir: str) -> Any:
     """Shuffle-skew diagnostics over the raw turn stream keyed by
     conv_id: per md5-bucket row/key totals + hottest key — the
@@ -2131,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_streaming_topk": q_t_streaming_topk,
         "t_key_skew": q_t_key_skew,
         "t_tool_latency": q_t_tool_latency,
+        "t_conv_scorecard": q_t_conv_scorecard,
         "e_dow_profile": q_e_dow_profile,
         "t_sessions_repaired": q_t_sessions_repaired,
         "t_pairs_repaired": q_t_pairs_repaired,
@@ -4138,6 +4148,37 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sqls["t_rolling_repaired"] = sqls["t_rolling_tool_rate"]
     sqls["t_tumbling_repaired"] = sqls["t_tumbling_windows"]
     sqls["t_sliding_repaired"] = sqls["t_sliding_windows"]
+    # scorecard: assembled verbatim from the gated component oracles
+    sqls["t_conv_scorecard"] = f"""
+        WITH stats AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                 CAST(sum(CASE WHEN tool <> '' AND role = 'assistant'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls
+          FROM {T} GROUP BY 1
+        ), sess AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_sessions
+          FROM ({sqls['t_session_windows']}) GROUP BY 1
+        ), p AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM ({sqls['t_tool_join']}) GROUP BY 1
+        ), o AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_orphans
+          FROM ({sqls['t_orphan_calls']}) GROUP BY 1
+        )
+        SELECT s.conv_id, s.n_turns, s.n_tool_calls, sess.n_sessions,
+               CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(o.n_orphans, 0) AS BIGINT) AS n_orphans,
+               CAST(CASE WHEN coalesce(p.n_pairs, 0)
+                              + coalesce(o.n_orphans, 0) = 0 THEN 1000
+                    ELSE coalesce(p.n_pairs, 0) * 1000
+                         // (coalesce(p.n_pairs, 0)
+                             + coalesce(o.n_orphans, 0))
+                    END AS BIGINT) AS tool_success_milli
+        FROM stats s
+        JOIN sess USING (conv_id)
+        LEFT JOIN p USING (conv_id)
+        LEFT JOIN o USING (conv_id)
+    """
     sqls["t_response_latency_salted"] = sqls["t_response_latency"]
     # broadcast plan must be output-identical to the shuffle plan
     sqls["t_stats_join_broadcast"] = sqls["t_stats_join"]
