@@ -575,6 +575,85 @@ def semdedup_cents_path(
     return os.path.join(FIXTURE_ROOT, name, f"semdedup_cents_{tag}.parquet")
 
 
+def dist_centroids_path(
+    sf_dir_or_name: str,
+    n_centroids: int = 8,
+    iters: int = 5,
+    seed: int = 13,
+    init_budget: int = 4096,
+) -> str:
+    """Golden centroids for the fully DISTRIBUTED Lloyd trainer,
+    recomputed DRIVER-SIDE by a single-process implementation of the
+    SAME quantized algorithm (integer-micro partial sums make the
+    distributed result a pure function of the table, so the two must
+    match bit-for-bit) — the literal "verified against a
+    single-process reference implementation's golden outputs"
+    criterion. With this table as INPUT, the gate is an exact hash
+    compare instead of a rows-only check."""
+    import numpy as np
+
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    tag = f"c{n_centroids}_i{iters}_s{seed}_b{init_budget}"
+    out = os.path.join(out_dir, f"dist_centroids_{tag}.parquet")
+    if os.path.exists(out):
+        return out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    from ..stages.similarity import (
+        _normalize_rows,
+        _stack,
+        ivf_sample_mask,
+        ivf_sample_threshold_micro,
+    )
+
+    emb = (
+        pq.read_table(
+            os.path.join(src_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .to_pandas()
+        .sort_values("vec_id", kind="stable")  # canonical pool order
+    )
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    m = _normalize_rows(_stack(emb["embedding"]))
+    thr = ivf_sample_threshold_micro(len(ids), 1.0, init_budget)
+    pool = m[ivf_sample_mask(ids, threshold_micro=thr)]
+    rng = np.random.default_rng(seed)
+    cents = pool[
+        rng.choice(len(pool), size=min(n_centroids, len(pool)), replace=False)
+    ].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        micro = np.floor(m * 1e6).astype(np.int64)
+        new = cents.copy()
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                new[c] = (micro[mask].sum(axis=0) / 1e6) / mask.sum()
+        cents = _normalize_rows(new)
+    table = pa.table(
+        {
+            "centroid": np.arange(len(cents), dtype=np.int64),
+            **{
+                f"c{j}": np.floor(cents[:, j] * 1e6).astype(np.int64)
+                for j in range(cents.shape[1])
+            },
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        os.unlink(tmp)
+    return out
+
+
 def documents_jsonl_path(sf_dir_or_name: str, shards: int = 4) -> str:
     """The documents table re-materialized as sharded line-delimited
     JSON (the interchange format most LLM-corpus pipelines ingest),

@@ -2082,13 +2082,18 @@ def q_d_weighted_sample(sf_dir: str) -> Any:
 def q_v_centroids_distributed(sf_dir: str) -> Any:
     """Fully distributed Lloyd k-means over the whole embeddings table
     (no vector payload on the driver; integer-micro partials make the
-    result layout-invariant). Non-SQL-expressible: rows-only driver
-    check; exactness is pytest-gated against a single-process
-    reference of the same quantized algorithm."""
+    result layout-invariant). k-means itself is not SQL, but the
+    result is a PURE FUNCTION of the table, so the gate reads a
+    driver-side single-process recompute of the same quantized
+    algorithm as an INPUT table (fixtures.generator.dist_centroids_path
+    — the "golden outputs from a single-process reference" criterion)
+    and hash-compares exactly."""
     import data_harvesting_ray
 
+    from ..fixtures.generator import dist_centroids_path
     from ..stages.similarity import train_centroids_distributed
 
+    dist_centroids_path(sf_dir)  # ensure the oracle's input exists
     data_harvesting_ray.configure_session()
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -2267,6 +2272,9 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     sp = simhash_sigs_path(sf_name)  # engine-kernel simhash signatures
     ivf_cells, ivf_probes = ivf_side_paths(sf_name)  # IVF assignments/probes
     sd_cells = semdedup_cells_path(sf_name)  # SemDeDup cell assignments
+    from ..fixtures.generator import dist_centroids_path
+
+    dk_cents = dist_centroids_path(sf_name)  # distributed-kmeans goldens
     from ..fixtures.generator import semdedup_cents_path
 
     sd_cents = semdedup_cents_path(sf_name)  # SemDeDup cell centroids
@@ -3196,6 +3204,12 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
             FROM read_parquet('{ep}') a
             JOIN read_parquet('{ep}') b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        """,
+        # Distributed k-means: the single-process golden recompute of
+        # the same quantized algorithm IS the oracle (pure function of
+        # the table — see dist_centroids_path).
+        "v_centroids_distributed": f"""
+            SELECT * FROM read_parquet('{dk_cents}')
         """,
         # Per-vector symmetric quantization: micro floor once, then
         # pure integer arithmetic (floor division spelled sign-safely
