@@ -72,6 +72,14 @@ class EngineConfig:
             raise ValueError("suppress_turns must be >= 0")
         if self.num_shards is not None and self.num_shards < 1:
             raise ValueError("num_shards must be >= 1")
+        if self.checkpoint_keep < 0:
+            raise ValueError("checkpoint_keep must be >= 0 (0 disables pruning)")
+        if self.checkpoint and self.checkpoint_keep == 1:
+            raise ValueError(
+                "checkpoint_keep=1 leaves no older snapshot to fall back to "
+                "if the newest checkpoint dir is lost; use >= 2 (or 0 to "
+                "disable pruning entirely)"
+            )
         if self.tumble_s <= 0 or self.slide_size_s <= 0 or self.slide_step_s <= 0:
             raise ValueError("window sizes must be positive")
         if self.state_ttl_s <= 0:

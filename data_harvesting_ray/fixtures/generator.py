@@ -699,3 +699,128 @@ def documents_jsonl_path(sf_dir_or_name: str, shards: int = 4) -> str:
 
         shutil.rmtree(tmp, ignore_errors=True)
     return out_dir
+
+
+def encode_png(img: np.ndarray, filters: np.ndarray | None = None) -> bytes:
+    """Minimal standards-conforming PNG ENCODER (stdlib zlib + numpy)
+    for fixtures and tests: 8-bit RGB (h, w, 3) uint8 in,
+    non-interlaced color-type-2 PNG out. ``filters`` picks the filter
+    type per scanline (default: cycle 0..4 so every fixture payload
+    exercises all five unfilter paths in the decoder)."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    bpp = 3
+    if filters is None:
+        filters = np.arange(h, dtype=np.int64) % 5
+    raw = img.astype(np.int64)
+    lines = []
+    for y in range(h):
+        cur = raw[y].reshape(-1)
+        prev = raw[y - 1].reshape(-1) if y > 0 else np.zeros(w * bpp, np.int64)
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        ft = int(filters[y])
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            out = cur - left
+        elif ft == 2:
+            out = cur - prev
+        elif ft == 3:
+            out = cur - ((left + prev) >> 1)
+        elif ft == 4:
+            p = left + prev - upleft
+            pa_, pb_, pc_ = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_),
+                left,
+                np.where(pb_ <= pc_, prev, upleft),
+            )
+            out = cur - pred
+        else:
+            raise ValueError(f"filter {ft}")
+        lines.append(bytes([ft]) + (out & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_payloads_path(sf_dir_or_name: str, seed: int = 47) -> str:
+    """(doc_id, payload: binary PNG, feat_checksum: golden) side table —
+    one deterministic small RGB image per document, PNG-encoded with
+    the in-repo encoder (scanline filters cycle 0..4, so real payloads
+    exercise every unfilter path). The golden checksum is computed
+    HERE from the raw pre-encoding pixels with the 8-feature
+    arithmetic spelled out inline (independent of the engine's
+    decoder), making the PNG decode path hash-gateable: engine =
+    decode(PNG bytes) → features; oracle = this column."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    out = os.path.join(out_dir, "png_payloads.parquet")
+    if os.path.exists(out):
+        return out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"), columns=["doc_id"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    payloads: list[bytes] = []
+    checks = np.zeros(len(ids), dtype=np.int64)
+    for i, doc_id in enumerate(ids):
+        rng = np.random.default_rng(seed + int(doc_id))
+        w = 8 + int(doc_id) % 9
+        h = 8 + (int(doc_id) // 9) % 9
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payloads.append(encode_png(img))
+        # golden 8-feature bytes, spelled inline (R/G/B means,
+        # top/bottom gray means, w%256, h%256, maxval%256)
+        px = img.astype(np.int64)
+        gray = px.mean(axis=2, dtype=np.float64)
+        feats = [
+            int(px[:, :, 0].sum() // (h * w)) & 0xFF,
+            int(px[:, :, 1].sum() // (h * w)) & 0xFF,
+            int(px[:, :, 2].sum() // (h * w)) & 0xFF,
+            int(gray[: h // 2].sum() // gray[: h // 2].size) & 0xFF,
+            int(gray[h - h // 2 :].sum() // gray[h - h // 2 :].size) & 0xFF,
+            w % 256,
+            h % 256,
+            255,
+        ]
+        checks[i] = sum(feats)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "feat_checksum": pa.array(checks),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=131_072)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        os.unlink(tmp)
+    return out

@@ -1775,6 +1775,27 @@ def q_m_features(sf_dir: str) -> Any:
     return extract_features(_docs(sf_dir)).select_columns(["doc_id", "feat_checksum"])
 
 
+def q_m_features_png(sf_dir: str) -> Any:
+    """REAL PNG decode through the actor pool: the planted side table
+    holds one PNG-encoded image per document (scanline filters cycle
+    0..4) plus a GOLDEN checksum computed from the raw pre-encoding
+    pixels at fixture-generation time — so the oracle verifies the
+    whole zlib-inflate + unfilter + feature path, not a stub. The
+    reference decodes real compressed media in its core loop
+    (services/harvest_service.py:149-158)."""
+    import data_harvesting_ray
+    import ray.data as rd
+
+    from ..fixtures.generator import png_payloads_path
+    from ..stages.multimodal import extract_features_real
+
+    data_harvesting_ray.configure_session()
+    binary = rd.read_parquet(
+        png_payloads_path(sf_dir), columns=["doc_id", "payload"]
+    )
+    return extract_features_real(binary).select_columns(["doc_id", "feat_checksum"])
+
+
 def q_m_frame_sample(sf_dir: str) -> Any:
     from ..stages.multimodal import sample_frames
 
@@ -2229,6 +2250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_quantize": q_v_quantize,
         "m_binary_meta": q_m_binary_meta,
         "m_features": q_m_features,
+        "m_features_png": q_m_features_png,
         "m_frame_sample": q_m_frame_sample,
         "m_resize": q_m_resize,
         "lineitem_rollup": q_lineitem_rollup,
@@ -2278,6 +2300,9 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     from ..fixtures.generator import semdedup_cents_path
 
     sd_cents = semdedup_cents_path(sf_name)  # SemDeDup cell centroids
+    from ..fixtures.generator import png_payloads_path
+
+    png_side = png_payloads_path(sf_name)  # PNG payloads + golden checksums
     RAW = f"read_parquet('{p}')"
     T = f"(SELECT DISTINCT * FROM {RAW})"
     NORM = (
@@ -3075,6 +3100,15 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                         AS BIGINT) AS feat_checksum
             FROM documents
         """,
+        # golden-recompute oracle (same pattern as v_centroids_
+        # distributed): the checksum column was computed from the raw
+        # pre-encoding pixels at fixture-generation time, so comparing
+        # against it verifies the engine's zlib-inflate + unfilter +
+        # feature arithmetic end-to-end
+        "m_features_png": f"""
+            SELECT doc_id, feat_checksum
+            FROM read_parquet('{png_side}')
+        """,
         # transitive closure of the verified near-dup pairs; group id
         # = min doc id of the connected component
         "d_dedup_groups": """
@@ -3260,8 +3294,9 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
               FROM reach GROUP BY x
             ), scored AS (
               SELECT b.vec_id, g.gid,
-                     list_cosine_similarity(
-                       CAST(b.embedding AS DOUBLE[]), ct.centroid) AS csim
+                     CAST(floor(list_cosine_similarity(
+                       CAST(b.embedding AS DOUBLE[]), ct.centroid)
+                       * 1000000) AS BIGINT) AS csim
               FROM base b
               JOIN grp g ON g.vec_id = b.vec_id
               JOIN read_parquet('{sd_cents}') ct ON ct.cell = b.cell

@@ -70,14 +70,37 @@ class FeatureExtractor:
         # import cv2  # not available in this container
         self.ready = True
 
+    @staticmethod
+    def _features_from_rgb(img: np.ndarray, maxval: int) -> np.ndarray:
+        """(h, w, 3) int64 image → the 8 feature bytes: overall R/G/B
+        means, top/bottom-half gray means, w%256, h%256, maxval%256 —
+        the shape a tiny vision embedding has."""
+        h, w = img.shape[0], img.shape[1]
+        gray = img.mean(axis=2, dtype=np.float64)
+        top, bottom = gray[: h // 2], gray[h - h // 2 :]
+        feats = np.array(
+            [
+                img[:, :, 0].sum() // (h * w),
+                img[:, :, 1].sum() // (h * w),
+                img[:, :, 2].sum() // (h * w),
+                int(top.sum() // max(top.size, 1)),
+                int(bottom.sum() // max(bottom.size, 1)),
+                w % 256,
+                h % 256,
+                maxval % 256,
+            ],
+            dtype=np.int64,
+        )
+        return feats.astype(np.uint8)
+
     def _decode_real(self, payload: bytes) -> np.ndarray:
-        """REAL decode for the one raster format that needs no codec:
-        binary PPM (P6 — 'P6\\n<w> <h>\\n<maxval>\\n' + raw RGB), parsed
-        with numpy alone. Features (uint8, FEATURE_DIM=8): overall
-        R/G/B means, top/bottom-half gray means, w%256, h%256,
-        maxval%256 — the shape a tiny vision embedding has. Compressed
-        formats (JPEG/PNG/audio/video) still raise: their codecs are
-        not in this container, and faking them would be dishonest."""
+        """REAL decode for the two raster formats that need no external
+        codec: binary PPM (P6 — 'P6\\n<w> <h>\\n<maxval>\\n' + raw RGB),
+        parsed with numpy alone, and PNG (8-bit gray/RGB/RGBA,
+        non-interlaced), inflated with stdlib ``zlib`` and unfiltered
+        in numpy (``_decode_png``). Other compressed formats
+        (JPEG/audio/video) still raise: their codecs are not in this
+        container, and faking them would be dishonest."""
         if payload[:2] == b"P6":
             # minimal whitespace-token header (no comment support —
             # the engine's own packer never emits comments). Parsed
@@ -91,32 +114,112 @@ class FeatureExtractor:
             if m:
                 w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
                 raw = payload[m.end() : m.end() + w * h * 3]
-                if maxval < 256 and len(raw) == w * h * 3:
+                # w/h/maxval must all be positive: a degenerate 0×N
+                # header passes the byte-length check with an empty
+                # raster and would floor-divide by zero below
+                if 0 < maxval < 256 and w > 0 and h > 0 and len(raw) == w * h * 3:
                     img = (
                         np.frombuffer(raw, dtype=np.uint8)
                         .reshape(h, w, 3)
                         .astype(np.int64)
                     )
-                    gray = img.mean(axis=2, dtype=np.float64)
-                    top, bottom = gray[: h // 2], gray[h - h // 2 :]
-                    feats = np.array(
-                        [
-                            img[:, :, 0].sum() // (h * w),
-                            img[:, :, 1].sum() // (h * w),
-                            img[:, :, 2].sum() // (h * w),
-                            int(top.sum() // max(top.size, 1)),
-                            int(bottom.sum() // max(bottom.size, 1)),
-                            w % 256,
-                            h % 256,
-                            maxval % 256,
-                        ],
-                        dtype=np.int64,
-                    )
-                    return feats.astype(np.uint8)
+                    return self._features_from_rgb(img, maxval)
+        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+            img = self._decode_png(payload)
+            return self._features_from_rgb(img, 255)
         raise NotImplementedError(
-            "only binary PPM (P6) decodes without codecs; plug a real "
-            "decoder here (cv2 / PIL / torchaudio) for compressed media"
+            "only binary PPM (P6) and 8-bit non-interlaced PNG decode "
+            "without codecs; plug a real decoder here (cv2 / PIL / "
+            "torchaudio) for other compressed media"
         )
+
+    @staticmethod
+    def _decode_png(payload: bytes) -> np.ndarray:
+        """Public-knowledge PNG decode (RFC 2083 / W3C PNG spec) using
+        only stdlib ``zlib`` + numpy: walk the chunk stream, inflate
+        the concatenated IDAT data, undo the five per-scanline filters
+        (None/Sub/Up/Average/Paeth), and return an (h, w, 3) int64 RGB
+        image. Supports the common cases a training-data pipeline
+        meets: bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA;
+        alpha dropped), no interlace. The reference decodes real
+        compressed media in its core loop
+        (services/harvest_service.py:149-158); this closes the same
+        gap without bundling a codec."""
+        import struct
+        import zlib
+
+        pos = 8
+        w = h = bitdepth = ctype = None
+        idat = bytearray()
+        n = len(payload)
+        while pos + 8 <= n:
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                w, h, bitdepth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if interlace != 0:
+                    raise NotImplementedError("interlaced PNG not supported")
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + length  # length + tag + data + CRC
+        if w is None or w <= 0 or h <= 0 or not idat:
+            raise NotImplementedError("malformed PNG (missing IHDR/IDAT)")
+        if bitdepth != 8 or ctype not in (0, 2, 6):
+            raise NotImplementedError(
+                f"PNG bitdepth={bitdepth} colortype={ctype} not supported "
+                "(8-bit gray/RGB/RGBA only)"
+            )
+        bpp = {0: 1, 2: 3, 6: 4}[ctype]
+        stride = w * bpp
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (stride + 1):
+            raise NotImplementedError("PNG raster length mismatch")
+        scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        filters = scan[:, 0]
+        rows = scan[:, 1:].astype(np.int64)
+        out = np.zeros((h, stride), dtype=np.int64)
+        for y in range(h):
+            ft = int(filters[y])
+            row = rows[y]
+            prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+            if ft == 0:  # None
+                cur = row
+            elif ft == 2:  # Up
+                cur = (row + prev) & 0xFF
+            elif ft == 1:  # Sub — per-lane cumulative sum mod 256
+                lanes = row.reshape(-1, bpp)
+                cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(-1)
+            else:  # Average (3) / Paeth (4): left-dependent, per-pixel
+                cur = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    if ft == 3:
+                        cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                    elif ft == 4:
+                        c = prev[x - bpp] if x >= bpp else 0
+                        p = a + b - c
+                        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                        pred = (
+                            a
+                            if (pa_ <= pb_ and pa_ <= pc_)
+                            else (b if pb_ <= pc_ else c)
+                        )
+                        cur[x] = (row[x] + pred) & 0xFF
+                    else:
+                        raise NotImplementedError(f"PNG filter type {ft}")
+            out[y] = cur
+        px = out.reshape(h, w, bpp)
+        if ctype == 0:
+            return np.repeat(px, 3, axis=2)
+        if ctype == 6:
+            return px[:, :, :3]
+        return px
 
     def _decode_stub(self, payload: bytes) -> np.ndarray:
         # Deterministic fake feature bytes: md5 digest prefix (md5 so
@@ -246,6 +349,24 @@ def resize_frames(
             "stride": stride,
             "out_bytes": out_bytes,
         },
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def extract_features_real(
+    binary: ray.data.Dataset,
+    batch_size: int = 256,
+    concurrency: int | tuple = (1, 2),
+) -> ray.data.Dataset:
+    """REAL-decoder feature extraction over an already-binary dataset
+    (doc_id, payload) — PPM/PNG payloads decoded in the actor pool,
+    features + integer checksum out. Same sizing discipline as
+    ``extract_features`` (small batches: wide binary rows)."""
+    return binary.map_batches(
+        FeatureExtractor,
+        fn_constructor_kwargs={"use_real_decoder": True},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

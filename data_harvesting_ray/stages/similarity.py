@@ -776,9 +776,14 @@ def semdedup(
         cell_id = int(g["cell"].iloc[0])
         c = ray.get(ref)[cell_id]
         csim = m @ c  # cosine to the (unit-norm) cell centroid
+        # quantize to integer micro-units before ordering (the repo's
+        # discipline for every float-derived ordering): raw float64
+        # csim can flip the survivor vs the SQL oracle when two group
+        # members sit within an ulp of each other
+        csim_micro = np.floor(csim * 1_000_000.0).astype(np.int64)
         # order members by (centroid-sim asc, id asc); the first row of
         # each component survives; singleton components always survive
-        order = np.lexsort((ids, csim))
+        order = np.lexsort((ids, csim_micro))
         first = (
             pd.Series(order)
             .groupby(root[order], sort=False)

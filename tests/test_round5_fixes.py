@@ -1,0 +1,194 @@
+"""Round-5 fixes: PNG decode (stdlib zlib + numpy unfilter), the
+degenerate-P6-header guard, checkpoint_keep validation, and the
+semdedup survivor-ordering quantization (ADVICE r4 + VERDICT r4 #3)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_harvesting_ray.fixtures.generator import encode_png
+from data_harvesting_ray.stages.multimodal import FeatureExtractor
+
+
+def _rng_img(seed: int, h: int, w: int) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_roundtrip_each_filter_type(ft):
+    """Every scanline filter type (None/Sub/Up/Average/Paeth)
+    roundtrips exactly through encode → zlib → unfilter."""
+    img = _rng_img(100 + ft, 11, 7)
+    payload = encode_png(img, filters=np.full(11, ft, dtype=np.int64))
+    out = FeatureExtractor._decode_png(payload)
+    assert out.shape == (11, 7, 3)
+    assert (out == img.astype(np.int64)).all()
+
+
+def test_png_roundtrip_mixed_filters():
+    img = _rng_img(7, 23, 13)
+    payload = encode_png(img)  # default cycles filters 0..4
+    out = FeatureExtractor._decode_png(payload)
+    assert (out == img.astype(np.int64)).all()
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _manual_png(px: np.ndarray, ctype: int, interlace: int = 0) -> bytes:
+    """Hand-built PNG (filter 0 on every row) for gray/RGBA cases the
+    in-repo encoder doesn't emit."""
+    h, w = px.shape[0], px.shape[1]
+    bpp = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = b"".join(
+        b"\x00" + px[y].reshape(-1).astype(np.uint8).tobytes() for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_gray_and_rgba_color_types():
+    gray = np.random.default_rng(3).integers(0, 256, size=(5, 6, 1), dtype=np.uint8)
+    out = FeatureExtractor._decode_png(_manual_png(gray, ctype=0))
+    assert out.shape == (5, 6, 3)
+    assert (out == np.repeat(gray.astype(np.int64), 3, axis=2)).all()
+
+    rgba = np.random.default_rng(4).integers(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    out = FeatureExtractor._decode_png(_manual_png(rgba, ctype=6))
+    assert (out == rgba[:, :, :3].astype(np.int64)).all()
+
+
+def test_png_unsupported_shapes_raise():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError):
+        FeatureExtractor._decode_png(_manual_png(px, ctype=2, interlace=1))
+    with pytest.raises(NotImplementedError):  # 16-bit depth
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + _chunk(b"IEND", b"")
+        )
+        FeatureExtractor._decode_png(bad)
+    with pytest.raises(NotImplementedError):  # truncated: no IDAT
+        FeatureExtractor._decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        )
+
+
+def test_decode_real_dispatches_png_and_features_match_golden():
+    img = _rng_img(11, 9, 12)
+    fx = FeatureExtractor(use_real_decoder=True)
+    feats = fx._decode_real(encode_png(img))
+    px = img.astype(np.int64)
+    gray = px.mean(axis=2, dtype=np.float64)
+    h, w = 9, 12
+    expect = [
+        px[:, :, 0].sum() // (h * w),
+        px[:, :, 1].sum() // (h * w),
+        px[:, :, 2].sum() // (h * w),
+        int(gray[: h // 2].sum() // gray[: h // 2].size),
+        int(gray[h - h // 2 :].sum() // gray[h - h // 2 :].size),
+        w % 256,
+        h % 256,
+        255,
+    ]
+    assert list(feats.astype(int)) == [e & 0xFF for e in expect]
+
+
+def test_degenerate_ppm_header_rejected():
+    """ADVICE r4: a P6 header with w=0 or h=0 passes the byte-length
+    check with an empty raster; it must raise, not floor-divide by
+    zero."""
+    fx = FeatureExtractor(use_real_decoder=True)
+    for hdr in (b"P6\n0 4\n255\n", b"P6\n4 0\n255\n", b"P6\n2 2\n0\n"):
+        with pytest.raises(NotImplementedError):
+            fx._decode_real(hdr)
+
+
+def test_png_payloads_fixture_golden_matches_engine(ray_session):
+    """End-to-end: the planted-PNG side table's golden checksums equal
+    the actor-pool real-decode output (the m_features_png gate)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_harvesting_ray.fixtures.generator import png_payloads_path
+    from data_harvesting_ray.stages.multimodal import extract_features_real
+
+    side = png_payloads_path("sf0.001")
+    golden = (
+        pq.read_table(side, columns=["doc_id", "feat_checksum"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        extract_features_real(
+            rd.read_parquet(side, columns=["doc_id", "payload"])
+        )
+        .select_columns(["doc_id", "feat_checksum"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, golden)
+
+
+def test_checkpoint_keep_validation():
+    from data_harvesting_ray.config import EngineConfig
+
+    with pytest.raises(ValueError):
+        EngineConfig(checkpoint_keep=-1).validate()
+    with pytest.raises(ValueError):
+        EngineConfig(checkpoint=True, checkpoint_keep=1).validate()
+    # keep=1 is allowed when checkpointing is off; 0 disables pruning
+    EngineConfig(checkpoint=False, checkpoint_keep=1).validate()
+    EngineConfig(checkpoint_keep=0).validate()
+    EngineConfig(checkpoint_keep=2).validate()
+
+
+def test_semdedup_survivor_ordering_is_micro_quantized(ray_session):
+    """ADVICE r4: the low_centroid survivor pick orders on integer
+    micro-units of centroid cosine — two members whose csim differs
+    only past 1e-6 tie, and the tie breaks to the smaller vec_id."""
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=8).astype(np.float64)
+    base /= np.linalg.norm(base)
+    # two near-identical dup-pair members (cos >> 0.9) whose centroid
+    # cosines differ by ~1e-9 — far below micro resolution
+    a = base.copy()
+    b = base + 1e-9 * rng.normal(size=8)
+    rows = pd.DataFrame(
+        {
+            "vec_id": np.array([2, 1], dtype=np.int64),
+            "embedding": [a.astype(np.float32), b.astype(np.float32)],
+        }
+    )
+    out = (
+        semdedup(rd.from_pandas(rows), n_centroids=1, sample_frac=1.0,
+                 keep="low_centroid")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert list(out["vec_id"]) == [1]
