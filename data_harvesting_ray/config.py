@@ -39,6 +39,17 @@ class EngineConfig:
     # A string selects a registered UDF by name (X4 — enrich.py), so
     # YAML configs can pick an enrich stage (`enrich: token_count`).
     enrich: Callable[[Any], Any] | str | None = None
+    # per-stage scheduling for the enrich slot (the reference pins its
+    # model to a device at startup — projects/base_project.py:90-97).
+    # Keys: num_cpus/num_gpus/memory/resources (per-actor Ray resource
+    # request) + concurrency/batch_size (actor-pool shape). When set,
+    # bounded pipelines run the enrich as its OWN actor-pool
+    # map_batches stage (enrich.apply_enrich) so e.g. num_gpus=1 lands
+    # the model on a GPU and loads weights once per actor; the
+    # streaming engine forwards the resource request to its route
+    # tasks (enrich.route_task_options). None = fuse the UDF into the
+    # existing normalize stage (right for cheap Arrow kernels).
+    enrich_resources: dict | None = None
     # emit the deduped on-time turn stream (incl. enrich-derived
     # columns) as a committed `turns` channel
     emit_turns: bool = False
@@ -98,6 +109,12 @@ class EngineConfig:
             from .enrich import get_enrich
 
             get_enrich(self.enrich)  # raises on unregistered UDF names
+        if self.enrich_resources is not None:
+            if self.enrich is None:
+                raise ValueError("enrich_resources requires enrich to be set")
+            from .enrich import validate_resources
+
+            validate_resources(self.enrich_resources)
         return self
 
     @classmethod

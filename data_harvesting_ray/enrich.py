@@ -7,6 +7,15 @@ the engine's analogue lets batch-UDFs register by name so a YAML / dict
 callable (``enrich: token_count`` in YAML). Registered functions have
 the model-slot shape (M3/ST1): Arrow batch in, Arrow batch out, derived
 columns ride the shard buffers to the committed ``turns`` channel.
+
+Accelerator placement: the reference pins its model to a device at
+startup (``projects/base_project.py:90-97`` — half-precision CUDA when
+available). The engine's analogue is ``EngineConfig.enrich_resources``:
+a dict of per-stage scheduling knobs (``num_gpus``/``num_cpus``/
+``memory``/``resources``/``concurrency``/``batch_size``) that turns
+the enrich slot into its OWN actor-pool ``map_batches`` stage
+(``apply_enrich`` below) so a model-backed UDF can claim a GPU and
+load its weights once per actor, not once per batch.
 """
 
 from __future__ import annotations
@@ -20,10 +29,20 @@ EnrichFn = Callable[[pa.Table], pa.Table]
 
 _ENRICHERS: dict[str, EnrichFn] = {}
 
+# scheduling knobs accepted by EngineConfig.enrich_resources. The first
+# four are forwarded to Ray verbatim (per-actor resource request); the
+# last two shape the actor pool itself.
+_RAY_REMOTE_KEYS = ("num_cpus", "num_gpus", "memory", "resources")
+_POOL_KEYS = ("concurrency", "batch_size")
+RESOURCE_KEYS = frozenset(_RAY_REMOTE_KEYS + _POOL_KEYS)
 
-def register_enrich(name: str, fn: EnrichFn) -> None:
+
+def register_enrich(name: str, fn: EnrichFn | type) -> None:
     """User extension point: make ``fn`` selectable as
-    ``EngineConfig(enrich=name)`` (and thus from YAML)."""
+    ``EngineConfig(enrich=name)`` (and thus from YAML). ``fn`` may also
+    be a CLASS (a model factory): it is then instantiated once per
+    actor inside the enrich stage (ST1 — weights load in ``__init__``,
+    never per batch), and requires actor mode (``enrich_resources``)."""
     _ENRICHERS[name] = fn
 
 
@@ -42,6 +61,94 @@ def resolve_enrich(e: EnrichFn | str | None) -> EnrichFn | None:
     if e is None or callable(e):
         return e
     return get_enrich(e)
+
+
+def validate_resources(r: dict | None) -> None:
+    """Shape-check an ``enrich_resources`` dict (EngineConfig.validate
+    delegates here so the contract lives next to the consumer)."""
+    if r is None:
+        return
+    if not isinstance(r, dict):
+        raise ValueError("enrich_resources must be a dict")
+    unknown = set(r) - RESOURCE_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown enrich_resources keys {sorted(unknown)}; "
+            f"choose from {sorted(RESOURCE_KEYS)}"
+        )
+    for k in ("num_cpus", "num_gpus", "memory"):
+        if k in r and (not isinstance(r[k], (int, float)) or r[k] < 0):
+            raise ValueError(f"enrich_resources[{k!r}] must be a number >= 0")
+    if "resources" in r and not isinstance(r["resources"], dict):
+        raise ValueError("enrich_resources['resources'] must be a dict")
+    for k in _POOL_KEYS:
+        if k in r and (not isinstance(r[k], int) or r[k] < 1):
+            raise ValueError(f"enrich_resources[{k!r}] must be an int >= 1")
+
+
+def map_batches_kwargs(resources: dict) -> dict:
+    """Translate an ``enrich_resources`` dict into ``Dataset.map_batches``
+    kwargs for the dedicated actor-pool enrich stage. Split out (and
+    unit-tested) so the GPU path is checkable on a GPU-less box."""
+    kw: dict = {
+        "batch_format": "pyarrow",
+        "zero_copy_batch": True,
+        # actor pool (callable class): model state loads once per actor
+        "concurrency": resources.get("concurrency", 1),
+    }
+    if "batch_size" in resources:
+        kw["batch_size"] = resources["batch_size"]
+    for k in _RAY_REMOTE_KEYS:
+        if k in resources:
+            kw[k] = resources[k]
+    return kw
+
+
+def route_task_options(resources: dict | None) -> dict:
+    """Resource options for the STREAMING route task when an enrich
+    stage carries a resource request. The streaming ingest path runs
+    the enrich inside raw per-part-file route tasks (one Dataset
+    execution costs 0.6-3.2 s fixed — see pipelines/streaming.py
+    ``_route_files``), so per-stage placement means decorating the
+    route task itself: ``num_gpus=1`` here lands every route task (and
+    thus the model call) on a GPU node. Pool-shape keys
+    (concurrency/batch_size) do not apply — route granularity is the
+    part file."""
+    if not resources:
+        return {}
+    return {k: resources[k] for k in _RAY_REMOTE_KEYS if k in resources}
+
+
+class EnrichActor:
+    """Callable-class wrapper for the dedicated enrich stage: resolves
+    the UDF once per actor in ``__init__`` — if the registered object
+    is a CLASS (model factory), the model is constructed here, on the
+    actor, with the stage's resource grant (e.g. its GPU) already
+    held."""
+
+    def __init__(self, enrich: EnrichFn | type | str):
+        fn = resolve_enrich(enrich)
+        if isinstance(fn, type):
+            fn = fn()
+        self.fn = fn
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return self.fn(t)
+
+
+def apply_enrich(ds, enrich: EnrichFn | type | str | None, resources: dict | None = None):
+    """Apply the enrich slot to a Dataset. With ``resources`` (or a
+    class-shaped UDF) this is a dedicated actor-pool ``map_batches``
+    stage carrying the resource request; otherwise a plain fused task
+    — zero extra stages for the cheap Arrow-kernel UDFs."""
+    if enrich is None:
+        return ds
+    fn = resolve_enrich(enrich)
+    if resources or isinstance(fn, type):
+        validate_resources(resources)
+        kw = map_batches_kwargs(resources or {})
+        return ds.map_batches(EnrichActor, fn_constructor_args=(fn,), **kw)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _text_len(t: pa.Table) -> pa.Table:

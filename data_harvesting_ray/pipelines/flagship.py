@@ -134,11 +134,13 @@ def flagship_bounded(
     # creating `ds` earlier in the same context already snapshotted it;
     # bench/queries call configure_session() before their reads)
     enrich = None
+    enrich_resources = None
     if config is not None:
         config = config.validate()
         gap_s = config.session_gap_s
         pattern = config.pattern
         enrich = resolve_enrich(config.enrich)
+        enrich_resources = config.enrich_resources
     pattern = pattern or PatternSpec(skip_past_last=True, suppress_turns=0)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -152,15 +154,29 @@ def flagship_bounded(
 
     from ..stages.partition import apply_per_bucket
 
+    # With a resource request (or a class-shaped model UDF) the enrich
+    # runs as its OWN actor-pool stage between normalize and the
+    # payload projection — that is what lets it claim a GPU and load
+    # weights once per actor (enrich.apply_enrich). Cheap Arrow-kernel
+    # UDFs stay fused into post_norm: zero extra stages.
+    dedicated = enrich is not None and (
+        enrich_resources is not None or isinstance(enrich, type)
+    )
+
     def post_norm(t):
-        if enrich is not None:
+        if enrich is not None and not dedicated:
             t = enrich(t)
         # the kernels consume only turn metadata + call_id — the
         # payload must not ride the shuffle (same projection the
         # streaming router does at pipelines/streaming.py)
         return t.drop_columns([c for c in ("text",) if c in t.column_names])
 
-    normalized = normalize_turns(ds).map_batches(
+    normalized = normalize_turns(ds)
+    if dedicated:
+        from ..enrich import apply_enrich
+
+        normalized = apply_enrich(normalized, enrich, enrich_resources)
+    normalized = normalized.map_batches(
         post_norm, batch_format="pyarrow", zero_copy_batch=True
     )
     return apply_per_bucket(normalized, per_bucket, num_buckets=num_buckets)

@@ -193,7 +193,10 @@ class _Router:
         self.actors = actors
         self.num_shards = num_shards
         self.wm = wm
-        self.enrich = enrich
+        # class-shaped enrich (a model factory): construct once per
+        # router — i.e. once per route task, after the task's resource
+        # grant (enrich.route_task_options) is held
+        self.enrich = enrich() if isinstance(enrich, type) else enrich
         # Per-actor ObjectRefs from the PREVIOUS epoch's snapshot (or
         # close): passed as an ingest argument so Ray's dependency
         # resolution guarantees close/snapshot(E) happen-before
@@ -595,8 +598,17 @@ class StreamingEngine:
             # shard's close/snapshot ref (per-actor ordering, not an
             # epoch-wide barrier).
             enrich = resolve_enrich(self.config.enrich if self.config else None)
+            # per-stage placement for a model-backed enrich: forward its
+            # resource request (num_gpus/num_cpus/memory/resources) to
+            # the route tasks that host it (enrich.route_task_options)
+            from ..enrich import route_task_options
+
+            opts = route_task_options(
+                self.config.enrich_resources if self.config else None
+            )
+            route = _route_files.options(**opts) if opts else _route_files
             ack_refs = [
-                _route_files.remote(
+                route.remote(
                     [f], self.actors, self.num_shards, current_wm, barriers, enrich
                 )
                 for f in files

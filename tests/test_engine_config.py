@@ -319,6 +319,133 @@ def test_cli_channels_flag_prunes_derived_channels(ray_session, tmp_path, capsys
     assert {"sessions", "pairs", "matches"} <= committed
 
 
+class _StatefulScorer:
+    """A model-factory enrich: 'weights' load once per actor in
+    __init__ (ST1), batches are scored in __call__."""
+
+    def __init__(self):
+        self.bias = 7  # stand-in for a model load
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = pc.add(pc.utf8_length(t["text"]), self.bias)
+        return t.append_column("score", pc.cast(n, pa.int64()))
+
+
+def test_enrich_resources_validation():
+    from data_harvesting_ray.config import EngineConfig
+
+    with pytest.raises(ValueError, match="requires enrich"):
+        EngineConfig(enrich_resources={"num_gpus": 1}).validate()
+    with pytest.raises(ValueError, match="unknown enrich_resources"):
+        EngineConfig(enrich=_enrich, enrich_resources={"gpus": 1}).validate()
+    with pytest.raises(ValueError, match="num_gpus"):
+        EngineConfig(enrich=_enrich, enrich_resources={"num_gpus": -1}).validate()
+    with pytest.raises(ValueError, match="concurrency"):
+        EngineConfig(enrich=_enrich, enrich_resources={"concurrency": 0}).validate()
+    # the YAML/dict path validates too, and a GPU request is accepted
+    # shape-wise without needing a GPU to exist
+    cfg = EngineConfig.from_dict(
+        {
+            "enrich": "token_count",
+            "enrich_resources": {"num_gpus": 1, "concurrency": 4, "batch_size": 64},
+        }
+    )
+    assert cfg.enrich_resources["num_gpus"] == 1
+
+
+def test_enrich_resource_kwargs_translation():
+    """GPU-less unit check of the placement plumbing: the resource dict
+    reaches map_batches kwargs (dedicated stage) and route-task options
+    (streaming) with pool-shape keys in the right place."""
+    from data_harvesting_ray.enrich import map_batches_kwargs, route_task_options
+
+    r = {
+        "num_gpus": 1,
+        "num_cpus": 2,
+        "memory": 1 << 30,
+        "resources": {"accel": 1},
+        "concurrency": 8,
+        "batch_size": 128,
+    }
+    kw = map_batches_kwargs(r)
+    assert kw["num_gpus"] == 1 and kw["num_cpus"] == 2
+    assert kw["resources"] == {"accel": 1} and kw["memory"] == 1 << 30
+    assert kw["concurrency"] == 8 and kw["batch_size"] == 128
+    assert kw["batch_format"] == "pyarrow"
+    opts = route_task_options(r)
+    # raw route tasks take the per-task resource request only
+    assert opts == {
+        "num_cpus": 2,
+        "num_gpus": 1,
+        "memory": 1 << 30,
+        "resources": {"accel": 1},
+    }
+    assert route_task_options(None) == {}
+
+
+def test_dedicated_enrich_stage_matches_inline(ray_session, sf_small):
+    """With enrich_resources set, the bounded flagship runs the enrich
+    as its own actor-pool stage — same committed rows as the fused
+    task path."""
+    import ray.data as rd
+
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.pipelines.flagship import flagship_bounded, split_channels
+
+    inline = flagship_bounded(
+        rd.read_parquet(sf_small), config=EngineConfig(enrich=_enrich)
+    ).to_pandas()
+    pooled = flagship_bounded(
+        rd.read_parquet(sf_small),
+        config=EngineConfig(
+            enrich=_enrich,
+            enrich_resources={"num_cpus": 1, "concurrency": 2},
+        ),
+    ).to_pandas()
+    for ch in ("sessions", "matches", "pairs"):
+        a = split_channels(inline)[ch]
+        b = split_channels(pooled)[ch]
+        key = [c for c in ("conv_id", "session_id", "call_id", "start_turn_idx") if c in a]
+        assert_frames_equal(a, b, key)
+
+
+def test_class_enrich_loads_once_per_actor(ray_session):
+    """A CLASS registered as an enrich UDF is constructed per actor
+    inside the dedicated stage (apply_enrich), not per batch and not
+    on the driver."""
+    import ray.data as rd
+
+    from data_harvesting_ray.enrich import apply_enrich
+
+    ds = rd.from_arrow(pa.table({"text": [f"m{'x' * i}" for i in range(50)]}))
+    out = apply_enrich(
+        ds, _StatefulScorer, {"num_cpus": 1, "concurrency": 2, "batch_size": 10}
+    ).to_pandas()
+    assert (out["score"] == out["text"].str.len() + 7).all()
+
+
+def test_streaming_enrich_resources_route_options(ray_session, tmp_path):
+    """Streaming engine with a resource-carrying enrich: the request is
+    forwarded to route tasks (num_cpus here — a GPU-less stand-in for
+    num_gpus on a real cluster) and the derived column still lands on
+    the committed turns channel."""
+    from data_harvesting_ray.config import EngineConfig
+    from data_harvesting_ray.fixtures.generator import epochs_root
+    from data_harvesting_ray.pipelines.streaming import StreamingEngine
+    from data_harvesting_ray.sources.epochs import discover_epochs
+
+    cfg = EngineConfig(
+        enrich=_StatefulScorer,
+        enrich_resources={"num_cpus": 1},
+        emit_turns=True,
+        channels=(),
+    )
+    eng = StreamingEngine(str(tmp_path / "out"), num_shards=2, config=cfg)
+    eng.run(discover_epochs(epochs_root("sf0.001")))
+    turns = eng.results_pandas("turns")
+    assert "score" in turns.columns and len(turns) > 0
+
+
 def test_pii_scrub_enrich_redacts_stream(ray_session, tmp_path):
     """enrich='pii_scrub' rewrites the payload in the stream and the
     redaction count rides to the committed turns channel."""
