@@ -230,57 +230,71 @@ def conv_scorecard(
     fragmentation, and tool-call outcome quality (answered vs orphan
     calls, as a milli-exact success ratio) in one conv-keyed frame.
 
-    Composed from the already-gated operators (turn_stats,
-    session_windows, tool_join, orphan_calls) — the composite adds
-    joins, not new semantics. The normalized stream is materialized
-    ONCE for its two payload consumers (the corpus_prep multi-consumer
-    checkpoint discipline); every aggregate is conv-scale, so the
-    three left joins move key-only rows. Missing pair/orphan counts
-    coalesce to 0 engine-side (int64 out — no nullable-Int leaks)."""
+    Composed from the already-gated KERNELS (turn stats, session
+    islands, tool join, orphan anti-join) — but fused into ONE
+    hash(conv_id) pass: every constituent aggregate is conv-keyed, so
+    after the one bucket shuffle all four families compute co-located
+    inside the same per-bucket kernel and merge LOCALLY (pandas, key
+    rows only). The previous plan ran four separate bucket-shuffled
+    pipelines plus three distributed equi-joins over the same
+    normalized input — 8 serial Dataset executions whose ~1-3 s fixed
+    cost each dominated small epochs (r4 verdict item 2); this is one
+    lazy pipeline end-to-end (read → normalize → shuffle → kernel).
+    Missing pair/orphan counts coalesce to 0 engine-side (int64 out —
+    no nullable-Int leaks)."""
     from ..schema import DEFAULT_SESSION_GAP_S
-    from ..stages.aggregates import turn_stats
-    from ..stages.join import equi_join, orphan_calls, tool_join
+    from ..stages.dedup import prepare_bucket
+    from ..stages.join import join_kernel, orphan_kernel
     from ..stages.normalize import normalize_turns
-    from ..stages.windows import session_windows
+    from ..stages.partition import apply_per_bucket
+    from ..stages.windows import session_kernel
 
     gap = DEFAULT_SESSION_GAP_S if gap_s is None else gap_s
-    norm = normalize_turns(ds).materialize()  # two payload consumers
 
-    stats = turn_stats(
-        norm.select_columns(["conv_id", "turn_idx", "ts", "role", "tool"]),
-        num_buckets=num_buckets,
-    ).drop_columns(["first_ts", "last_ts"])
+    def _counts(frame: pd.DataFrame, col: str) -> pd.DataFrame:
+        out = frame.groupby("conv_id", sort=False, as_index=False).size()
+        return out.rename(columns={"size": col})
 
-    def count_by_conv(src: rd.Dataset, out_col: str) -> rd.Dataset:
-        from ray.data.aggregate import Sum
-
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.groupby("conv_id", sort=False, as_index=False).size()
-            return out.rename(columns={"size": out_col})
-
-        return (
-            src.map_batches(partial, batch_format="pandas")
-            .groupby("conv_id")
-            .aggregate(Sum(out_col, alias_name=out_col))
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "conv_id": np.array([], dtype=object),
+                    "n_turns": np.array([], np.int64),
+                    "n_tool_calls": np.array([], np.int64),
+                    "n_sessions": np.array([], np.int64),
+                    "n_pairs": np.array([], np.int64),
+                    "n_orphans": np.array([], np.int64),
+                    "tool_success_milli": np.array([], np.int64),
+                }
+            )
+        g = prepare_bucket(g)  # one int-key dedup + sort for all kernels
+        stats = (
+            pd.DataFrame(
+                {
+                    "conv_id": g["conv_id"].to_numpy(),
+                    "n_turns": np.int64(1),
+                    "n_tool_calls": g["is_tool_call"].to_numpy().astype(np.int64),
+                }
+            )
+            .groupby("conv_id", sort=False, as_index=False)
+            .agg(n_turns=("n_turns", "sum"), n_tool_calls=("n_tool_calls", "sum"))
         )
-
-    sess = count_by_conv(
-        session_windows(
-            norm.select_columns(["conv_id", "turn_idx", "ts"]),
-            gap_s=gap,
-            num_buckets=num_buckets,
-        ),
-        "n_sessions",
-    )
-    pairs = count_by_conv(tool_join(norm, num_buckets=num_buckets), "n_pairs")
-    orph = count_by_conv(orphan_calls(norm, num_buckets=num_buckets), "n_orphans")
-
-    j = equi_join(stats, sess, on="conv_id", num_buckets=num_buckets)
-    j = equi_join(j, pairs, on="conv_id", how="left", num_buckets=num_buckets)
-    j = equi_join(j, orph, on="conv_id", how="left", num_buckets=num_buckets)
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
+        out = stats.merge(
+            _counts(session_kernel(g, gap, prepared=True), "n_sessions"),
+            on="conv_id",
+            how="inner",  # every conv has >= 1 session
+        )
+        out = out.merge(
+            _counts(join_kernel(g, prepared=True), "n_pairs"),
+            on="conv_id",
+            how="left",
+        )
+        out = out.merge(
+            _counts(orphan_kernel(g, prepared=True), "n_orphans"),
+            on="conv_id",
+            how="left",
+        )
         for c in ("n_pairs", "n_orphans"):
             out[c] = out[c].fillna(0).astype(np.int64)
         calls = out["n_pairs"] + out["n_orphans"]
@@ -292,4 +306,10 @@ def conv_scorecard(
         out.loc[calls == 0, "tool_success_milli"] = np.int64(1000)
         return out
 
-    return j.map_batches(finalize, batch_format="pandas")
+    def drop_text(t):
+        return t.drop_columns([c for c in ("text",) if c in t.column_names])
+
+    normalized = normalize_turns(ds).map_batches(
+        drop_text, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return apply_per_bucket(normalized, per_bucket, num_buckets=num_buckets)

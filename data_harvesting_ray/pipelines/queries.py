@@ -876,8 +876,24 @@ def q_t_stats_join(sf_dir: str) -> Any:
     stats = turn_stats(_t(sf_dir, _META_RT))
     # prefilter="right" exercises the semi-join pushdown path under the
     # gate (a no-op filter on this fixture — every conv has stats — but
-    # the code path is the one selective joins run)
-    return equi_join(left, stats, on="conv_id", how="inner", prefilter="right")
+    # the code path is the one selective joins run). left_fields: dedup
+    # preserves the pruned read's schema, so the hint keeps the deduped
+    # side lazy — it fuses into the final join execution instead of
+    # materializing for schema resolution.
+    import pyarrow as _pa
+
+    return equi_join(
+        left,
+        stats,
+        on="conv_id",
+        how="inner",
+        prefilter="right",
+        left_fields=[
+            ("conv_id", _pa.string()),
+            ("turn_idx", _pa.int32()),
+            ("role", _pa.string()),
+        ],
+    )
 
 
 def q_t_stats_join_broadcast(sf_dir: str) -> Any:

@@ -139,6 +139,12 @@ def _assemble_sorted(*chunks: pa.Table) -> np.ndarray:
 # probe, and dedup degrades to the full keyed shuffle.
 DUP_FP_CAP = 100_000_000
 
+# Below this many duplicated fingerprints the dup-row branch coalesces
+# into one block instead of a keyed hash shuffle (rows carry payload,
+# so the cap stays small enough that ~2-4x this many full rows fit one
+# worker comfortably).
+SMALL_DUP_COALESCE_CAP = 250_000
+
 
 def dedup_exact(
     ds: ray.data.Dataset,
@@ -167,7 +173,20 @@ def dedup_exact(
     dup_rows = ds.map_batches(
         lambda t: split(t, True), batch_format="pyarrow", zero_copy_batch=True
     )
-    deduped_dups = apply_per_bucket(dup_rows, dedup_kernel, num_buckets=num_buckets)
+    if fps.count() <= SMALL_DUP_COALESCE_CAP:
+        # tiny dup set: coalesce the (key-bounded) dup rows into one
+        # block and dedup there — skips a keyed hash shuffle whose
+        # aggregator-actor spawn cost dwarfs the data (the common case:
+        # dup rates are low, so dup ROWS ≈ 2× fps count). Payload rides
+        # along, hence the conservative cap; past it the keyed shuffle
+        # scales arbitrarily.
+        deduped_dups = dup_rows.repartition(1).map_batches(
+            dedup_kernel, batch_format="pandas", batch_size=None
+        )
+    else:
+        deduped_dups = apply_per_bucket(
+            dup_rows, dedup_kernel, num_buckets=num_buckets
+        )
     return unique_rows.union(deduped_dups)
 
 

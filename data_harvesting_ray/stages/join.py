@@ -104,6 +104,26 @@ _JSIDE = "__join_side"
 PREFILTER_KEY_CAP = 2_000_000
 
 
+def _iter_done(refs: list):
+    """Yield task results in completion order — drives the early-abort
+    loop below without waiting for stragglers the cap may make
+    irrelevant."""
+    while refs:
+        done, refs = ray.wait(refs, num_returns=1)
+        yield ray.get(done[0])
+
+
+@ray.remote
+def _distinct_partial_task(blk: pa.Table, on_keys: list[str]) -> pd.DataFrame:
+    """Per-block distinct-key partial for the raw-task prefilter path
+    (runs colocated with the block; only the deduped key tuples travel
+    to the driver)."""
+    if blk.num_columns == 0:  # to_arrow_refs can yield zero-column blocks
+        return pd.DataFrame({k: pd.Series(dtype=object) for k in on_keys})
+    d = blk.select(on_keys).to_pandas().drop_duplicates()
+    return d[~d[on_keys].isna().any(axis=1)]
+
+
 def _distinct_keys(
     ds: ray.data.Dataset, on_keys: list[str], cap: int
 ) -> pd.DataFrame | None:
@@ -112,8 +132,16 @@ def _distinct_keys(
     the cap protects the driver during collection, not after it).
     Returns None when the set exceeds ``cap``. Null-keyed rows are
     excluded from the set (``_semi_filter`` passes them through
-    unconditionally, so they never affect the output)."""
+    unconditionally, so they never affect the output).
+
+    A MATERIALIZED side (which every schema-resolved derived input is —
+    see asof._fields_resolved) skips the Dataset execution entirely:
+    raw tasks over its cached block refs compute the partials, avoiding
+    the 0.6-3.2 s fixed executor cost a map_batches pass pays per run
+    (the same measured trade as the streaming route path)."""
     import warnings
+
+    from ray.data.dataset import MaterializedDataset
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df[on_keys].drop_duplicates()
@@ -139,9 +167,16 @@ def _distinct_keys(
         pending, pending_rows = [], 0
         return deduped
 
-    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
-        batch_format="pandas", batch_size=None
-    ):
+    if isinstance(ds, MaterializedDataset):
+        # stream partials back in completion order (early abort intact)
+        batches = _iter_done(
+            [_distinct_partial_task.remote(r, on_keys) for r in ds.to_arrow_refs()]
+        )
+    else:
+        batches = ds.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=None
+        )
+    for b in batches:
         # start from the first TYPED batch (concat with an empty
         # object-dtype frame trips pandas' all-NA deprecation)
         if len(b):
@@ -200,6 +235,8 @@ def equi_join(
     num_buckets: int | None = None,
     prefilter: str | None = None,
     prefilter_cap: int = PREFILTER_KEY_CAP,
+    left_fields: "pa.Schema | list[tuple[str, pa.DataType]] | None" = None,
+    right_fields: "pa.Schema | list[tuple[str, pa.DataType]] | None" = None,
 ) -> ray.data.Dataset:
     """Generic distributed equi-join — the user-facing form of the J3
     correlation machinery (``tool_join`` is this plan specialized to
@@ -236,8 +273,24 @@ def equi_join(
     output; "right" (filters left) only for "inner"/"semi", because
     left rows WITHOUT a right partner are exactly what "left"/"anti"
     must keep. Skipped with a warning past ``prefilter_cap`` distinct
-    keys (output unaffected either way)."""
-    from .asof import _fields_resolved, _nullable_int_name
+    keys (output unaffected either way).
+
+    ``left_fields`` / ``right_fields``: optional schema hints (a
+    ``pa.Schema`` or ``[(name, pa.DataType), ...]``). A derived side
+    with no statically-known schema is otherwise MATERIALIZED just to
+    resolve its fields (asof._fields_resolved) — one extra Dataset
+    execution whose ~1-3 s fixed cost dominates small inputs. A hinted
+    side stays lazy and fuses into the final join execution. The hint
+    is a contract: batches of that side must contain exactly the
+    hinted columns (checked at runtime in the widen stage — a wrong
+    hint raises instead of silently filling). The prefilter side still
+    materializes when hinted lazy — its keys are consumed twice."""
+    from .asof import _arrow_type, _fields_resolved, _nullable_int_name
+
+    def _as_fields(f) -> list[tuple[str, pa.DataType]]:
+        if isinstance(f, pa.Schema):
+            return [(n, _arrow_type(t)) for n, t in zip(f.names, f.types)]
+        return [(n, _arrow_type(t)) for n, t in f]
 
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
@@ -253,8 +306,14 @@ def equi_join(
             f"how={how!r} must keep"
         )
     on_keys = [on] if isinstance(on, str) else list(on)
-    left, lf = _fields_resolved(left)
-    right, rf = _fields_resolved(right)
+    if left_fields is not None and prefilter != "left":
+        lf = _as_fields(left_fields)
+    else:
+        left, lf = _fields_resolved(left)
+    if right_fields is not None and prefilter != "right":
+        rf = _as_fields(right_fields)
+    else:
+        right, rf = _fields_resolved(right)
     l_names = [n for n, _ in lf]
     r_names = [n for n, _ in rf]
     missing = [k for k in on_keys if k not in l_names or k not in r_names]
@@ -286,9 +345,23 @@ def equi_join(
         if n not in on_keys and pa.types.is_integer(t)
     }
 
+    # own-column check applies only to HINTED sides: a wrong hint must
+    # raise, not synth-fill. Unhinted sides keep the permissive fill —
+    # a unified schema legitimately leaves some blocks short a column.
+    side_names = (l_names, on_keys + r_value_names)
+    side_checked = (left_fields is not None, right_fields is not None)
+
     def widen(side: int):
+        own = side_names[side] if side_checked[side] else ()
+
         def fn(t: pa.Table) -> pa.Table:
             n = len(t)
+            absent = [c for c in own if c not in t.column_names]
+            if absent:
+                raise ValueError(
+                    f"equi_join schema hint mismatch: side {side} batch "
+                    f"lacks hinted column(s) {absent}"
+                )
             cols = {}
             for name, typ in all_fields:
                 if name in t.column_names:

@@ -192,3 +192,111 @@ def test_semdedup_survivor_ordering_is_micro_quantized(ray_session):
         .sort_values("vec_id")
     )
     assert list(out["vec_id"]) == [1]
+
+
+# ---------------------------------------------------------------- r4 verdict 2
+# fixed-execution-overhead cuts: join schema hints, raw-task prefilter
+# keys, small-dup coalesce, fused scorecard
+
+
+def test_equi_join_schema_hint_matches_unhinted(ray_session):
+    """A correct left_fields hint produces identical rows to the
+    materializing path while keeping the hinted side lazy."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": ["a", "b", "b", "c"], "v": [1, 2, 3, 4]})
+    ).map_batches(lambda t: t, batch_format="pyarrow")  # schema now lazy
+    right = rd.from_arrow(pa.table({"k": ["a", "b"], "w": [10, 20]}))
+    base = equi_join(left, right, on="k", how="inner").to_pandas()
+    hinted = equi_join(
+        left,
+        right,
+        on="k",
+        how="inner",
+        left_fields=[("k", pa.string()), ("v", pa.int64())],
+    ).to_pandas()
+    key = ["k", "v", "w"]
+    assert (
+        base.sort_values(key).reset_index(drop=True).equals(
+            hinted.sort_values(key).reset_index(drop=True)
+        )
+    )
+
+
+def test_equi_join_wrong_schema_hint_raises(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    left = rd.from_arrow(pa.table({"k": ["a"], "v": [1]}))
+    right = rd.from_arrow(pa.table({"k": ["a"], "w": [2]}))
+    j = equi_join(
+        left,
+        right,
+        on="k",
+        left_fields=[("k", pa.string()), ("nope", pa.int64())],
+    )
+    with pytest.raises(Exception, match="schema hint mismatch"):
+        j.to_pandas()
+
+
+def test_prefilter_keys_from_materialized_side(ray_session):
+    """prefilter='right' with a MATERIALIZED right side takes the
+    raw-task distinct-keys path; output equals the unfiltered join."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.join import equi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": [f"k{i % 7}" for i in range(50)], "v": list(range(50))})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": ["k0", "k1", "k2"], "w": [1, 2, 3]})
+    ).map_batches(lambda t: t, batch_format="pyarrow").materialize()
+    got = equi_join(left, right, on="k", how="inner", prefilter="right").to_pandas()
+    want = equi_join(left, right, on="k", how="inner").to_pandas()
+    key = ["k", "v", "w"]
+    assert (
+        got.sort_values(key).reset_index(drop=True).equals(
+            want.sort_values(key).reset_index(drop=True)
+        )
+    )
+
+
+def test_dedup_exact_small_dup_coalesce_and_shuffle_agree(ray_session):
+    """The count-gated coalesce path and the keyed-shuffle path produce
+    the same deduped rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from data_harvesting_ray.stages import dedup as D
+
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 5}" for i in range(40)] * 2,  # every row duplicated
+            "turn_idx": (list(range(8)) * 5) * 2,
+            "text": ["x"] * 80,
+        }
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    ds = rd.from_pandas(df)
+    got = D.dedup_exact(ds).to_pandas()
+    old_cap = D.SMALL_DUP_COALESCE_CAP
+    try:
+        D.SMALL_DUP_COALESCE_CAP = 0  # force the keyed-shuffle branch
+        want = D.dedup_exact(rd.from_pandas(df)).to_pandas()
+    finally:
+        D.SMALL_DUP_COALESCE_CAP = old_cap
+    key = ["conv_id", "turn_idx"]
+    assert len(got) == 40
+    assert (
+        got.sort_values(key).reset_index(drop=True)[key].equals(
+            want.sort_values(key).reset_index(drop=True)[key]
+        )
+    )
