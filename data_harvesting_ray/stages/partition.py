@@ -118,16 +118,23 @@ def add_bucket(
 
 def apply_per_bucket(
     ds: ray.data.Dataset,
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable,
     key: str | list[str] = "conv_id",
     num_buckets: int | None = None,
     drop_bucket: bool = True,
+    batch_format: str = "pandas",
 ) -> ray.data.Dataset:
     """Shuffle by hash(key) into B buckets and apply a vectorized kernel
-    per partition (a pandas DataFrame holding every row of every
-    conversation hashed there; a block may hold several whole buckets —
-    kernels are vectorized across conversations, so only key
-    co-location matters).
+    per partition (a frame holding every row of every conversation
+    hashed there; a block may hold several whole buckets — kernels are
+    vectorized across conversations, so only key co-location matters).
+
+    ``batch_format="pyarrow"`` hands the kernel the shuffled Arrow
+    block zero-copy (``fn``: pa.Table -> pa.Table) — skips the
+    Arrow→pandas conversion tax the default pandas mode pays per block
+    (object arrays for every string column). Measured r5 A/B: the
+    Arrow window-lag kernel cut the per-block kernel+conversion time
+    vs the pandas path (BASELINE.md "Arrow-native kernel A/B").
 
     Physical plan: hash ``repartition(keys=...)`` + ``map_batches`` —
     NOT sort-based ``groupby().map_groups()``: a sort is a sampling
@@ -135,15 +142,27 @@ def apply_per_bucket(
     ~26 s of non-overlapped latency on a 10M-row input; hash
     repartition needs no samples and streams)."""
 
-    def wrapper(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns=["bucket"]) if drop_bucket else g)
+    if batch_format == "pyarrow":
+
+        def wrapper(t: pa.Table) -> pa.Table:
+            return fn(t.drop_columns(["bucket"]) if drop_bucket else t)
+
+    else:
+
+        def wrapper(g: pd.DataFrame) -> pd.DataFrame:
+            return fn(g.drop(columns=["bucket"]) if drop_bucket else g)
 
     _ensure_hash_shuffle()
     b = num_buckets or default_num_buckets()
     parts = add_bucket(ds, key=key, num_buckets=b).repartition(
         b, keys=["bucket"], sort=False
     )
-    return parts.map_batches(wrapper, batch_format="pandas", batch_size=None)
+    return parts.map_batches(
+        wrapper,
+        batch_format=batch_format,
+        batch_size=None,
+        **({"zero_copy_batch": True} if batch_format == "pyarrow" else {}),
+    )
 
 
 def _ensure_hash_shuffle() -> None:

@@ -45,6 +45,7 @@ def with_lag(
     drop_null: bool = True,
     prepare=None,
     num_buckets: int | None = None,
+    impl: str = "arrow",
 ) -> ray.data.Dataset:
     """SQL ``LAG(col, n) OVER (PARTITION BY key ORDER BY order)``
     (``n < 0`` gives LEAD). With ``drop_null=True`` (default) rows
@@ -54,8 +55,25 @@ def with_lag(
     slot: raw transcript reads carry duplicate rows and the window
     offset must count DISTINCT rows — per-batch dedup can't see
     cross-block duplicates, in-bucket dedup can).
-    Output: the input columns plus ``out_col``."""
+    Output: the input columns plus ``out_col``.
+
+    ``impl="arrow"`` (default — the r5 A/B winner, BASELINE.md) runs
+    the kernel on the shuffled Arrow block zero-copy: group codes via
+    ``dictionary_encode`` instead of object-array ``pd.factorize``,
+    row selection via Arrow ``take``/``filter`` — string columns never
+    materialize as Python objects. It supports ``prepare=None`` or
+    ``prepare=dedup_kernel`` with an INTEGER ``order`` column (the
+    dedup fuses into the same composite-int sort); anything else falls
+    back to the pandas kernel."""
     out_col = out_col or f"{col}_lag{n}"
+
+    from .dedup import dedup_kernel as _dk
+
+    if impl == "arrow" and prepare in (None, _dk):
+        return _with_lag_arrow(
+            ds, key, order, col, n, out_col, drop_null,
+            dedup=prepare is _dk, num_buckets=num_buckets,
+        )
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         if prepare is not None:
@@ -78,6 +96,65 @@ def with_lag(
         return g.assign(**{out_col: lag_f})
 
     return apply_per_bucket(ds, kernel, key=key, num_buckets=num_buckets)
+
+
+def _with_lag_arrow(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    col: str,
+    n: int,
+    out_col: str,
+    drop_null: bool,
+    dedup: bool,
+    num_buckets: int | None,
+) -> ray.data.Dataset:
+    """Arrow-native LAG kernel (see ``with_lag``). The bucket block
+    stays an Arrow table end-to-end; only the small numeric arrays
+    (codes, order, value) touch numpy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            lag_type = t.schema.field(col).type if drop_null else pa.float64()
+            return t.append_column(out_col, pa.array([], type=lag_type))
+        kc = t[key].combine_chunks()
+        codes = pc.dictionary_encode(kc).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order_v = t[order].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((order_v, codes))
+        if dedup:
+            # dedup on (key, order) fused into the sort (duplicate rows
+            # are byte-identical, so any representative works); general
+            # over any order dtype — no composite-int range assumption
+            sc, so = codes[idx], order_v[idx]
+            keep = np.empty(len(idx), dtype=bool)
+            keep[0] = True
+            keep[1:] = (sc[1:] != sc[:-1]) | (so[1:] != so[:-1])
+            sel = idx[keep]
+        else:
+            sel = idx
+        t = t.take(pa.array(sel))
+        codes = codes[sel]
+        v = t[col].to_numpy(zero_copy_only=False)
+        m = len(t)
+        src = np.arange(m) - n
+        inb = (src >= 0) & (src < m)
+        srcc = np.clip(src, 0, m - 1)
+        valid = inb & (codes[srcc] == codes)
+        if drop_null:
+            lag = np.take(v, srcc[valid])  # native dtype, no float trip
+            return t.filter(pa.array(valid)).append_column(
+                out_col, pa.array(lag)
+            )
+        lag_f = np.where(valid, np.take(v, srcc).astype(np.float64), np.nan)
+        return t.append_column(out_col, pa.array(lag_f))
+
+    return apply_per_bucket(
+        ds, kernel, key=key, num_buckets=num_buckets, batch_format="pyarrow"
+    )
 
 
 def with_rank(

@@ -78,11 +78,84 @@ def session_kernel(
     )
 
 
+def session_kernel_arrow(t: pa.Table, gap_s: int = DEFAULT_SESSION_GAP_S) -> pa.Table:
+    """Arrow-native session kernel (r5 A/B vs the pandas path —
+    BASELINE.md "Arrow-native kernel A/B"): the bucket block stays an
+    Arrow table; conv codes come from ``dictionary_encode`` instead of
+    object-array ``pd.factorize``; dedup+sort fuses on the same
+    composite int key as ``prepare_bucket``; per-island output columns
+    are built from numpy gathers plus ONE Arrow ``take`` for the
+    conv_id strings (never materialized as Python objects)."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "session_id": pa.array([], pa.int64()),
+                "window_start": pa.array([], pa.timestamp("us")),
+                "window_end": pa.array([], pa.timestamp("us")),
+                "turn_count": pa.array([], pa.int64()),
+                "first_turn_idx": pa.array([], pa.int32()),
+                "last_turn_idx": pa.array([], pa.int32()),
+            }
+        )
+    conv_col = t["conv_id"].combine_chunks()
+    codes = pc.dictionary_encode(conv_col).indices.to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    tidx = t["turn_idx"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    # dedup on (conv, turn_idx) + sort, one composite-int pass
+    key = (codes << np.int64(32)) | tidx.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    keep = np.empty(len(sk), dtype=bool)
+    keep[0] = True
+    keep[1:] = sk[1:] != sk[:-1]
+    sel = order[keep]
+    codes, tidx, ts = codes[sel], tidx[sel], ts[sel]
+    n = len(sel)
+    is_new = np.empty(n, dtype=bool)
+    is_new[0] = True
+    is_new[1:] = (codes[1:] != codes[:-1]) | (ts[1:] - ts[:-1] > gap_s * US)
+    starts = np.flatnonzero(is_new)
+    ends = np.append(starts[1:], n) - 1
+    conv_new = np.empty(n, dtype=bool)
+    conv_new[0] = True
+    conv_new[1:] = codes[1:] != codes[:-1]
+    island_idx = np.cumsum(is_new) - 1
+    first_island_of_conv = island_idx[np.flatnonzero(conv_new)]
+    session_id = np.arange(len(starts)) - np.repeat(
+        first_island_of_conv,
+        np.diff(np.append(first_island_of_conv, len(starts))),
+    )
+    return pa.table(
+        {
+            "conv_id": conv_col.take(pa.array(sel[starts])),
+            "session_id": pa.array(session_id.astype(np.int64)),
+            "window_start": pa.array(ts[starts].astype("datetime64[us]")),
+            "window_end": pa.array(ts[ends].astype("datetime64[us]")),
+            "turn_count": pa.array((ends - starts + 1).astype(np.int64)),
+            "first_turn_idx": pa.array(tidx[starts].astype(np.int32)),
+            "last_turn_idx": pa.array(tidx[ends].astype(np.int32)),
+        }
+    )
+
+
 def session_windows(
     ds: ray.data.Dataset,
     gap_s: int = DEFAULT_SESSION_GAP_S,
     num_buckets: int | None = None,
+    impl: str = "arrow",
 ) -> ray.data.Dataset:
+    if impl == "arrow":
+        return apply_per_bucket(
+            ds,
+            lambda t: session_kernel_arrow(t, gap_s),
+            num_buckets=num_buckets,
+            batch_format="pyarrow",
+        )
     return apply_per_bucket(
         ds, lambda g: session_kernel(g, gap_s), num_buckets=num_buckets
     )
