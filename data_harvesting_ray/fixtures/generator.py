@@ -765,6 +765,87 @@ def encode_png(img: np.ndarray, filters: np.ndarray | None = None) -> bytes:
     )
 
 
+def encode_wav(samples: np.ndarray, framerate: int, n_channels: int = 1) -> bytes:
+    """Minimal PCM WAV encoder via stdlib ``wave`` for fixtures/tests:
+    int16 samples (interleaved when ``n_channels > 1``) in, RIFF/WAVE
+    bytes out — lossless, so golden features computed from ``samples``
+    equal features the decoder recomputes from the bytes."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(n_channels)
+        wv.setsampwidth(2)
+        wv.setframerate(framerate)
+        wv.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_payloads_path(sf_dir_or_name: str, seed: int = 53) -> str:
+    """(doc_id, payload: PCM WAV, feat_checksum: golden) side table —
+    one deterministic short 16-bit clip per document (mono/stereo
+    alternating, varied rates/lengths). The golden checksum is computed
+    HERE from the raw pre-encoding samples with the 8-feature
+    arithmetic spelled out inline (independent of the engine's
+    decoder), making the WAV decode path hash-gateable — the audio
+    analogue of ``png_payloads_path``."""
+    import math
+
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    out = os.path.join(out_dir, "wav_payloads.parquet")
+    if os.path.exists(out):
+        return out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"), columns=["doc_id"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    payloads: list[bytes] = []
+    checks = np.zeros(len(ids), dtype=np.int64)
+    rates = (8000, 16000, 22050, 44100)
+    for i, doc_id in enumerate(ids):
+        rng = np.random.default_rng(seed + int(doc_id))
+        nch = 1 + int(doc_id) % 2
+        fr = rates[int(doc_id) % 4]
+        nf = 40 + int(doc_id) % 77  # frames per channel
+        x = rng.integers(-30000, 30000, size=nf * nch, dtype=np.int64)
+        payloads.append(encode_wav(x, fr, nch))
+        # golden 8 audio feature bytes, spelled inline (channels, kHz,
+        # frames, mean|x| / peak / RMS high bytes, zero crossings,
+        # duration ms) — integer-exact, mirrors nothing from the engine
+        ax = np.abs(x)
+        feats = [
+            nch % 256,
+            (fr // 1000) % 256,
+            nf % 256,
+            (int(ax.sum()) // len(x)) >> 8 & 0xFF,
+            int(ax.max()) >> 8 & 0xFF,
+            math.isqrt(int((x * x).sum()) // len(x)) >> 8 & 0xFF,
+            int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0))) % 256,
+            (nf * 1000 // fr) % 256,
+        ]
+        checks[i] = sum(feats)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "feat_checksum": pa.array(checks),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=131_072)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        os.unlink(tmp)
+    return out
+
+
 def png_payloads_path(sf_dir_or_name: str, seed: int = 47) -> str:
     """(doc_id, payload: binary PNG, feat_checksum: golden) side table —
     one deterministic small RGB image per document, PNG-encoded with

@@ -1812,6 +1812,25 @@ def q_m_features_png(sf_dir: str) -> Any:
     return extract_features_real(binary).select_columns(["doc_id", "feat_checksum"])
 
 
+def q_m_features_wav(sf_dir: str) -> Any:
+    """REAL PCM-WAV audio decode through the actor pool: planted side
+    table holds one 16-bit clip per document (mono/stereo, varied
+    rates) plus a GOLDEN checksum computed from the raw pre-encoding
+    samples — verifies the stdlib-wave decode + integer audio-feature
+    path end-to-end (the audio analogue of m_features_png)."""
+    import data_harvesting_ray
+    import ray.data as rd
+
+    from ..fixtures.generator import wav_payloads_path
+    from ..stages.multimodal import extract_features_real
+
+    data_harvesting_ray.configure_session()
+    binary = rd.read_parquet(
+        wav_payloads_path(sf_dir), columns=["doc_id", "payload"]
+    )
+    return extract_features_real(binary).select_columns(["doc_id", "feat_checksum"])
+
+
 def q_m_frame_sample(sf_dir: str) -> Any:
     from ..stages.multimodal import sample_frames
 
@@ -2267,6 +2286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_binary_meta": q_m_binary_meta,
         "m_features": q_m_features,
         "m_features_png": q_m_features_png,
+        "m_features_wav": q_m_features_wav,
         "m_frame_sample": q_m_frame_sample,
         "m_resize": q_m_resize,
         "lineitem_rollup": q_lineitem_rollup,
@@ -2316,9 +2336,10 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     from ..fixtures.generator import semdedup_cents_path
 
     sd_cents = semdedup_cents_path(sf_name)  # SemDeDup cell centroids
-    from ..fixtures.generator import png_payloads_path
+    from ..fixtures.generator import png_payloads_path, wav_payloads_path
 
     png_side = png_payloads_path(sf_name)  # PNG payloads + golden checksums
+    wav_side = wav_payloads_path(sf_name)  # WAV payloads + golden checksums
     RAW = f"read_parquet('{p}')"
     T = f"(SELECT DISTINCT * FROM {RAW})"
     NORM = (
@@ -3124,6 +3145,13 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         "m_features_png": f"""
             SELECT doc_id, feat_checksum
             FROM read_parquet('{png_side}')
+        """,
+        # same golden-recompute pattern for the PCM WAV audio decode:
+        # the checksum was computed from the raw pre-encoding samples
+        # at fixture-generation time (integer-exact audio features)
+        "m_features_wav": f"""
+            SELECT doc_id, feat_checksum
+            FROM read_parquet('{wav_side}')
         """,
         # transitive closure of the verified near-dup pairs; group id
         # = min doc id of the connected component

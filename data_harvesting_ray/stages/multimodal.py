@@ -94,13 +94,16 @@ class FeatureExtractor:
         return feats.astype(np.uint8)
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
-        """REAL decode for the two raster formats that need no external
-        codec: binary PPM (P6 — 'P6\\n<w> <h>\\n<maxval>\\n' + raw RGB),
-        parsed with numpy alone, and PNG (8-bit gray/RGB/RGBA,
+        """REAL decode for the formats that need no external codec:
+        binary PPM (P6 — 'P6\\n<w> <h>\\n<maxval>\\n' + raw RGB),
+        parsed with numpy alone; PNG (8-bit gray/RGB/RGBA,
         non-interlaced), inflated with stdlib ``zlib`` and unfiltered
-        in numpy (``_decode_png``). Other compressed formats
-        (JPEG/audio/video) still raise: their codecs are not in this
+        in numpy (``_decode_png``); and PCM WAV audio via stdlib
+        ``wave`` (``_decode_wav``). Other compressed formats
+        (JPEG/MP3/video) still raise: their codecs are not in this
         container, and faking them would be dishonest."""
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return self._decode_wav(payload)
         if payload[:2] == b"P6":
             # minimal whitespace-token header (no comment support —
             # the engine's own packer never emits comments). Parsed
@@ -128,10 +131,58 @@ class FeatureExtractor:
             img = self._decode_png(payload)
             return self._features_from_rgb(img, 255)
         raise NotImplementedError(
-            "only binary PPM (P6) and 8-bit non-interlaced PNG decode "
-            "without codecs; plug a real decoder here (cv2 / PIL / "
-            "torchaudio) for other compressed media"
+            "only binary PPM (P6), 8-bit non-interlaced PNG and PCM WAV "
+            "decode without codecs; plug a real decoder here (cv2 / PIL "
+            "/ torchaudio) for other compressed media"
         )
+
+    @staticmethod
+    def _decode_wav(payload: bytes) -> np.ndarray:
+        """REAL audio decode for PCM WAV via stdlib ``wave`` (8/16-bit,
+        any channel count) → the 8 audio feature bytes: channels,
+        kHz, frame count, mean |amplitude| and peak and RMS (high
+        byte), zero-crossing count, duration ms — every term is
+        integer-exact (``math.isqrt`` for RMS), so the checksum is
+        recomputable from the raw samples by the golden-oracle fixture
+        (the audio analogue of the PNG path; the reference decodes
+        real media in its core loop,
+        services/harvest_service.py:149-158)."""
+        import io
+        import math
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as wv:
+            nch = wv.getnchannels()
+            sw = wv.getsampwidth()
+            fr = wv.getframerate()
+            nf = wv.getnframes()
+            raw = wv.readframes(nf)
+        if sw == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        elif sw == 1:  # 8-bit WAV is unsigned, centered at 128
+            x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+        else:
+            raise NotImplementedError(f"WAV sample width {sw} not supported")
+        if len(x) == 0 or fr <= 0:
+            raise NotImplementedError("empty or malformed WAV")
+        ax = np.abs(x)
+        feats = np.array(
+            [
+                nch % 256,
+                (fr // 1000) % 256,
+                nf % 256,
+                (int(ax.sum()) // len(x)) >> 8 & 0xFF,
+                int(ax.max()) >> 8 & 0xFF,
+                math.isqrt(int((x * x).sum()) // len(x)) >> 8 & 0xFF,
+                int(
+                    np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
+                )
+                % 256,
+                (nf * 1000 // fr) % 256,
+            ],
+            dtype=np.int64,
+        )
+        return feats.astype(np.uint8)
 
     @staticmethod
     def _decode_png(payload: bytes) -> np.ndarray:

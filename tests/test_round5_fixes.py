@@ -300,3 +300,82 @@ def test_dedup_exact_small_dup_coalesce_and_shuffle_agree(ray_session):
             want.sort_values(key).reset_index(drop=True)[key]
         )
     )
+
+
+# ------------------------------------------------------------- WAV decode
+# real PCM audio decode via stdlib wave (the audio analogue of the PNG
+# path; reference decodes real media: services/harvest_service.py:149-158)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from data_harvesting_ray.fixtures.generator import encode_wav
+    from data_harvesting_ray.stages.multimodal import FeatureExtractor
+
+    rng = np.random.default_rng(7)
+    fx = FeatureExtractor(use_real_decoder=True)
+    for nch, fr, nf in ((1, 8000, 100), (2, 44100, 63), (1, 22050, 40)):
+        x = rng.integers(-30000, 30000, size=nf * nch, dtype=np.int64)
+        feats = fx._decode_real(encode_wav(x, fr, nch))
+        assert feats.dtype == np.uint8 and len(feats) == 8
+        assert feats[0] == nch % 256
+        assert feats[1] == (fr // 1000) % 256
+        assert feats[2] == nf % 256
+        assert feats[7] == (nf * 1000 // fr) % 256
+
+
+def test_wav_8bit_and_unsupported():
+    import io
+    import wave
+
+    import numpy as np
+
+    from data_harvesting_ray.stages.multimodal import FeatureExtractor
+
+    fx = FeatureExtractor(use_real_decoder=True)
+    # 8-bit unsigned PCM decodes (centered at 128)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(1)
+        wv.setframerate(8000)
+        wv.writeframes(bytes([128, 255, 0, 128] * 10))
+    feats = fx._decode_real(buf.getvalue())
+    assert feats[0] == 1 and feats[1] == 8
+    # 32-bit sample width raises (not faked)
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(4)
+        wv.setframerate(8000)
+        wv.writeframes(b"\x00" * 40)
+    with pytest.raises(NotImplementedError, match="sample width"):
+        fx._decode_real(buf2.getvalue())
+
+
+def test_wav_payloads_fixture_golden_matches_engine(ray_session):
+    """End-to-end through the actor pool: engine-decoded checksums ==
+    fixture goldens computed from the raw samples."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_harvesting_ray.fixtures.generator import wav_payloads_path
+    from data_harvesting_ray.stages.multimodal import extract_features_real
+
+    side = wav_payloads_path("sf0.001")
+    binary = rd.read_parquet(side, columns=["doc_id", "payload"])
+    got = (
+        extract_features_real(binary)
+        .select_columns(["doc_id", "feat_checksum"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pq.read_table(side, columns=["doc_id", "feat_checksum"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want) and len(got) > 0
