@@ -3814,14 +3814,20 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         GROUP BY n_name
     """
     sqls["d_incremental_dedup"] = """
-        WITH s AS (SELECT count(*) // 2 AS split FROM documents)
-        SELECT d.doc_id, d.lang, d.n_chars
-        FROM documents d, s
-        WHERE d.doc_id >= s.split
-          AND NOT EXISTS (
-            SELECT 1 FROM documents h, s
-            WHERE h.doc_id < s.split AND md5(h.text) = md5(d.text)
-          )
+        WITH s AS (SELECT count(*) // 2 AS split FROM documents),
+        cur AS (
+          SELECT d.doc_id, d.lang, d.n_chars, md5(d.text) AS h
+          FROM documents d, s WHERE d.doc_id >= s.split
+        ),
+        hist AS (
+          SELECT DISTINCT md5(d.text) AS h
+          FROM documents d, s WHERE d.doc_id < s.split
+        )
+        -- md5 computed ONCE per row in the CTEs: the previous
+        -- correlated NOT EXISTS recomputed it per candidate pair and
+        -- DuckDB's decorrelation spilled >70 GB of temp at sf0.1
+        SELECT c.doc_id, c.lang, c.n_chars
+        FROM cur c ANTI JOIN hist USING (h)
     """
     sqls["d_length_percentile"] = """
         WITH r AS (
