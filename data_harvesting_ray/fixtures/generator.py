@@ -298,6 +298,81 @@ def neardup_embeddings_path(
     return out
 
 
+def multiline_docs_path(sf_dir_or_name: str) -> str:
+    """Derived documents table with MULTI-LINE text and PLANTED
+    duplicate lines, cached beside the transcript fixture — the input
+    the line-dedup gate (``d_line_dedup``) needs: the driver's
+    documents are single-line and line dedup over them is a no-op.
+
+    Deterministic (pure function of doc_id + source text, no RNG):
+    - header line from a pool of 7 boilerplate variants
+      (``doc_id % 7``) — duplicated across ~1/7th of the corpus;
+    - the source text split into 3 word-chunks as body lines (unique
+      per doc by construction, since source texts embed the doc id);
+    - every 5th doc REPEATS the PREVIOUS doc's first body line (a
+      cross-doc quote — dropped from whichever doc comes second);
+    - footer line from a pool of 3 (``doc_id % 3``);
+    - every 13th doc is PURE boilerplate (header+footer only): all
+      its lines lose to earlier docs, so the doc itself vanishes;
+    - every 17th doc gets a NULL-text twin (doc_id + 20_000_000) —
+      emits no lines on either engine or oracle."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    out = os.path.join(out_dir, "documents_multiline.parquet")
+    if os.path.exists(out):
+        return out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    t = pq.read_table(
+        os.path.join(src_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    headers = [f"=== corpus header variant {k} ===" for k in range(7)]
+    footers = [f"-- footer {k} | all rights reserved --" for k in range(3)]
+    ids, texts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+    out_ids: list[int] = []
+    out_txt: list[str | None] = []
+    prev_first_body: str | None = None
+    for doc_id, text in zip(ids, texts):
+        header = headers[doc_id % 7]
+        footer = footers[doc_id % 3]
+        if doc_id % 13 == 0:
+            lines = [header, footer]
+            # pure boilerplate: no body, keeps prev_first_body as-is
+        else:
+            words = (text or "").split()
+            k = max(1, len(words) // 3)
+            body = [
+                " ".join(words[i : i + k]) for i in range(0, len(words), k)
+            ] or [""]
+            lines = [header]
+            if doc_id % 5 == 0 and prev_first_body is not None:
+                lines.append(prev_first_body)  # cross-doc quote
+            lines += body + [footer]
+            prev_first_body = body[0]
+        out_ids.append(doc_id)
+        out_txt.append("\n".join(lines))
+        if doc_id % 17 == 0:
+            out_ids.append(doc_id + 20_000_000)
+            out_txt.append(None)
+    table = pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "text": pa.array(out_txt, pa.string()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=131_072)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        os.unlink(tmp)
+    return out
+
+
 def epochs_root(sf_dir_or_name: str) -> str:
     return os.path.join(ensure_fixture(sf_dir_or_name), "epochs")
 

@@ -965,6 +965,23 @@ def q_d_dedup_exact(sf_dir: str) -> Any:
     return doc_dedup_exact(_docs(sf_dir))
 
 
+def q_d_line_dedup(sf_dir: str) -> Any:
+    """Corpus-wide LINE-level exact dedup (the CCNet paragraph-hash
+    step): every line keeps its first (doc_id, line_idx) occurrence,
+    docs are re-emitted minus duplicate lines, all-duplicate docs
+    vanish. Runs over the planted multi-line fixture
+    (fixtures.generator.multiline_docs_path — the driver's documents
+    are single-line, so line dedup over them is a no-op); the oracle
+    recomputes winners with the SAME 60-bit md5-prefix line key."""
+    import data_harvesting_ray
+    from ..fixtures.generator import multiline_docs_path
+    from ..stages.dedup import dedup_lines
+
+    data_harvesting_ray.configure_session()
+    docs = rd.read_parquet(multiline_docs_path(sf_dir))
+    return dedup_lines(docs)
+
+
 def q_d_token_stats(sf_dir: str) -> Any:
     from ..stages.text import token_stats
 
@@ -2228,6 +2245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_session_assign": q_e_session_assign,
         "d_fingerprint": q_d_fingerprint,
         "d_dedup_exact": q_d_dedup_exact,
+        "d_line_dedup": q_d_line_dedup,
         "d_token_stats": q_d_token_stats,
         "d_bpe_tokens": q_d_bpe_tokens,
         "d_heavy_tokens": q_d_heavy_tokens,
@@ -2319,6 +2337,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     from ..fixtures.generator import (
         documents_jsonl_path,
         ivf_side_paths,
+        multiline_docs_path,
         neardup_embeddings_path,
         semdedup_cells_path,
         simhash_sigs_path,
@@ -2339,6 +2358,7 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     from ..fixtures.generator import png_payloads_path, wav_payloads_path
 
     png_side = png_payloads_path(sf_name)  # PNG payloads + golden checksums
+    ml_docs = multiline_docs_path(sf_name)  # planted multi-line documents
     wav_side = wav_payloads_path(sf_name)  # WAV payloads + golden checksums
     RAW = f"read_parquet('{p}')"
     T = f"(SELECT DISTINCT * FROM {RAW})"
@@ -2765,6 +2785,36 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         "d_dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "d_line_dedup": f"""
+            WITH src AS (
+              SELECT doc_id, text FROM read_parquet('{ml_docs}')
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS idx
+              FROM src
+            ),
+            keyed AS (
+              SELECT doc_id, idx, line,
+                     CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS h
+              FROM lines
+            ),
+            winners AS (
+              SELECT doc_id, idx, line
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY h ORDER BY doc_id, idx) AS rn
+                    FROM keyed)
+              WHERE rn = 1
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM keyed GROUP BY doc_id)
+            SELECT w.doc_id,
+                   string_agg(w.line, chr(10) ORDER BY w.idx) AS text_dedup,
+                   count(*) AS n_kept,
+                   CAST(any_value(t.n_lines) - count(*) AS BIGINT) AS n_dropped
+            FROM winners w JOIN tot t USING (doc_id)
+            GROUP BY w.doc_id
         """,
         "d_train_split": """
             SELECT doc_id,
