@@ -982,6 +982,16 @@ def q_d_line_dedup(sf_dir: str) -> Any:
     return dedup_lines(docs)
 
 
+def q_d_chunk_windows(sf_dir: str) -> Any:
+    """Context-window chunking: every document split into 120-char
+    windows starting every 100 chars (20-char overlap) — the
+    fit-long-docs-into-a-context-window prep step; one row per chunk,
+    chunk text itself hashed by the gate."""
+    from ..stages.packing import chunk_windows
+
+    return chunk_windows(_docs(sf_dir), size=120, stride=100)
+
+
 def q_d_token_stats(sf_dir: str) -> Any:
     from ..stages.text import token_stats
 
@@ -2246,6 +2256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_fingerprint": q_d_fingerprint,
         "d_dedup_exact": q_d_dedup_exact,
         "d_line_dedup": q_d_line_dedup,
+        "d_chunk_windows": q_d_chunk_windows,
         "d_token_stats": q_d_token_stats,
         "d_bpe_tokens": q_d_bpe_tokens,
         "d_heavy_tokens": q_d_heavy_tokens,
@@ -2815,6 +2826,23 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(any_value(t.n_lines) - count(*) AS BIGINT) AS n_dropped
             FROM winners w JOIN tot t USING (doc_id)
             GROUP BY w.doc_id
+        """,
+        "d_chunk_windows": """
+            WITH n AS (
+              SELECT doc_id, text, length(text) AS L
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            idx AS (
+              SELECT doc_id, text, L,
+                     unnest(generate_series(
+                         0, CAST(ceil(L / 100.0) AS BIGINT) - 1)) AS c
+              FROM n
+            )
+            SELECT doc_id, c AS chunk_idx,
+                   substr(text, CAST(c * 100 + 1 AS BIGINT), 120) AS chunk,
+                   CAST(length(substr(text, CAST(c * 100 + 1 AS BIGINT), 120))
+                        AS BIGINT) AS n_chunk_chars
+            FROM idx WHERE c * 100 < L
         """,
         "d_train_split": """
             SELECT doc_id,

@@ -135,3 +135,80 @@ def pack_sequences(
         )
 
     return apply_per_bucket(tagged, kernel, key=_RANGE, num_buckets=num_buckets)
+
+
+def chunk_windows(
+    ds: ray.data.Dataset,
+    size: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Context-window chunking: split each document into fixed-size
+    character windows (``size`` chars, starting every ``stride``
+    chars — ``stride < size`` gives the standard overlapping windows
+    used to fit long documents into a model's context). Output one row
+    per chunk: (id_col, chunk_idx, chunk, n_chunk_chars), chunks in
+    document order; null/empty text emits no chunks.
+
+    Embarrassingly parallel — no shuffle: each batch explodes
+    independently. The kernel loops over CHUNK ORDINALS (bounded by
+    the longest doc in the batch, typically a handful) and runs one
+    vectorized ``utf8_slice_codeunits`` over all docs still long
+    enough per ordinal — never a per-row Python loop. Character (code
+    point) semantics match DuckDB ``substr``/``length``, so the gate
+    is exact on any unicode payload.
+
+    Reference analogue: M6 crop-to-bbox projection
+    (``condition.py:158-171``) crops each frame to a region; this is
+    the text-modal form — every window a training-ready slice."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    stride = size if stride is None else stride
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tt = t.filter(pc.is_valid(t[text_col]))
+        if tt.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                    "n_chunk_chars": pa.array([], pa.int64()),
+                }
+            )
+        txt = tt[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = tt[id_col].to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_ids, out_idx, out_chunks = [], [], []
+        k = 0
+        alive = lens > 0  # offset 0 exists only for non-empty docs
+        while alive.any():
+            sel = pa.array(alive)
+            sliced = pc.utf8_slice_codeunits(
+                txt.filter(sel), start=k * stride, stop=k * stride + size
+            )
+            out_ids.append(ids[alive])
+            out_idx.append(np.full(int(alive.sum()), k, dtype=np.int64))
+            out_chunks.append(sliced)
+            k += 1
+            alive = lens > k * stride
+        chunks = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_chunks]
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+                "chunk_idx": pa.array(np.concatenate(out_idx), pa.int64()),
+                "chunk": chunks,
+                "n_chunk_chars": pc.utf8_length(chunks).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
