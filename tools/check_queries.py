@@ -59,6 +59,15 @@ def main() -> int:
     from data_harvesting_ray.pipelines.queries import oracle_sql, queries
 
     con = duckdb.connect()
+    # Cap the oracle so a blowing-up SQL plan (e.g. an all-pairs
+    # verification CTE at 10x docs) fails loudly instead of filling
+    # the disk with duckdb temp spill (observed: >230 GB at sf0.1).
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_tmp'")
+    con.execute("SET max_temp_directory_size='40GB'")
+    # Optional per-oracle wall clock: GRAFT_DUCK_TIMEOUT_S interrupts
+    # the oracle (NOT the engine) and records status=oracle_timeout.
+    duck_timeout = float(os.environ.get("GRAFT_DUCK_TIMEOUT_S", "0") or 0)
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
@@ -93,7 +102,34 @@ def main() -> int:
             }
             continue
         t0 = time.time()
-        want = con.sql(sql).df()
+        timer = None
+        if duck_timeout:
+            import threading
+
+            timer = threading.Timer(duck_timeout, con.interrupt)
+            timer.start()
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            # oracle-side failure (interrupt/OOM/spill cap) — the
+            # ENGINE result exists; record it distinctly from a red
+            # compare so scale sweeps can cap runaway oracles honestly
+            print(
+                f"{name:24s} ORACLE-FAIL {type(e).__name__} "
+                f"(engine rows={len(got)}, ray {ray_s:5.1f}s)"
+            )
+            results[name] = {
+                "status": "oracle_timeout"
+                if "interrupt" in type(e).__name__.lower()
+                else "oracle_error",
+                "rows_ray": int(len(got)),
+                "ray_s": round(ray_s, 2),
+                "err": f"{type(e).__name__}: {str(e)[:200]}",
+            }
+            continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         duck_s = time.time() - t0
         g, w = canon(got), canon(want)
         ok = list(g.columns) == list(w.columns) and len(g) == len(w)
@@ -133,6 +169,9 @@ def main() -> int:
             "n_ok": sum(r["status"] == "ok" for r in results.values()),
             "n_rows_only": sum(
                 r["status"] == "rows_only" for r in results.values()
+            ),
+            "n_oracle_fail": sum(
+                r["status"].startswith("oracle_") for r in results.values()
             ),
             "n_fail": failures,
             "queries": results,

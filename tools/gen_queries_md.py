@@ -53,7 +53,7 @@ def main() -> int:
         f"queries, {len(set(qs) & oks)} with exact DuckDB",
         f"oracles (hash-compared) and {len(set(qs) - oks)} rows-only "
         "(not SQL-expressible). The committed",
-        "per-round sweep log is `CORRECTNESS_LOCAL_r4.json`.",
+        "per-round sweep logs are `CORRECTNESS_LOCAL_r5.json` (sf0.01) and `CORRECTNESS_LOCAL_r5_sf01.json` (sf0.1).",
         "",
     ]
     for g in sorted(by):
