@@ -982,6 +982,37 @@ def q_d_line_dedup(sf_dir: str) -> Any:
     return dedup_lines(docs)
 
 
+def q_d_bloom_line_dedup(sf_dir: str) -> Any:
+    """Bloom-filter line dedup (Dolma-style): new docs (doc_id%3 != 0
+    of the multi-line fixture) drop every line whose three bloom
+    positions were all set by the history corpus (doc_id%3 == 0) —
+    m_bits=8192 keeps the fixture's fill ~0.2 so a few FALSE POSITIVES
+    occur and the gate verifies the engine's bloom semantics exactly,
+    false positives included (the oracle replays the same md5-slice
+    hash family)."""
+    import data_harvesting_ray
+    import pyarrow as pa
+
+    from ..fixtures.generator import multiline_docs_path
+    from ..stages.dedup import bloom_line_dedup
+
+    data_harvesting_ray.configure_session()
+    path = multiline_docs_path(sf_dir)
+
+    def _part(t: pa.Table, want_hist: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 3 == 0) if want_hist else (ids % 3 != 0)
+        return t.filter(pa.array(mask))
+
+    hist = rd.read_parquet(path).map_batches(
+        lambda t: _part(t, True), batch_format="pyarrow"
+    )
+    new = rd.read_parquet(path).map_batches(
+        lambda t: _part(t, False), batch_format="pyarrow"
+    )
+    return bloom_line_dedup(new, hist, m_bits=8192)
+
+
 def q_d_chunk_windows(sf_dir: str) -> Any:
     """Context-window chunking: every document split into 120-char
     windows starting every 100 chars (20-char overlap) — the
@@ -2257,6 +2288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_dedup_exact": q_d_dedup_exact,
         "d_line_dedup": q_d_line_dedup,
         "d_chunk_windows": q_d_chunk_windows,
+        "d_bloom_line_dedup": q_d_bloom_line_dedup,
         "d_token_stats": q_d_token_stats,
         "d_bpe_tokens": q_d_bpe_tokens,
         "d_heavy_tokens": q_d_heavy_tokens,
@@ -2826,6 +2858,56 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(any_value(t.n_lines) - count(*) AS BIGINT) AS n_dropped
             FROM winners w JOIN tot t USING (doc_id)
             GROUP BY w.doc_id
+        """,
+        "d_bloom_line_dedup": f"""
+            WITH src AS (
+              SELECT doc_id, text FROM read_parquet('{ml_docs}')
+            ),
+            hl AS (
+              SELECT DISTINCT unnest(string_split(text, chr(10))) AS line
+              FROM src WHERE doc_id % 3 = 0 AND text IS NOT NULL
+            ),
+            hab AS (
+              SELECT CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS a,
+                     CAST(('0x' || substr(md5(line), 16, 15)) AS BIGINT) AS b
+              FROM hl
+            ),
+            hpos AS (
+              SELECT DISTINCT p FROM (
+                SELECT unnest([
+                  a % 8192, b % 8192,
+                  ((a % 8192) * (2654435761 % 8192) + (b % 8192)) % 8192
+                ]) AS p FROM hab
+              )
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS idx
+              FROM src WHERE doc_id % 3 <> 0
+            ),
+            pos AS (
+              SELECT doc_id, idx, line,
+                     CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS a,
+                     CAST(('0x' || substr(md5(line), 16, 15)) AS BIGINT) AS b
+              FROM lines
+            ),
+            flag AS (
+              SELECT doc_id, idx, line,
+                     (a % 8192 IN (SELECT p FROM hpos))
+                 AND (b % 8192 IN (SELECT p FROM hpos))
+                 AND (((a % 8192) * (2654435761 % 8192) + (b % 8192)) % 8192
+                      IN (SELECT p FROM hpos)) AS hit
+              FROM pos
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY idx)
+                       FILTER (WHERE NOT hit) AS text_dedup,
+                   count(*) FILTER (WHERE NOT hit) AS n_kept,
+                   count(*) FILTER (WHERE hit) AS n_dropped
+            FROM flag
+            GROUP BY doc_id
+            HAVING count(*) FILTER (WHERE NOT hit) > 0
         """,
         "d_chunk_windows": """
             WITH n AS (

@@ -395,6 +395,22 @@ def _rebuild_batch(
                 drop_comp[np.minimum(pos, len(drop_comp) - 1)] == comp
             )
             keep[np.flatnonzero(rows_rep)[hit]] = False
+    return _emit_kept(doc, flat, counts, keep, id_col, sep, out_col)
+
+
+def _emit_kept(
+    doc: np.ndarray,
+    flat,
+    counts: np.ndarray,
+    keep: np.ndarray,
+    id_col: str,
+    sep: str,
+    out_col: str,
+) -> pa.Table:
+    """Shared doc re-assembly: filter the exploded lines by ``keep``,
+    rebuild each doc's text (Arrow ListArray + ``binary_join``), drop
+    docs with zero survivors. Used by both the exact and the
+    bloom-filter line-dedup paths."""
     ck = np.concatenate([[0], np.cumsum(keep)]).astype(np.int64)
     ends = np.cumsum(counts)
     starts = ends - counts
@@ -611,4 +627,118 @@ def _dedup_lines_coshuffle(
     )
     return both.repartition(b, keys=["bucket"], sort=False).map_batches(
         rebuild_bucket, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter line dedup (the memory-bounded approximate path)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(strs, m_bits: int):
+    """Three SQL-replayable bloom positions per string, all derived
+    from ONE md5: a = hex[0:15], b = hex[15:30] (60-bit ints),
+    p1 = a%m, p2 = b%m, p3 = (p1 * (2654435761%m) + p2) % m.
+    ``m_bits`` must be <= 2^30 so p3's product stays in int64 on both
+    the numpy and the DuckDB side."""
+    import hashlib
+
+    m = m_bits
+    a = np.empty(len(strs), dtype=np.int64)
+    b = np.empty(len(strs), dtype=np.int64)
+    for j, s in enumerate(strs):
+        hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+        a[j] = int(hx[0:15], 16)
+        b[j] = int(hx[15:30], 16)
+    p1 = a % m
+    p2 = b % m
+    p3 = (p1 * (2654435761 % m) + p2) % m
+    return p1, p2, p3
+
+
+@ray.remote
+def _assemble_bitset(m_bits: int, *chunks: pa.Table) -> np.ndarray:
+    """OR the per-block position chunks into the single m-bit bloom
+    bitset (as a bool ndarray, m/8 bytes packed would also do — at
+    m<=2^30 the bool array is <=1 GiB; callers size m to the budget).
+    Born in the object store; the driver only holds the ref."""
+    bits = np.zeros(m_bits, dtype=bool)
+    for c in chunks:
+        if "p" in c.column_names and c.num_rows:
+            bits[c["p"].to_numpy(zero_copy_only=False)] = True
+    return bits
+
+
+def bloom_line_dedup(
+    new_docs: ray.data.Dataset,
+    history: ray.data.Dataset,
+    m_bits: int = 1 << 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> ray.data.Dataset:
+    """APPROXIMATE line-level dedup against a history corpus via a
+    bloom filter — the memory-bounded path large-scale text pipelines
+    (e.g. Dolma's dedupe step) use when the exact line-key table stops
+    fitting anywhere: the filter is ``m_bits`` bits NO MATTER how many
+    history lines exist, so it broadcasts at any corpus scale and the
+    new side streams in ONE pass with zero shuffle.
+
+    Every new doc drops each line whose three bloom positions are all
+    set by some history line; docs with zero survivors vanish (same
+    output contract as the exact ``dedup_lines``). False positives
+    (rate ~ fill^3) drop innocent lines — the documented bloom trade;
+    false negatives never happen. The hash family is three
+    md5-slice-derived positions (``_bloom_positions``), bit-exactly
+    replayable in SQL, so the gate verifies the engine INCLUDING its
+    false positives.
+
+    Plan: history streams once through a keys-only position explode;
+    one remote reduce ORs the per-block position sets into the bitset
+    (object store, driver holds a ref); new docs stream once through
+    split -> hash -> mask -> rebuild. No exchange anywhere.
+
+    Reference analogue: delete-after-process on the queue
+    (``queue_harvesting.py:57``) is the reference's only don't-repeat
+    mechanism; this is its content-addressed, bounded-memory form."""
+    if not (0 < m_bits <= (1 << 30)):
+        raise ValueError("m_bits must be in (0, 2^30] for int64-safe hashing")
+
+    def hist_positions(t: pa.Table) -> pa.Table:
+        _, flat, _, _ = _split_lines(t, text_col, sep)
+        if len(flat) == 0:
+            return pa.table({"p": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(
+            flat.to_numpy(zero_copy_only=False), sort=False
+        )
+        p1, p2, p3 = _bloom_positions(uniq, m_bits)
+        return pa.table(
+            {"p": np.unique(np.concatenate([p1, p2, p3])).astype(np.int64)}
+        )
+
+    pos = history.map_batches(hist_positions, batch_format="pyarrow").materialize()
+    bits_ref = _assemble_bitset.remote(m_bits, *pos.to_arrow_refs())
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        tt, flat, counts, _ = _split_lines(t, text_col, sep)
+        if tt.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "text_dedup": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                    "n_dropped": pa.array([], pa.int64()),
+                }
+            )
+        bits = ray.get(bits_ref)
+        doc = tt[id_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(
+            flat.to_numpy(zero_copy_only=False), sort=False
+        )
+        p1, p2, p3 = _bloom_positions(uniq, m_bits)
+        hit = (bits[p1] & bits[p2] & bits[p3])[codes]
+        return _emit_kept(doc, flat, counts, ~hit, id_col, sep, "text_dedup")
+
+    return new_docs.map_batches(
+        rebuild, batch_format="pyarrow", zero_copy_batch=True
     )

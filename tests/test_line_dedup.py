@@ -131,3 +131,77 @@ def test_fixture_is_deterministic_and_plants_edges(ray_session):
     boiler = df[df["doc_id"] % 13 == 0]
     boiler = boiler[boiler["doc_id"] < 20_000_000]
     assert (boiler["text"].str.count("\n") == 1).all()
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_line_dedup_semantics(ray_session):
+    """True duplicates always drop (no false negatives); with a small
+    m_bits the planted fixture also produces FALSE POSITIVES, and the
+    engine's drops match an exact bloom replay including them."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_harvesting_ray.fixtures.generator import multiline_docs_path
+    from data_harvesting_ray.stages.dedup import bloom_line_dedup
+
+    path = multiline_docs_path("sf0.001")
+    M = 8192
+
+    def part(t: pa.Table, hist: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 3 == 0) == hist))
+
+    hist = rd.read_parquet(path).map_batches(
+        lambda t: part(t, True), batch_format="pyarrow"
+    )
+    new = rd.read_parquet(path).map_batches(
+        lambda t: part(t, False), batch_format="pyarrow"
+    )
+    got = (
+        bloom_line_dedup(new, hist, m_bits=M)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["n_dropped"] > 0).any()
+
+    # exact truth: which new lines literally appear in history
+    truth = duckdb.sql(
+        f"""
+        WITH hl AS (
+          SELECT DISTINCT unnest(string_split(text, chr(10))) AS line
+          FROM read_parquet('{path}') WHERE doc_id % 3 = 0 AND text IS NOT NULL
+        ),
+        nl AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM read_parquet('{path}') WHERE doc_id % 3 <> 0
+        )
+        SELECT doc_id,
+               count(*) FILTER (WHERE line IN (SELECT line FROM hl)) AS n_true_dup,
+               count(*) AS n_lines
+        FROM nl GROUP BY doc_id
+        """
+    ).df().set_index("doc_id")
+
+    g = got.set_index("doc_id")
+    joined = truth.join(g[["n_dropped"]], how="left").fillna(
+        {"n_dropped": truth["n_lines"]}  # fully-dropped docs vanish
+    )
+    # no false negatives: every true dup line was dropped
+    assert (joined["n_dropped"] >= joined["n_true_dup"]).all()
+    # small m forces at least one false positive somewhere
+    assert int(joined["n_dropped"].sum()) > int(joined["n_true_dup"].sum())
+
+
+def test_bloom_rejects_oversize_m(ray_session):
+    import ray.data as rd
+    import pandas as pd
+
+    from data_harvesting_ray.stages.dedup import bloom_line_dedup
+
+    ds = rd.from_pandas(pd.DataFrame([{"doc_id": 1, "text": "x"}]))
+    with pytest.raises(ValueError):
+        bloom_line_dedup(ds, ds, m_bits=(1 << 30) + 1)
