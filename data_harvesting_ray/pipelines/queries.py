@@ -38,6 +38,57 @@ EVENT_GAP_US = 1800 * 1_000_000
 _ORACLE_SF = "sf0.01"
 
 
+def _path_bytes(path) -> int:
+    import os
+
+    total = 0
+    for p in path if isinstance(path, (list, tuple)) else [path]:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def _rp(path, **kw) -> rd.Dataset:
+    """``read_parquet`` with the input-volume hint applied (see
+    stages/partition.set_volume_hint): sizes this query's exchanges to
+    the data it actually reads — a KB-scale input stops paying the
+    cluster-width fixed exchange cost, while at cluster volume the
+    hint is a no-op. Must run before dataset creation (the DataContext
+    is snapshotted into the dataset)."""
+    import data_harvesting_ray
+
+    from ..stages.partition import set_volume_hint
+
+    data_harvesting_ray.configure_session()
+    try:
+        set_volume_hint(_path_bytes(path))
+    except OSError:
+        pass
+    return rd.read_parquet(path, **kw)
+
+
+def _fresh_hint(fn: Callable) -> Callable:
+    """Each driver-contract query starts with a clean volume hint (the
+    hint accumulates max within one query across its table reads)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir, *a, **kw):
+        from ..stages.partition import reset_volume_hint
+
+        reset_volume_hint()
+        return fn(sf_dir, *a, **kw)
+
+    return wrapped
+
+
 def _read_blocks() -> int:
     # Ray's parallelism heuristic fragments small single-file inputs
     # into ~2k-row blocks; pin block count near the CPU count so batch
@@ -60,7 +111,7 @@ def _t(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     import data_harvesting_ray
 
     data_harvesting_ray.configure_session()  # before dataset creation
-    return rd.read_parquet(
+    return _rp(
         transcripts_path(sf_dir),
         columns=columns,
         override_num_blocks=_read_blocks(),
@@ -112,7 +163,7 @@ def q_d_hash_sample(sf_dir: str) -> Any:
     from ..stages.projection import hash_sample
 
     return hash_sample(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
         ),
         k=64,
@@ -650,7 +701,7 @@ def q_e_tumbling(sf_dir: str) -> Any:
     from ..stages.events import tumbling_events
 
     return tumbling_events(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        _rp(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     )
 
 
@@ -661,7 +712,7 @@ def q_e_window_distinct(sf_dir: str) -> Any:
     from ..stages.events import window_distinct_users
 
     return window_distinct_users(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
+        _rp(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
         size_s=86400,
     )
 
@@ -674,7 +725,7 @@ def q_e_daily_spikes(sf_dir: str) -> Any:
     from ..stages.events import daily_spikes
 
     return daily_spikes(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"]),
+        _rp(f"{sf_dir}/events.parquet", columns=["event_type", "ts"]),
         sigma=1,
     )
 
@@ -686,7 +737,7 @@ def q_e_sliding_mau(sf_dir: str) -> Any:
     from ..stages.events import sliding_mau
 
     return sliding_mau(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
+        _rp(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
         size_s=7 * 86400,
         slide_s=86400,
     )
@@ -699,7 +750,7 @@ def q_e_type_cooccurrence(sf_dir: str) -> Any:
     from ..stages.events import type_cooccurrence
 
     return type_cooccurrence(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
         )
     )
@@ -709,7 +760,7 @@ def q_e_session(sf_dir: str) -> Any:
     from ..stages.events import session_events
 
     return session_events(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
         )
     )
@@ -719,7 +770,7 @@ def q_e_cep(sf_dir: str) -> Any:
     from ..stages.events import cep_events
 
     return cep_events(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/events.parquet",
             columns=["user_id", "event_id", "event_type", "ts"],
         )
@@ -730,7 +781,7 @@ def q_e_sliding(sf_dir: str) -> Any:
     from ..stages.events import sliding_events
 
     return sliding_events(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        _rp(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     )
 
 
@@ -739,7 +790,7 @@ def q_e_value_quantiles(sf_dir: str) -> Any:
     histogram partials, no row shuffle."""
     from ..stages.aggregates import global_value_quantiles
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["value"])
     cents = ev.map_batches(
         lambda t: pa.table(
             {
@@ -760,7 +811,7 @@ def q_e_histogram(sf_dir: str) -> Any:
     from ..stages.aggregates import value_histogram
 
     data_harvesting_ray.configure_session()
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["value"])
     return value_histogram(ev, "value", bin_width=10.0)
 
 
@@ -771,7 +822,7 @@ def q_e_funnel(sf_dir: str) -> Any:
     from ..stages.events import funnel_events
 
     data_harvesting_ray.configure_session()
-    ev = rd.read_parquet(
+    ev = _rp(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
     return funnel_events(ev, ["view", "click", "purchase"], num_buckets=8)
@@ -793,7 +844,7 @@ def q_e_asof_attribution(sf_dir: str) -> Any:
     Columns pruned at the read; sides filtered before the one shuffle."""
     from ..stages.asof import asof_join
 
-    ev = rd.read_parquet(
+    ev = _rp(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -818,7 +869,7 @@ def q_e_asof_salted(sf_dir: str) -> Any:
     q_e_asof_attribution — same SQL oracle."""
     from ..stages.asof import asof_join_salted
 
-    ev = rd.read_parquet(
+    ev = _rp(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -845,11 +896,11 @@ def q_e_session_assign(sf_dir: str) -> Any:
     from ..stages.asof import interval_join
     from ..stages.events import session_events
 
-    ev = rd.read_parquet(
+    ev = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     wins = session_events(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
         )
     )
@@ -950,7 +1001,7 @@ def _docs(sf_dir: str) -> rd.Dataset:
     import data_harvesting_ray
 
     data_harvesting_ray.configure_session()
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def q_d_fingerprint(sf_dir: str) -> Any:
@@ -978,7 +1029,7 @@ def q_d_line_dedup(sf_dir: str) -> Any:
     from ..stages.dedup import dedup_lines
 
     data_harvesting_ray.configure_session()
-    docs = rd.read_parquet(multiline_docs_path(sf_dir))
+    docs = _rp(multiline_docs_path(sf_dir))
     return dedup_lines(docs)
 
 
@@ -1004,10 +1055,10 @@ def q_d_bloom_line_dedup(sf_dir: str) -> Any:
         mask = (ids % 3 == 0) if want_hist else (ids % 3 != 0)
         return t.filter(pa.array(mask))
 
-    hist = rd.read_parquet(path).map_batches(
+    hist = _rp(path).map_batches(
         lambda t: _part(t, True), batch_format="pyarrow"
     )
-    new = rd.read_parquet(path).map_batches(
+    new = _rp(path).map_batches(
         lambda t: _part(t, False), batch_format="pyarrow"
     )
     return bloom_line_dedup(new, hist, m_bits=8192)
@@ -1049,7 +1100,7 @@ def q_d_winsorize(sf_dir: str) -> Any:
     from ..stages.aggregates import winsorize_per_key
 
     data_harvesting_ray.configure_session()
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
     return winsorize_per_key(
@@ -1084,7 +1135,7 @@ def q_d_dsir(sf_dir: str) -> Any:
     from ..stages.relevance import dsir_weights
 
     data_harvesting_ray.configure_session()
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     return dsir_weights(docs, target_col="source", target_values=["src0", "src1"])
@@ -1100,7 +1151,7 @@ def q_d_profile(sf_dir: str) -> Any:
 
     data_harvesting_ray.configure_session()
     cols = ["doc_id", "lang", "source", "n_chars"]
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=cols)
     return profile_table(docs, columns=cols, num_buckets=4)
 
 
@@ -1123,7 +1174,7 @@ def q_d_source_mix(sf_dir: str) -> Any:
     from ..stages.aggregates import quota_sample
 
     data_harvesting_ray.configure_session()
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
     return quota_sample(
@@ -1162,7 +1213,7 @@ def q_d_stratified_split(sf_dir: str) -> Any:
     import data_harvesting_ray
 
     data_harvesting_ray.configure_session()
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     return stratified_split(ds, key="lang", id_col="doc_id", pct=(90, 5))
@@ -1239,7 +1290,7 @@ def q_e_asof_left(sf_dir: str) -> Any:
 
     from ..stages.asof import asof_join
 
-    ev = rd.read_parquet(
+    ev = _rp(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -1275,7 +1326,7 @@ def q_e_overlap_join(sf_dir: str) -> Any:
 
     from ..stages.asof import overlap_join
 
-    ev = rd.read_parquet(
+    ev = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
 
@@ -1340,7 +1391,7 @@ def q_v_knn(sf_dir: str) -> Any:
     from ..stages.similarity import knn_bruteforce
 
     qids, qvecs = _query_vectors(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_bruteforce(emb, qids, qvecs, k=5)
 
 
@@ -1352,7 +1403,7 @@ def q_v_group_centroid(sf_dir: str) -> Any:
     from ..stages.similarity import group_centroids
 
     data_harvesting_ray.configure_session()
-    emb = rd.read_parquet(
+    emb = _rp(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     )
     return group_centroids(emb, key="label")
@@ -1370,7 +1421,7 @@ def q_v_knn_ivf(sf_dir: str) -> Any:
 
     ivf_side_paths(sf_dir)  # ensure the oracle's input exists
     qids, qvecs = _query_vectors(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_ivf(emb, qids, qvecs, k=5)
 
 
@@ -1389,7 +1440,7 @@ def q_v_near_dups(sf_dir: str) -> Any:
     from ..fixtures.generator import neardup_embeddings_path
     from ..stages.similarity import embedding_near_dups
 
-    emb = rd.read_parquet(
+    emb = _rp(
         neardup_embeddings_path(sf_dir), columns=["vec_id", "embedding"]
     )
     pairs = embedding_near_dups(emb, threshold=0.9, n_bands=16, band_bits=8)
@@ -1411,7 +1462,7 @@ def q_v_semdedup(sf_dir: str) -> Any:
     from ..stages.similarity import semdedup
 
     semdedup_cells_path(sf_dir)  # ensure the oracle's input exists
-    emb = rd.read_parquet(
+    emb = _rp(
         neardup_embeddings_path(sf_dir), columns=["vec_id", "embedding"]
     )
     return semdedup(emb, n_centroids=8, threshold=0.9)
@@ -1424,7 +1475,7 @@ def q_v_quantize(sf_dir: str) -> Any:
     from ..stages.similarity import quantize_embeddings
 
     data_harvesting_ray.configure_session()
-    emb = rd.read_parquet(
+    emb = _rp(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return quantize_embeddings(emb)
@@ -1440,7 +1491,7 @@ def q_v_semdedup_far(sf_dir: str) -> Any:
     from ..stages.similarity import semdedup
 
     semdedup_cells_path(sf_dir)  # ensures cells + centroids exist
-    emb = rd.read_parquet(
+    emb = _rp(
         neardup_embeddings_path(sf_dir), columns=["vec_id", "embedding"]
     )
     return semdedup(emb, n_centroids=8, threshold=0.9, keep="low_centroid")
@@ -1595,7 +1646,7 @@ def q_d_lang_rollup(sf_dir: str) -> Any:
     from ..stages.aggregates import rollup_counts
 
     data_harvesting_ray.configure_session()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
     return rollup_counts(ds, keys=["lang", "source"])
 
 
@@ -1691,7 +1742,7 @@ def q_d_lang_cube(sf_dir: str) -> Any:
     from ..stages.aggregates import cube_counts
 
     data_harvesting_ray.configure_session()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
     return cube_counts(ds, keys=["lang", "source"])
 
 
@@ -1765,7 +1816,7 @@ def q_e_dow_profile(sf_dir: str) -> Any:
     from ..stages.events import dow_profile
 
     data_harvesting_ray.configure_session()
-    ev = rd.read_parquet(
+    ev = _rp(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"]
     )
     return dow_profile(ev)
@@ -1801,7 +1852,7 @@ def q_e_props_extract(sf_dir: str) -> Any:
     from ..stages.events import props_extract_agg
 
     data_harvesting_ray.configure_session()
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["event_type", "props"]
     )
     return props_extract_agg(ds)
@@ -1816,7 +1867,7 @@ def q_e_retention(sf_dir: str) -> Any:
     from ..stages.events import user_retention
 
     data_harvesting_ray.configure_session()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = _rp(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return user_retention(ds)
 
 
@@ -1828,7 +1879,7 @@ def q_d_lang_confusion(sf_dir: str) -> Any:
     from ..stages.text import lang_confusion
 
     data_harvesting_ray.configure_session()
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     return lang_confusion(ds)
@@ -1864,7 +1915,7 @@ def q_m_features_png(sf_dir: str) -> Any:
     from ..stages.multimodal import extract_features_real
 
     data_harvesting_ray.configure_session()
-    binary = rd.read_parquet(
+    binary = _rp(
         png_payloads_path(sf_dir), columns=["doc_id", "payload"]
     )
     return extract_features_real(binary).select_columns(["doc_id", "feat_checksum"])
@@ -1883,7 +1934,7 @@ def q_m_features_wav(sf_dir: str) -> Any:
     from ..stages.multimodal import extract_features_real
 
     data_harvesting_ray.configure_session()
-    binary = rd.read_parquet(
+    binary = _rp(
         wav_payloads_path(sf_dir), columns=["doc_id", "payload"]
     )
     return extract_features_real(binary).select_columns(["doc_id", "feat_checksum"])
@@ -1905,7 +1956,7 @@ def q_lineitem_rollup(sf_dir: str) -> Any:
     from ..stages.aggregates import lineitem_rollup
 
     return lineitem_rollup(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_quantity"],
         )
@@ -1923,15 +1974,15 @@ def q_h_revenue_topk(sf_dir: str) -> Any:
 
     data_harvesting_ray.configure_session()
     return segment_revenue_topk(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
         ),
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate"],
         ),
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
         ),
         segment="BUILDING",
@@ -1951,18 +2002,18 @@ def q_h_local_supplier_volume(sf_dir: str) -> Any:
 
     data_harvesting_ray.configure_session()
     return local_supplier_volume(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
         ),
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate"],
         ),
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
         ),
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
         ),
         pd.read_parquet(f"{sf_dir}/nation.parquet"),
@@ -1982,7 +2033,7 @@ def q_d_incremental_dedup(sf_dir: str) -> Any:
     from ..stages.dedup import incremental_dedup
 
     data_harvesting_ray.configure_session()
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "n_chars"],
     )
@@ -2003,7 +2054,7 @@ def q_d_length_percentile(sf_dir: str) -> Any:
 
     data_harvesting_ray.configure_session()
     return length_percentile_gate(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
         ),
         q_num=3,
@@ -2018,7 +2069,7 @@ def q_v_dim_stats(sf_dir: str) -> Any:
     from ..stages.similarity import dim_stats
 
     return dim_stats(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        _rp(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     )
 
 
@@ -2032,11 +2083,11 @@ def q_h_promo_revenue(sf_dir: str) -> Any:
 
     data_harvesting_ray.configure_session()
     return promo_revenue_share(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
         ),
-        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]),
+        _rp(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]),
     )
 
 
@@ -2050,7 +2101,7 @@ def q_v_label_dist(sf_dir: str) -> Any:
 
     data_harvesting_ray.configure_session()
     return label_centroid_dist(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/embeddings.parquet",
             columns=["vec_id", "label", "embedding"],
         )
@@ -2120,7 +2171,7 @@ def q_d_vocab_drift(sf_dir: str) -> Any:
     from ..stages.text import vocab_drift
 
     data_harvesting_ray.configure_session()
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     split = docs.count() // 2
@@ -2148,10 +2199,10 @@ def q_h_late_orders(sf_dir: str) -> Any:
 
     data_harvesting_ray.configure_session()
     return late_order_counts(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
         ),
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
         ),
@@ -2168,7 +2219,7 @@ def q_d_source_dup_stats(sf_dir: str) -> Any:
 
     data_harvesting_ray.configure_session()
     return source_dup_stats(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        _rp(f"{sf_dir}/documents.parquet", columns=["source", "text"])
     )
 
 
@@ -2209,7 +2260,7 @@ def q_v_centroids_distributed(sf_dir: str) -> Any:
 
     dist_centroids_path(sf_dir)  # ensure the oracle's input exists
     data_harvesting_ray.configure_session()
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     cents = train_centroids_distributed(ds, n_centroids=8, iters=5)
@@ -2222,7 +2273,7 @@ def q_v_centroids_distributed(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    qs = {
         "t_normalize": q_t_normalize,
         "t_dedup": q_t_dedup,
         "t_render_convs": q_t_render_convs,
@@ -2373,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_centroids_distributed": q_v_centroids_distributed,
         "d_weighted_sample": q_d_weighted_sample,
     }
+    return {k: _fresh_hint(fn) for k, fn in qs.items()}
 
 
 # -------------------------------------------------------------- oracle SQL

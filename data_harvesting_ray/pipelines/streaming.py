@@ -467,6 +467,12 @@ class StreamingEngine:
         epoch's checkpoint. ``flush_at_end=True`` marks the last epoch
         as end-of-stream (open windows + orphan calls are emitted);
         pass False when more epochs will arrive in a later run."""
+        from ..stages.partition import reset_volume_hint
+
+        # The streaming engine always runs un-hinted (CPU-proportional
+        # shuffle width): a bounded query's small-input volume hint
+        # must not leak into a following streaming run in-process.
+        reset_volume_hint()
         if epochs is None:
             epochs = discover_epochs(epochs_root)
         committed = set(self.sink.committed_epochs())

@@ -85,14 +85,60 @@ def _stable_hash_cols(t: pa.Table, keys: list[str]) -> np.ndarray:
     return h
 
 
+# ------------------------------------------------------- volume hint
+# Parquet bytes of the current pipeline's inputs, set by the query
+# read helpers right before dataset creation. Shuffle width (bucket
+# count, hash-aggregate partitions) is CPU-proportional by default —
+# right on a loaded cluster — but every hash-shuffle partition carries
+# a fixed aggregator-actor cost per exchange (~seconds of spawn +
+# readiness, measured: a 5,000-row aggregate spent 5.2 s in a 32-wide
+# exchange whose compute was <100 ms), so a KB-scale input paying a
+# 32-wide exchange is pure overhead. The hint clamps width to the
+# DATA: ~32 MiB of estimated in-memory Arrow per partition (parquet
+# bytes × _MEM_FACTOR expansion), floor 4, and NEVER above the
+# CPU-proportional width — at sfxxl/cluster volume the clamp is a
+# no-op and the physical plan is unchanged.
+_VOLUME_HINT_BYTES: int | None = None
+_MEM_FACTOR = 5  # conservative parquet -> in-memory Arrow expansion
+_TARGET_PARTITION_MEM = 32 << 20
+_BASE_HASH_PARALLELISM = 32  # the import-time default (see __init__)
+
+
+def reset_volume_hint() -> None:
+    """Forget the input-volume hint (each driver-contract query starts
+    fresh; the streaming engine always runs un-hinted)."""
+    global _VOLUME_HINT_BYTES
+    _VOLUME_HINT_BYTES = None
+    _ensure_hash_shuffle()
+
+
+def set_volume_hint(n_bytes: int) -> None:
+    """Record input volume (accumulating max: a query reading two
+    tables sizes its exchanges to the bigger one) and re-apply the
+    session's hash-shuffle sizing. Call BEFORE dataset creation — the
+    DataContext is snapshotted into each dataset when it is built."""
+    global _VOLUME_HINT_BYTES
+    if _VOLUME_HINT_BYTES is None or n_bytes > _VOLUME_HINT_BYTES:
+        _VOLUME_HINT_BYTES = int(n_bytes)
+    _ensure_hash_shuffle()
+
+
+def _data_clamped(width: int) -> int:
+    if _VOLUME_HINT_BYTES is None:
+        return width
+    est = -(-_VOLUME_HINT_BYTES * _MEM_FACTOR // _TARGET_PARTITION_MEM)
+    return min(width, max(4, int(est)))
+
+
 def default_num_buckets(parallelism_hint: int | None = None) -> int:
     if parallelism_hint is None:
         try:
             parallelism_hint = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             parallelism_hint = 8
-    # 2× CPUs gives stragglers room without making buckets tiny.
-    return max(8, 2 * parallelism_hint)
+    # 2× CPUs gives stragglers room without making buckets tiny; the
+    # volume hint (when a read helper set one) caps tiny inputs.
+    return _data_clamped(max(8, 2 * parallelism_hint))
 
 
 def add_bucket(
@@ -200,3 +246,7 @@ def _ensure_hash_shuffle() -> None:
     ov = 0.05 if cpus >= 16 else (0.02 if cpus >= 4 else 0.005)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = ov
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = ov
+    # groupby().aggregate() width: the import-time default, clamped to
+    # the input volume when a read helper hinted one (no hint → 32,
+    # identical to the pre-hint behavior at every scale point).
+    ctx.default_hash_shuffle_parallelism = _data_clamped(_BASE_HASH_PARALLELISM)

@@ -379,3 +379,77 @@ def test_wav_payloads_fixture_golden_matches_engine(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(want) and len(got) > 0
+
+
+# ---------------------------------------------------------- volume hint
+def test_volume_hint_clamps_and_resets(ray_session):
+    """Shuffle width is clamped to the input volume when hinted (a
+    KB-scale input stops paying cluster-width fixed exchange costs)
+    and restored exactly on reset; at cluster volume the clamp is a
+    no-op, so physical plans at scale are unchanged."""
+    from ray.data import DataContext
+
+    from data_harvesting_ray.stages.partition import (
+        _BASE_HASH_PARALLELISM,
+        default_num_buckets,
+        reset_volume_hint,
+        set_volume_hint,
+    )
+
+    reset_volume_hint()
+    base_buckets = default_num_buckets()
+    ctx = DataContext.get_current()
+    assert ctx.default_hash_shuffle_parallelism == _BASE_HASH_PARALLELISM
+
+    try:
+        set_volume_hint(64 << 10)  # 64 KiB parquet -> floor width
+        assert default_num_buckets() == 4
+        assert ctx.default_hash_shuffle_parallelism == 4
+
+        set_volume_hint(16 << 10)  # smaller hint: max accumulates
+        assert default_num_buckets() == 4
+
+        set_volume_hint(1 << 40)  # 1 TiB: clamp is a no-op
+        assert default_num_buckets() == base_buckets
+        assert ctx.default_hash_shuffle_parallelism == _BASE_HASH_PARALLELISM
+    finally:
+        reset_volume_hint()
+    assert default_num_buckets() == base_buckets
+    assert ctx.default_hash_shuffle_parallelism == _BASE_HASH_PARALLELISM
+
+
+def test_volume_hint_query_results_unchanged(ray_session):
+    """A hinted (narrow) and un-hinted (wide) run of the same keyed
+    aggregate produce identical results — the clamp changes physical
+    width only."""
+    import pandas as pd
+    import ray.data as rd
+
+    from data_harvesting_ray.stages.aggregates import turn_stats
+    from data_harvesting_ray.stages.partition import (
+        reset_volume_hint,
+        set_volume_hint,
+    )
+
+    from data_harvesting_ray.fixtures.generator import ensure_fixture, transcripts_path
+
+    sf = ensure_fixture("sf0.001")
+    path = transcripts_path("sf0.001")
+
+    def run() -> pd.DataFrame:
+        ds = rd.read_parquet(path)
+        return (
+            turn_stats(ds)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+
+    reset_volume_hint()
+    wide = run()
+    try:
+        set_volume_hint(1)  # floor width everywhere
+        narrow = run()
+    finally:
+        reset_volume_hint()
+    pd.testing.assert_frame_equal(wide, narrow)
