@@ -840,6 +840,155 @@ def encode_png(img: np.ndarray, filters: np.ndarray | None = None) -> bytes:
     )
 
 
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Textbook GIF-variant LZW ENCODER for fixtures/tests: variable
+    code width from ``min_code_size + 1`` bits, LSB-first packing,
+    leading CLEAR, trailing EOI, CLEAR emitted + table reset when the
+    12-bit code space fills. Mirrors the decoder's growth rule (width
+    bumps when the next assignable code would not fit)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out: list[tuple[int, int]] = [(clear, code_size)]  # (code, width at emit)
+    w = b""
+    for k in indices.reshape(-1).astype(np.uint8).tolist():
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        out.append((table[w], code_size))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # grow one step LATER than the textbook encoder: the
+            # decoder's table lags one entry behind at read time, so
+            # width must bump only once the just-added code itself
+            # no longer fits (verified against real-world GIFs)
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:  # table full: emit CLEAR at the current width, reset
+            out.append((clear, code_size))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([k])
+    if w:
+        out.append((table[w], code_size))
+    out.append((eoi, code_size))
+    big = 0
+    pos = 0
+    for code, width in out:
+        big |= code << pos
+        pos += width
+    return big.to_bytes((pos + 7) // 8, "little")
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, extra_frames: int = 0
+) -> bytes:
+    """Minimal standards-conforming GIF89a ENCODER (pure Python +
+    numpy) for fixtures and tests: (h, w) uint8 palette indices + an
+    (n, 3) uint8 color table in, GIF bytes out (global color table,
+    one graphic-control extension so decoders must skip 0x21 blocks,
+    real LZW body split into ≤255-byte sub-blocks). ``extra_frames``
+    appends shifted copies of the frame so animated poster-frame
+    semantics are testable — lossless for frame 0, so golden features
+    computed from ``palette[indices]`` equal what a decoder recovers."""
+    import struct
+
+    h, w = indices.shape
+    n = palette.shape[0]
+    bits = max(2, int(n - 1).bit_length())  # GIF min code size >= 2
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[:n] = palette
+    packed = 0x80 | (bits - 1)  # GCT present, 2**bits entries
+    head = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, packed, 0, 0)
+        + pal.tobytes()
+    )
+    body = bytearray()
+    for f in range(1 + extra_frames):
+        # graphic-control extension before every frame (block 0x21)
+        body += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        body += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        frame = np.roll(indices, f, axis=1) if f else indices
+        lzw = _lzw_encode_gif(frame, bits)
+        body += bytes([bits])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            body += bytes([len(chunk)]) + chunk
+        body += b"\x00"
+    return head + bytes(body) + b"\x3b"
+
+
+def gif_payloads_path(sf_dir_or_name: str, seed: int = 59) -> str:
+    """(doc_id, payload: GIF89a, feat_checksum: golden) side table —
+    one deterministic palette image per document (palette sizes cycle
+    4/16/64/256; every third doc is a 2-frame animated GIF so the
+    poster-frame path is exercised on real data). The golden checksum
+    is computed HERE from the raw palette[indices] pixels with the
+    8-feature arithmetic spelled out inline (independent of the
+    engine's decoder), making the GIF LZW decode path hash-gateable —
+    the third sibling of ``png_payloads_path``/``wav_payloads_path``."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    out = os.path.join(out_dir, "gif_payloads.parquet")
+    if os.path.exists(out):
+        return out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"), columns=["doc_id"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    payloads: list[bytes] = []
+    checks = np.zeros(len(ids), dtype=np.int64)
+    pal_sizes = (4, 16, 64, 256)
+    for i, doc_id in enumerate(ids):
+        rng = np.random.default_rng(seed + int(doc_id))
+        w = 8 + int(doc_id) % 9
+        h = 8 + (int(doc_id) // 9) % 9
+        npal = pal_sizes[int(doc_id) % 4]
+        palette = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        indices = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+        payloads.append(
+            encode_gif(indices, palette, extra_frames=1 if doc_id % 3 == 0 else 0)
+        )
+        # golden 8-feature bytes from frame-0 pixels, spelled inline
+        px = palette[indices].astype(np.int64)
+        gray = px.mean(axis=2, dtype=np.float64)
+        feats = [
+            int(px[:, :, 0].sum() // (h * w)) & 0xFF,
+            int(px[:, :, 1].sum() // (h * w)) & 0xFF,
+            int(px[:, :, 2].sum() // (h * w)) & 0xFF,
+            int(gray[: h // 2].sum() // gray[: h // 2].size) & 0xFF,
+            int(gray[h - h // 2 :].sum() // gray[h - h // 2 :].size) & 0xFF,
+            w % 256,
+            h % 256,
+            255,
+        ]
+        checks[i] = sum(feats)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "feat_checksum": pa.array(checks),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=131_072)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        os.unlink(tmp)
+    return out
+
+
 def encode_wav(samples: np.ndarray, framerate: int, n_channels: int = 1) -> bytes:
     """Minimal PCM WAV encoder via stdlib ``wave`` for fixtures/tests:
     int16 samples (interleaved when ``n_channels > 1``) in, RIFF/WAVE

@@ -1921,6 +1921,29 @@ def q_m_features_png(sf_dir: str) -> Any:
     return extract_features_real(binary).select_columns(["doc_id", "feat_checksum"])
 
 
+def q_m_features_gif(sf_dir: str) -> Any:
+    """REAL GIF decode through the actor pool: the planted side table
+    holds one GIF89a palette image per document (palette sizes cycle
+    4/16/64/256, every third doc a 2-frame animated GIF exercising
+    poster-frame semantics and extension-block skipping) plus a GOLDEN
+    checksum computed from the raw palette[indices] pixels at
+    fixture-generation time — verifies the pure-Python LZW decode +
+    palette mapping + feature path end-to-end (the third no-codec
+    sibling of m_features_png / m_features_wav; the reference decodes
+    real compressed media in its core loop,
+    services/harvest_service.py:149-158)."""
+    import data_harvesting_ray
+
+    from ..fixtures.generator import gif_payloads_path
+    from ..stages.multimodal import extract_features_real
+
+    data_harvesting_ray.configure_session()
+    binary = _rp(
+        gif_payloads_path(sf_dir), columns=["doc_id", "payload"]
+    )
+    return extract_features_real(binary).select_columns(["doc_id", "feat_checksum"])
+
+
 def q_m_features_wav(sf_dir: str) -> Any:
     """REAL PCM-WAV audio decode through the actor pool: planted side
     table holds one 16-bit clip per document (mono/stereo, varied
@@ -2398,6 +2421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_binary_meta": q_m_binary_meta,
         "m_features": q_m_features,
         "m_features_png": q_m_features_png,
+        "m_features_gif": q_m_features_gif,
         "m_features_wav": q_m_features_wav,
         "m_frame_sample": q_m_frame_sample,
         "m_resize": q_m_resize,
@@ -2450,9 +2474,14 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     from ..fixtures.generator import semdedup_cents_path
 
     sd_cents = semdedup_cents_path(sf_name)  # SemDeDup cell centroids
-    from ..fixtures.generator import png_payloads_path, wav_payloads_path
+    from ..fixtures.generator import (
+        gif_payloads_path,
+        png_payloads_path,
+        wav_payloads_path,
+    )
 
     png_side = png_payloads_path(sf_name)  # PNG payloads + golden checksums
+    gif_side = gif_payloads_path(sf_name)  # GIF payloads + golden checksums
     ml_docs = multiline_docs_path(sf_name)  # planted multi-line documents
     wav_side = wav_payloads_path(sf_name)  # WAV payloads + golden checksums
     RAW = f"read_parquet('{p}')"
@@ -3357,6 +3386,13 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         "m_features_png": f"""
             SELECT doc_id, feat_checksum
             FROM read_parquet('{png_side}')
+        """,
+        # same golden-recompute pattern for the GIF LZW decode: the
+        # checksum was computed from the raw palette[indices] pixels
+        # at fixture-generation time
+        "m_features_gif": f"""
+            SELECT doc_id, feat_checksum
+            FROM read_parquet('{gif_side}')
         """,
         # same golden-recompute pattern for the PCM WAV audio decode:
         # the checksum was computed from the raw pre-encoding samples

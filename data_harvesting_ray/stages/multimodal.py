@@ -98,12 +98,16 @@ class FeatureExtractor:
         binary PPM (P6 — 'P6\\n<w> <h>\\n<maxval>\\n' + raw RGB),
         parsed with numpy alone; PNG (8-bit gray/RGB/RGBA,
         non-interlaced), inflated with stdlib ``zlib`` and unfiltered
-        in numpy (``_decode_png``); and PCM WAV audio via stdlib
-        ``wave`` (``_decode_wav``). Other compressed formats
-        (JPEG/MP3/video) still raise: their codecs are not in this
-        container, and faking them would be dishonest."""
+        in numpy (``_decode_png``); GIF87a/89a (palette + LZW decoded
+        in pure Python, ``_decode_gif`` — poster frame of animated
+        GIFs); and PCM WAV audio via stdlib ``wave`` (``_decode_wav``).
+        Other compressed formats (JPEG/MP3/video) still raise: their
+        codecs are not in this container, and faking them would be
+        dishonest."""
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return self._decode_wav(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return self._features_from_rgb(self._decode_gif(payload), 255)
         if payload[:2] == b"P6":
             # minimal whitespace-token header (no comment support —
             # the engine's own packer never emits comments). Parsed
@@ -131,9 +135,9 @@ class FeatureExtractor:
             img = self._decode_png(payload)
             return self._features_from_rgb(img, 255)
         raise NotImplementedError(
-            "only binary PPM (P6), 8-bit non-interlaced PNG and PCM WAV "
-            "decode without codecs; plug a real decoder here (cv2 / PIL "
-            "/ torchaudio) for other compressed media"
+            "only binary PPM (P6), 8-bit non-interlaced PNG, GIF87a/89a "
+            "and PCM WAV decode without codecs; plug a real decoder here "
+            "(cv2 / PIL / torchaudio) for other compressed media"
         )
 
     @staticmethod
@@ -271,6 +275,128 @@ class FeatureExtractor:
         if ctype == 6:
             return px[:, :, :3]
         return px
+
+    @staticmethod
+    def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+        """GIF-variant LZW decode (GIF89a spec appendix F): variable
+        code width starting at ``min_code_size + 1`` bits, LSB-first
+        bit packing, CLEAR resets the table, EOI terminates, code
+        width grows when the next code to be assigned would not fit
+        (capped at 12 bits). Pure Python over an int bit-buffer —
+        fixture payloads are tiny; a production deployment plugs a
+        codec into the same actor slot."""
+        if not (2 <= min_code_size <= 8):
+            raise NotImplementedError(f"GIF LZW min code size {min_code_size}")
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        big = int.from_bytes(data, "little")
+        nbits = len(data) * 8
+        pos = 0
+        roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+        table: list[bytes] = list(roots)
+        code_size = min_code_size + 1
+        prev: bytes | None = None
+        out = bytearray()
+        while pos + code_size <= nbits:
+            code = (big >> pos) & ((1 << code_size) - 1)
+            pos += code_size
+            if code == clear:
+                table = list(roots)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if code < len(table):
+                # clear/eoi handled above; their table slots are the
+                # unreachable b"" placeholders
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise NotImplementedError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None and len(table) < 4096:  # 12-bit cap
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+        return bytes(out)
+
+    @staticmethod
+    def _decode_gif(payload: bytes) -> np.ndarray:
+        """Public-knowledge GIF decode (GIF89a specification) in pure
+        Python + numpy: logical-screen descriptor, global/local color
+        table, extension blocks skipped, first image descriptor's LZW
+        index stream decoded (``_lzw_decode``) and mapped through the
+        palette to an (h, w, 3) int64 RGB image. Animated GIFs yield
+        their POSTER FRAME (first image block); interlaced frames
+        raise. The reference decodes real compressed media in its
+        core loop (services/harvest_service.py:149-158); this is the
+        third no-codec-needed format after PNG and WAV."""
+        import struct
+
+        n = len(payload)
+        if n < 13:
+            raise NotImplementedError("truncated GIF")
+        _w, _h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+        pos = 13
+        gct: np.ndarray | None = None
+        if packed & 0x80:
+            sz = 2 << (packed & 0x07)
+            gct = np.frombuffer(payload[pos : pos + 3 * sz], dtype=np.uint8)
+            if gct.size != 3 * sz:
+                raise NotImplementedError("truncated GIF color table")
+            gct = gct.reshape(sz, 3)
+            pos += 3 * sz
+        while pos < n:
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while pos < n and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+            if pos + 9 > n:
+                raise NotImplementedError("truncated GIF image descriptor")
+            _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+            pos += 9
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            pal = gct
+            if ipacked & 0x80:  # local color table wins
+                sz = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * sz], dtype=np.uint8
+                ).reshape(sz, 3)
+                pos += 3 * sz
+            if pal is None:
+                raise NotImplementedError("GIF image without a color table")
+            if iw <= 0 or ih <= 0:
+                raise NotImplementedError("degenerate GIF frame size")
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < n and payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(
+                FeatureExtractor._lzw_decode(b"".join(chunks), int(min_code_size)),
+                dtype=np.uint8,
+            )
+            if idx.size < iw * ih:
+                raise NotImplementedError("GIF index stream shorter than frame")
+            idx = idx[: iw * ih]
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                raise NotImplementedError("GIF index outside color table")
+            return pal[idx].reshape(ih, iw, 3).astype(np.int64)
+        raise NotImplementedError("GIF contains no image block")
 
     def _decode_stub(self, payload: bytes) -> np.ndarray:
         # Deterministic fake feature bytes: md5 digest prefix (md5 so

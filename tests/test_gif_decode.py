@@ -1,0 +1,162 @@
+"""GIF decode (pure-Python LZW + palette mapping): roundtrips through
+the in-repo GIF89a encoder, the 12-bit growth / table-full reset path,
+animated poster-frame semantics, local color tables, honest raises for
+interlace/truncation, and the end-to-end golden gate — the third
+no-codec decode format after PNG and WAV (round 5)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_harvesting_ray.fixtures.generator import _lzw_encode_gif, encode_gif
+from data_harvesting_ray.stages.multimodal import FeatureExtractor
+
+
+def _pal(seed: int, n: int) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, 256, size=(n, 3), dtype=np.uint8)
+
+
+def _idx(seed: int, h: int, w: int, n: int) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, n, size=(h, w), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("npal", [2, 4, 16, 64, 256])
+def test_gif_roundtrip_palette_sizes(npal):
+    pal, idx = _pal(npal, npal), _idx(npal + 1, 13, 9, npal)
+    out = FeatureExtractor._decode_gif(encode_gif(idx, pal))
+    assert out.shape == (13, 9, 3)
+    assert (out == pal[idx].astype(np.int64)).all()
+
+
+def test_gif_lzw_12bit_growth_and_table_full_reset():
+    """A 90x90 random 256-color frame grows the code width to 12 bits
+    and fills the 4096-entry table, forcing the encoder's mid-stream
+    CLEAR reset — the decoder must resynchronize exactly."""
+    pal, idx = _pal(7, 256), _idx(8, 90, 90, 256)
+    data = _lzw_encode_gif(idx, 8)
+    decoded = np.frombuffer(
+        FeatureExtractor._lzw_decode(data, 8), dtype=np.uint8
+    )
+    assert (decoded[: idx.size] == idx.reshape(-1)).all()
+    out = FeatureExtractor._decode_gif(encode_gif(idx, pal))
+    assert (out == pal[idx].astype(np.int64)).all()
+
+
+def test_gif_repetitive_runs():
+    pal = _pal(9, 8)
+    idx = np.zeros((64, 64), dtype=np.uint8)
+    idx[::7, ::3] = 3
+    out = FeatureExtractor._decode_gif(encode_gif(idx, pal))
+    assert (out == pal[idx].astype(np.int64)).all()
+
+
+def test_gif_animated_poster_frame_and_extension_skip():
+    """Multi-frame GIFs decode to frame 0 (poster-frame semantics);
+    every frame carries a graphic-control extension block the parser
+    must skip."""
+    pal, idx = _pal(11, 64), _idx(12, 10, 17, 64)
+    payload = encode_gif(idx, pal, extra_frames=3)
+    assert payload.count(b"\x21\xf9") == 4  # one GCE per frame
+    out = FeatureExtractor._decode_gif(payload)
+    assert (out == pal[idx].astype(np.int64)).all()
+
+
+def test_gif_local_color_table_wins():
+    """A frame with a local color table must be mapped through it,
+    not the (deliberately wrong) global table."""
+    pal, idx = _pal(13, 4), _idx(14, 5, 6, 4)
+    base = encode_gif(idx, pal)
+    # rewrite: blank the GCT in place, attach the true palette as an LCT
+    gct_len = 3 * 4
+    head, rest = base[:13], base[13 + gct_len :]
+    img_at = rest.index(b"\x2c")
+    desc = bytearray(rest[img_at : img_at + 10])
+    desc[9] |= 0x80 | 0x01  # LCT present, 4 entries
+    pal4 = np.zeros((4, 3), dtype=np.uint8)
+    pal4[:] = pal
+    payload = (
+        head
+        + b"\x00" * gct_len
+        + rest[:img_at]
+        + bytes(desc)
+        + pal4.tobytes()
+        + rest[img_at + 10 :]
+    )
+    out = FeatureExtractor._decode_gif(payload)
+    assert (out == pal[idx].astype(np.int64)).all()
+
+
+def test_gif_unsupported_and_malformed_raise():
+    pal, idx = _pal(15, 4), _idx(16, 4, 4, 4)
+    base = encode_gif(idx, pal)
+    # interlaced flag on the image descriptor
+    img_at = base.index(b"\x2c")
+    inter = bytearray(base)
+    inter[img_at + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        FeatureExtractor._decode_gif(bytes(inter))
+    with pytest.raises(NotImplementedError):  # truncated header
+        FeatureExtractor._decode_gif(b"GIF89a\x04\x00")
+    with pytest.raises(NotImplementedError):  # trailer only, no image
+        FeatureExtractor._decode_gif(
+            b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x3b"
+        )
+    with pytest.raises(NotImplementedError):  # no color table anywhere
+        no_gct = (
+            b"GIF89a"
+            + struct.pack("<HHBBB", 4, 4, 0, 0, 0)
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+            + b"\x02\x01\x44\x00\x3b"
+        )
+        FeatureExtractor._decode_gif(no_gct)
+
+
+def test_decode_real_dispatches_gif():
+    pal, idx = _pal(17, 16), _idx(18, 9, 12, 16)
+    fx = FeatureExtractor(use_real_decoder=True)
+    feats = fx._decode_real(encode_gif(idx, pal))
+    px = pal[idx].astype(np.int64)
+    gray = px.mean(axis=2, dtype=np.float64)
+    h, w = 9, 12
+    expect = [
+        px[:, :, 0].sum() // (h * w),
+        px[:, :, 1].sum() // (h * w),
+        px[:, :, 2].sum() // (h * w),
+        int(gray[: h // 2].sum() // gray[: h // 2].size),
+        int(gray[h - h // 2 :].sum() // gray[h - h // 2 :].size),
+        w % 256,
+        h % 256,
+        255,
+    ]
+    assert list(feats.astype(int)) == [e & 0xFF for e in expect]
+
+
+def test_gif_payloads_fixture_golden_matches_engine(ray_session):
+    """End-to-end: the planted-GIF side table's golden checksums equal
+    the actor-pool real-decode output (the m_features_gif gate)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_harvesting_ray.fixtures.generator import gif_payloads_path
+    from data_harvesting_ray.stages.multimodal import extract_features_real
+
+    side = gif_payloads_path("sf0.001")
+    golden = (
+        pq.read_table(side, columns=["doc_id", "feat_checksum"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        extract_features_real(rd.read_parquet(side, columns=["doc_id", "payload"]))
+        .select_columns(["doc_id", "feat_checksum"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, golden)
