@@ -330,8 +330,9 @@ class FeatureExtractor:
         table, extension blocks skipped, first image descriptor's LZW
         index stream decoded (``_lzw_decode``) and mapped through the
         palette to an (h, w, 3) int64 RGB image. Animated GIFs yield
-        their POSTER FRAME (first image block); interlaced frames
-        raise. The reference decodes real compressed media in its
+        their POSTER FRAME (first image block); interlaced frames are
+        de-interlaced (four-pass row scatter).
+        The reference decodes real compressed media in its
         core loop (services/harvest_service.py:149-158); this is the
         third no-codec-needed format after PNG and WAV."""
         import struct
@@ -366,8 +367,7 @@ class FeatureExtractor:
                 raise NotImplementedError("truncated GIF image descriptor")
             _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
             pos += 9
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
+            interlaced = bool(ipacked & 0x40)
             pal = gct
             if ipacked & 0x80:  # local color table wins
                 sz = 2 << (ipacked & 0x07)
@@ -395,7 +395,23 @@ class FeatureExtractor:
             idx = idx[: iw * ih]
             if int(idx.max(initial=0)) >= pal.shape[0]:
                 raise NotImplementedError("GIF index outside color table")
-            return pal[idx].reshape(ih, iw, 3).astype(np.int64)
+            rows = pal[idx].reshape(ih, iw, 3).astype(np.int64)
+            if interlaced:
+                # Adam-style GIF interlace: rows arrive in four passes
+                # (every 8th from 0, every 8th from 4, every 4th from
+                # 2, every 2nd from 1) — undo by scatter
+                order = np.concatenate(
+                    [
+                        np.arange(0, ih, 8),
+                        np.arange(4, ih, 8),
+                        np.arange(2, ih, 4),
+                        np.arange(1, ih, 2),
+                    ]
+                )
+                out = np.empty_like(rows)
+                out[order] = rows
+                return out
+            return rows
         raise NotImplementedError("GIF contains no image block")
 
     def _decode_stub(self, payload: bytes) -> np.ndarray:

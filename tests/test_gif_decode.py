@@ -73,7 +73,8 @@ def test_gif_local_color_table_wins():
     # rewrite: blank the GCT in place, attach the true palette as an LCT
     gct_len = 3 * 4
     head, rest = base[:13], base[13 + gct_len :]
-    img_at = rest.index(b"\x2c")
+    img_at = 8  # the fixed 8-byte GCE precedes the descriptor
+    assert rest[img_at] == 0x2C
     desc = bytearray(rest[img_at : img_at + 10])
     desc[9] |= 0x80 | 0x01  # LCT present, 4 entries
     pal4 = np.zeros((4, 3), dtype=np.uint8)
@@ -90,15 +91,29 @@ def test_gif_local_color_table_wins():
     assert (out == pal[idx].astype(np.int64)).all()
 
 
-def test_gif_unsupported_and_malformed_raise():
-    pal, idx = _pal(15, 4), _idx(16, 4, 4, 4)
-    base = encode_gif(idx, pal)
-    # interlaced flag on the image descriptor
-    img_at = base.index(b"\x2c")
+def test_gif_interlaced_roundtrip():
+    """An interlaced frame (rows stored in the four-pass order) must
+    de-interlace back to the original raster."""
+    pal, idx = _pal(19, 16), _idx(20, 23, 7, 16)
+    ih = idx.shape[0]
+    order = np.concatenate(
+        [
+            np.arange(0, ih, 8),
+            np.arange(4, ih, 8),
+            np.arange(2, ih, 4),
+            np.arange(1, ih, 2),
+        ]
+    )
+    base = encode_gif(idx[order], pal)  # store rows in interlace order
+    img_at = 13 + 3 * 16 + 8  # header + padded GCT + GCE, then 0x2C
+    assert base[img_at] == 0x2C
     inter = bytearray(base)
-    inter[img_at + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        FeatureExtractor._decode_gif(bytes(inter))
+    inter[img_at + 9] |= 0x40  # flag the frame interlaced
+    out = FeatureExtractor._decode_gif(bytes(inter))
+    assert (out == pal[idx].astype(np.int64)).all()
+
+
+def test_gif_malformed_raise():
     with pytest.raises(NotImplementedError):  # truncated header
         FeatureExtractor._decode_gif(b"GIF89a\x04\x00")
     with pytest.raises(NotImplementedError):  # trailer only, no image
