@@ -893,9 +893,12 @@ def encode_gif(
     (n, 3) uint8 color table in, GIF bytes out (global color table,
     one graphic-control extension so decoders must skip 0x21 blocks,
     real LZW body split into ≤255-byte sub-blocks). ``extra_frames``
-    appends shifted copies of the frame so animated poster-frame
-    semantics are testable — lossless for frame 0, so golden features
-    computed from ``palette[indices]`` equal what a decoder recovers."""
+    appends VALUE-SHIFTED copies of the frame (frame f's index grid is
+    ``(indices + f) % n`` — every pixel changes, so per-frame feature
+    witnesses differ) making animated poster-frame AND stride-sampling
+    semantics testable — lossless for every frame, so golden features
+    computed from ``palette[(indices + f) % n]`` equal what a decoder
+    recovers."""
     import struct
 
     h, w = indices.shape
@@ -914,7 +917,7 @@ def encode_gif(
         # graphic-control extension before every frame (block 0x21)
         body += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
         body += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-        frame = np.roll(indices, f, axis=1) if f else indices
+        frame = ((indices.astype(np.int64) + f) % n).astype(np.uint8) if f else indices
         lzw = _lzw_encode_gif(frame, bits)
         body += bytes([bits])
         for i in range(0, len(lzw), 255):
@@ -987,6 +990,93 @@ def gif_payloads_path(sf_dir_or_name: str, seed: int = 59) -> str:
     except OSError:
         os.unlink(tmp)
     return out
+
+
+def gif_anim_paths(sf_dir_or_name: str, seed: int = 61) -> tuple[str, str]:
+    """Two side tables for the REAL-decode frame-sampling gate:
+    payloads = (doc_id, payload: animated GIF89a, n_frames) — 1 +
+    doc_id%5 value-shifted frames per document; golden = (doc_id,
+    frame_idx, frame_checksum) for every STRIDE-2 sampled frame, the
+    checksum computed HERE from the raw ``palette[(indices+f) % n]``
+    pixels with the 8-feature arithmetic spelled out inline
+    (independent of the engine's decoder) — so the m_gif_frame_sample
+    gate verifies LZW decode of EVERY sampled frame, not just the
+    poster."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    pay_out = os.path.join(out_dir, "gif_anim_payloads.parquet")
+    gold_out = os.path.join(out_dir, "gif_anim_golden.parquet")
+    if os.path.exists(pay_out) and os.path.exists(gold_out):
+        return pay_out, gold_out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"), columns=["doc_id"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    payloads: list[bytes] = []
+    nframes_col = np.zeros(len(ids), dtype=np.int64)
+    g_doc, g_idx, g_chk = [], [], []
+    pal_sizes = (4, 16, 64, 256)
+    for i, doc_id in enumerate(ids):
+        rng = np.random.default_rng(seed + int(doc_id))
+        w = 6 + int(doc_id) % 7
+        h = 6 + (int(doc_id) // 7) % 7
+        npal = pal_sizes[int(doc_id) % 4]
+        palette = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        indices = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+        nf = 1 + int(doc_id) % 5
+        payloads.append(encode_gif(indices, palette, extra_frames=nf - 1))
+        nframes_col[i] = nf
+        for f in range(0, nf, 2):  # stride-2 sampled frames
+            px = palette[
+                ((indices.astype(np.int64) + f) % npal).astype(np.uint8)
+            ].astype(np.int64)
+            gray = px.mean(axis=2, dtype=np.float64)
+            feats = [
+                int(px[:, :, 0].sum() // (h * w)) & 0xFF,
+                int(px[:, :, 1].sum() // (h * w)) & 0xFF,
+                int(px[:, :, 2].sum() // (h * w)) & 0xFF,
+                int(gray[: h // 2].sum() // gray[: h // 2].size) & 0xFF,
+                int(gray[h - h // 2 :].sum() // gray[h - h // 2 :].size) & 0xFF,
+                w % 256,
+                h % 256,
+                255,
+            ]
+            g_doc.append(int(doc_id))
+            g_idx.append(f)
+            g_chk.append(sum(feats))
+    os.makedirs(out_dir, exist_ok=True)
+    for path, table in (
+        (
+            pay_out,
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "payload": pa.array(payloads, pa.binary()),
+                    "n_frames": pa.array(nframes_col),
+                }
+            ),
+        ),
+        (
+            gold_out,
+            pa.table(
+                {
+                    "doc_id": pa.array(g_doc, pa.int64()),
+                    "frame_idx": pa.array(g_idx, pa.int64()),
+                    "frame_checksum": pa.array(g_chk, pa.int64()),
+                }
+            ),
+        ),
+    ):
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp, row_group_size=131_072)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            os.unlink(tmp)
+    return pay_out, gold_out
 
 
 def encode_wav(samples: np.ndarray, framerate: int, n_channels: int = 1) -> bytes:

@@ -1944,6 +1944,26 @@ def q_m_features_gif(sf_dir: str) -> Any:
     return extract_features_real(binary).select_columns(["doc_id", "feat_checksum"])
 
 
+def q_m_gif_frame_sample(sf_dir: str) -> Any:
+    """REAL frame sampling over decoded media: every stride-2 frame of
+    each planted animated GIF (1 + doc_id%5 value-shifted frames) is
+    LZW-decoded in the actor pool and witnessed by its feature
+    checksum — the reference's CLASSIFICATION_FPS stride gate (M1,
+    services/harvest_service.py:156-157) over actual frames. The
+    golden side table's checksums were computed from the raw
+    pre-encoding pixels of every sampled frame, so the gate verifies
+    multi-frame decode, not just the poster frame."""
+    import data_harvesting_ray
+
+    from ..fixtures.generator import gif_anim_paths
+    from ..stages.multimodal import sample_gif_frames
+
+    data_harvesting_ray.configure_session()
+    pay, _ = gif_anim_paths(sf_dir)
+    binary = _rp(pay, columns=["doc_id", "payload"])
+    return sample_gif_frames(binary, stride=2)
+
+
 def q_m_features_wav(sf_dir: str) -> Any:
     """REAL PCM-WAV audio decode through the actor pool: planted side
     table holds one 16-bit clip per document (mono/stereo, varied
@@ -2422,6 +2442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_features": q_m_features,
         "m_features_png": q_m_features_png,
         "m_features_gif": q_m_features_gif,
+        "m_gif_frame_sample": q_m_gif_frame_sample,
         "m_features_wav": q_m_features_wav,
         "m_frame_sample": q_m_frame_sample,
         "m_resize": q_m_resize,
@@ -2482,6 +2503,9 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
 
     png_side = png_payloads_path(sf_name)  # PNG payloads + golden checksums
     gif_side = gif_payloads_path(sf_name)  # GIF payloads + golden checksums
+    from ..fixtures.generator import gif_anim_paths
+
+    _, gif_anim_gold = gif_anim_paths(sf_name)  # per-frame sampling goldens
     ml_docs = multiline_docs_path(sf_name)  # planted multi-line documents
     wav_side = wav_payloads_path(sf_name)  # WAV payloads + golden checksums
     RAW = f"read_parquet('{p}')"
@@ -3393,6 +3417,14 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         "m_features_gif": f"""
             SELECT doc_id, feat_checksum
             FROM read_parquet('{gif_side}')
+        """,
+        # golden-recompute per-frame oracle: one row per stride-2
+        # sampled frame of each animated GIF, checksums computed from
+        # the raw pre-encoding pixels of THAT frame — gates multi-frame
+        # LZW decode, not just the poster frame
+        "m_gif_frame_sample": f"""
+            SELECT doc_id, frame_idx, frame_checksum
+            FROM read_parquet('{gif_anim_gold}')
         """,
         # same golden-recompute pattern for the PCM WAV audio decode:
         # the checksum was computed from the raw pre-encoding samples

@@ -335,6 +335,33 @@ class FeatureExtractor:
         The reference decodes real compressed media in its
         core loop (services/harvest_service.py:149-158); this is the
         third no-codec-needed format after PNG and WAV."""
+        for frame in FeatureExtractor._iter_gif_frames(payload):
+            return frame
+        raise NotImplementedError("GIF contains no image block")
+
+    @staticmethod
+    def gif_frames(payload: bytes, limit: int | None = None) -> list[np.ndarray]:
+        """All frames of a (possibly animated) GIF as (h, w, 3) int64
+        RGB arrays — the real-codec path behind frame sampling (M1,
+        services/harvest_service.py:156-157). ``limit`` bounds decode
+        work for stride gates that only need every k-th frame's
+        predecessors."""
+        out: list[np.ndarray] = []
+        for frame in FeatureExtractor._iter_gif_frames(payload):
+            out.append(frame)
+            if limit is not None and len(out) >= limit:
+                break
+        if not out:
+            raise NotImplementedError("GIF contains no image block")
+        return out
+
+    @staticmethod
+    def _iter_gif_frames(payload: bytes):
+        """Yield each image block of a GIF87a/89a stream as an
+        (h, w, 3) int64 RGB frame (LZW-decoded, palette-mapped,
+        de-interlaced). Frames with a nonzero offset or a size
+        differing from frame 0 would need disposal-method compositing
+        and raise instead."""
         import struct
 
         n = len(payload)
@@ -350,6 +377,7 @@ class FeatureExtractor:
                 raise NotImplementedError("truncated GIF color table")
             gct = gct.reshape(sz, 3)
             pos += 3 * sz
+        size0: tuple[int, int] | None = None
         while pos < n:
             block = payload[pos]
             pos += 1
@@ -365,7 +393,9 @@ class FeatureExtractor:
                 raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
             if pos + 9 > n:
                 raise NotImplementedError("truncated GIF image descriptor")
-            _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+            left, top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
             pos += 9
             interlaced = bool(ipacked & 0x40)
             pal = gct
@@ -379,6 +409,13 @@ class FeatureExtractor:
                 raise NotImplementedError("GIF image without a color table")
             if iw <= 0 or ih <= 0:
                 raise NotImplementedError("degenerate GIF frame size")
+            if size0 is None:
+                size0 = (iw, ih)
+            if left or top or (iw, ih) != size0:
+                raise NotImplementedError(
+                    "partial GIF frame (offset/size change) needs disposal "
+                    "compositing — not supported"
+                )
             min_code_size = payload[pos]
             pos += 1
             chunks = []
@@ -386,6 +423,7 @@ class FeatureExtractor:
                 ln = payload[pos]
                 chunks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
+            pos += 1  # block terminator
             idx = np.frombuffer(
                 FeatureExtractor._lzw_decode(b"".join(chunks), int(min_code_size)),
                 dtype=np.uint8,
@@ -410,9 +448,8 @@ class FeatureExtractor:
                 )
                 out = np.empty_like(rows)
                 out[order] = rows
-                return out
-            return rows
-        raise NotImplementedError("GIF contains no image block")
+                rows = out
+            yield rows
 
     def _decode_stub(self, payload: bytes) -> np.ndarray:
         # Deterministic fake feature bytes: md5 digest prefix (md5 so
@@ -487,6 +524,56 @@ def sample_frames(
     return binary.map_batches(
         FrameSampler,
         fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class GifFrameSampler:
+    """Actor-pool frame sampling over REAL decoded media: every
+    ``stride``-th frame of an animated GIF payload is decoded
+    (pure-Python LZW, no codec) and witnessed by the integer checksum
+    of its 8 feature bytes — the reference's CLASSIFICATION_FPS stride
+    gate (M1, services/harvest_service.py:156-157) applied to actual
+    frames rather than byte-chunk stand-ins. Emits one row per
+    sampled frame: (doc_id, frame_idx, frame_checksum)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        st = self.stride
+        doc_ids, idxs, checks = [], [], []
+        for doc_id, payload in zip(df["doc_id"], df["payload"]):
+            frames = FeatureExtractor.gif_frames(bytes(payload))
+            for i in range(0, len(frames), st):
+                img = frames[i]
+                feats = FeatureExtractor._features_from_rgb(img, 255)
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                checks.append(int(feats.astype(np.int64).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(doc_ids, dtype=np.int64),
+                "frame_idx": np.array(idxs, dtype=np.int64),
+                "frame_checksum": np.array(checks, dtype=np.int64),
+            }
+        )
+
+
+def sample_gif_frames(
+    docs: ray.data.Dataset,
+    stride: int = 2,
+    batch_size: int = 128,
+    concurrency: int | tuple = (1, 2),
+) -> ray.data.Dataset:
+    """GIF payloads → real-decode sampled frame records (doc_id,
+    frame_idx, frame_checksum). Small batch_size: each row fans out
+    to multiple decoded frames inside the actor."""
+    return docs.map_batches(
+        GifFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

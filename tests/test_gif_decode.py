@@ -151,6 +151,65 @@ def test_decode_real_dispatches_gif():
     assert list(feats.astype(int)) == [e & 0xFF for e in expect]
 
 
+def test_gif_frames_decodes_every_value_shifted_frame():
+    """gif_frames returns all frames; frame f's pixels are the
+    value-shifted grid the encoder wrote, so each frame differs."""
+    pal, idx = _pal(21, 16), _idx(22, 8, 9, 16)
+    frames = FeatureExtractor.gif_frames(encode_gif(idx, pal, extra_frames=4))
+    assert len(frames) == 5
+    for f, img in enumerate(frames):
+        want = pal[((idx.astype(np.int64) + f) % 16).astype(np.uint8)]
+        assert (img == want.astype(np.int64)).all(), f
+    # limit bounds decode work
+    assert len(FeatureExtractor.gif_frames(encode_gif(idx, pal, extra_frames=4), limit=2)) == 2
+
+
+def test_gif_partial_frame_raises():
+    """A second frame with a nonzero offset needs disposal compositing
+    and must raise rather than return garbage."""
+    pal, idx = _pal(23, 4), _idx(24, 6, 6, 4)
+    base = encode_gif(idx, pal, extra_frames=1)
+    img1 = 13 + 3 * 4 + 8  # first descriptor offset
+    assert base[img1] == 0x2C
+    # find the SECOND descriptor: skip frame 1 (desc + lzw sub-blocks)
+    second = base.index(b"\x21\xf9", img1)  # frame 2's GCE
+    img2 = second + 8
+    assert base[img2] == 0x2C
+    mut = bytearray(base)
+    mut[img2 + 1] = 1  # left offset = 1
+    frames_ok = FeatureExtractor.gif_frames(bytes(mut), limit=1)  # poster fine
+    assert len(frames_ok) == 1
+    with pytest.raises(NotImplementedError):
+        FeatureExtractor.gif_frames(bytes(mut))
+
+
+def test_sample_gif_frames_matches_fixture_golden(ray_session):
+    """End-to-end stride-2 sampling over planted animated GIFs equals
+    the per-frame golden side table (the m_gif_frame_sample gate)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_harvesting_ray.fixtures.generator import gif_anim_paths
+    from data_harvesting_ray.stages.multimodal import sample_gif_frames
+
+    pay, gold = gif_anim_paths("sf0.001")
+    golden = (
+        pq.read_table(gold)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    got = (
+        sample_gif_frames(
+            rd.read_parquet(pay, columns=["doc_id", "payload"]), stride=2
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, golden)
+
+
 def test_gif_payloads_fixture_golden_matches_engine(ray_session):
     """End-to-end: the planted-GIF side table's golden checksums equal
     the actor-pool real-decode output (the m_features_gif gate)."""
