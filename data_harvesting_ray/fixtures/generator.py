@@ -1079,6 +1079,83 @@ def gif_anim_paths(sf_dir_or_name: str, seed: int = 61) -> tuple[str, str]:
     return pay_out, gold_out
 
 
+def gif_resize_golden_path(
+    sf_dir_or_name: str,
+    seed: int = 61,
+    out_h: int = 4,
+    out_w: int = 5,
+) -> str:
+    """(doc_id, frame_idx, resized_checksum) golden table for the
+    decode+sample+RESIZE gate: regenerates the same per-document
+    palettes/index grids as ``gif_anim_paths`` (identical seed and rng
+    draw order), nearest-neighbor resizes every stride-2 sampled frame
+    with the integer grid spelled out inline (``y*h // out_h``), and
+    computes the 8-feature checksum from those raw resized pixels —
+    fully independent of the engine's decoder and resize kernel."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    out = os.path.join(out_dir, "gif_resize_golden.parquet")
+    if os.path.exists(out):
+        return out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"), columns=["doc_id"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    g_doc, g_idx, g_chk = [], [], []
+    pal_sizes = (4, 16, 64, 256)
+    for doc_id in ids:
+        rng = np.random.default_rng(seed + int(doc_id))
+        w = 6 + int(doc_id) % 7
+        h = 6 + (int(doc_id) // 7) % 7
+        npal = pal_sizes[int(doc_id) % 4]
+        palette = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        indices = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+        nf = 1 + int(doc_id) % 5
+        ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        for f in range(0, nf, 2):
+            full = palette[
+                ((indices.astype(np.int64) + f) % npal).astype(np.uint8)
+            ].astype(np.int64)
+            px = full[ys][:, xs]
+            gray = px.mean(axis=2, dtype=np.float64)
+            feats = [
+                int(px[:, :, 0].sum() // (out_h * out_w)) & 0xFF,
+                int(px[:, :, 1].sum() // (out_h * out_w)) & 0xFF,
+                int(px[:, :, 2].sum() // (out_h * out_w)) & 0xFF,
+                int(gray[: out_h // 2].sum() // gray[: out_h // 2].size) & 0xFF,
+                int(
+                    gray[out_h - out_h // 2 :].sum()
+                    // gray[out_h - out_h // 2 :].size
+                )
+                & 0xFF,
+                out_w % 256,
+                out_h % 256,
+                255,
+            ]
+            g_doc.append(int(doc_id))
+            g_idx.append(f)
+            g_chk.append(sum(feats))
+    table = pa.table(
+        {
+            "doc_id": pa.array(g_doc, pa.int64()),
+            "frame_idx": pa.array(g_idx, pa.int64()),
+            "resized_checksum": pa.array(g_chk, pa.int64()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=131_072)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        os.unlink(tmp)
+    return out
+
+
 def encode_wav(samples: np.ndarray, framerate: int, n_channels: int = 1) -> bytes:
     """Minimal PCM WAV encoder via stdlib ``wave`` for fixtures/tests:
     int16 samples (interleaved when ``n_channels > 1``) in, RIFF/WAVE

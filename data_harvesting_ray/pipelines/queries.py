@@ -1964,6 +1964,24 @@ def q_m_gif_frame_sample(sf_dir: str) -> Any:
     return sample_gif_frames(binary, stride=2)
 
 
+def q_m_gif_resize(sf_dir: str) -> Any:
+    """Fused REAL decode + stride-sample + nearest-neighbor resize in
+    one actor stage over the planted animated GIFs; the golden side
+    table's checksums were computed from independently regenerated and
+    resized raw pixels (integer NN grid spelled inline), so the gate
+    verifies the whole media pipeline including the resize kernel —
+    the reference's frame-resize step with an actual kernel."""
+    import data_harvesting_ray
+
+    from ..fixtures.generator import gif_anim_paths
+    from ..stages.multimodal import resize_gif_frames
+
+    data_harvesting_ray.configure_session()
+    pay, _ = gif_anim_paths(sf_dir)
+    binary = _rp(pay, columns=["doc_id", "payload"])
+    return resize_gif_frames(binary, stride=2, out_h=4, out_w=5)
+
+
 def q_m_features_wav(sf_dir: str) -> Any:
     """REAL PCM-WAV audio decode through the actor pool: planted side
     table holds one 16-bit clip per document (mono/stereo, varied
@@ -2443,6 +2461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_features_png": q_m_features_png,
         "m_features_gif": q_m_features_gif,
         "m_gif_frame_sample": q_m_gif_frame_sample,
+        "m_gif_resize": q_m_gif_resize,
         "m_features_wav": q_m_features_wav,
         "m_frame_sample": q_m_frame_sample,
         "m_resize": q_m_resize,
@@ -2506,6 +2525,9 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     from ..fixtures.generator import gif_anim_paths
 
     _, gif_anim_gold = gif_anim_paths(sf_name)  # per-frame sampling goldens
+    from ..fixtures.generator import gif_resize_golden_path
+
+    gif_rs_gold = gif_resize_golden_path(sf_name)  # resized-frame goldens
     ml_docs = multiline_docs_path(sf_name)  # planted multi-line documents
     wav_side = wav_payloads_path(sf_name)  # WAV payloads + golden checksums
     RAW = f"read_parquet('{p}')"
@@ -3425,6 +3447,12 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         "m_gif_frame_sample": f"""
             SELECT doc_id, frame_idx, frame_checksum
             FROM read_parquet('{gif_anim_gold}')
+        """,
+        # independently regenerated + resized golden pixels: gates the
+        # decode+sample+resize fused stage including the NN kernel
+        "m_gif_resize": f"""
+            SELECT doc_id, frame_idx, resized_checksum
+            FROM read_parquet('{gif_rs_gold}')
         """,
         # same golden-recompute pattern for the PCM WAV audio decode:
         # the checksum was computed from the raw pre-encoding samples

@@ -562,6 +562,66 @@ class GifFrameSampler:
         )
 
 
+class GifFrameResizer(GifFrameSampler):
+    """Decode → stride-sample → RESIZE fused inside one actor, every
+    stage real: sampled GIF frames are nearest-neighbor resized to
+    (out_h, out_w) in numpy (the integer source grid ``y*h // out_h``,
+    ``x*w // out_w`` — exact, no float resampling) before feature
+    witnessing. This is the reference's frame-resize step
+    (projects/base_project.py crop/resize path) with an actual kernel
+    rather than the byte-crop stand-in of ``FrameResizer``."""
+
+    def __init__(self, stride: int = 2, out_h: int = 4, out_w: int = 5):
+        super().__init__(stride=stride)
+        self.out_h, self.out_w = out_h, out_w
+
+    @staticmethod
+    def _resize_nn(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+        h, w = img.shape[0], img.shape[1]
+        ys = (np.arange(oh, dtype=np.int64) * h) // oh
+        xs = (np.arange(ow, dtype=np.int64) * w) // ow
+        return img[ys][:, xs]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        st, oh, ow = self.stride, self.out_h, self.out_w
+        doc_ids, idxs, checks = [], [], []
+        for doc_id, payload in zip(df["doc_id"], df["payload"]):
+            frames = FeatureExtractor.gif_frames(bytes(payload))
+            for i in range(0, len(frames), st):
+                small = self._resize_nn(frames[i], oh, ow)
+                feats = FeatureExtractor._features_from_rgb(small, 255)
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                checks.append(int(feats.astype(np.int64).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(doc_ids, dtype=np.int64),
+                "frame_idx": np.array(idxs, dtype=np.int64),
+                "resized_checksum": np.array(checks, dtype=np.int64),
+            }
+        )
+
+
+def resize_gif_frames(
+    docs: ray.data.Dataset,
+    stride: int = 2,
+    out_h: int = 4,
+    out_w: int = 5,
+    batch_size: int = 128,
+    concurrency: int | tuple = (1, 2),
+) -> ray.data.Dataset:
+    """GIF payloads → real decode + stride sample + nearest-neighbor
+    resize, one actor stage; rows (doc_id, frame_idx,
+    resized_checksum)."""
+    return docs.map_batches(
+        GifFrameResizer,
+        fn_constructor_kwargs={"stride": stride, "out_h": out_h, "out_w": out_w},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def sample_gif_frames(
     docs: ray.data.Dataset,
     stride: int = 2,

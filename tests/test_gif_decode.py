@@ -210,6 +210,55 @@ def test_sample_gif_frames_matches_fixture_golden(ray_session):
     pd.testing.assert_frame_equal(got, golden)
 
 
+def test_resize_gif_frames_matches_independent_golden(ray_session):
+    """Fused decode+sample+resize equals the INDEPENDENTLY regenerated
+    and resized golden pixels (the m_gif_resize gate) — verifies the
+    nearest-neighbor kernel, not just the decode."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_harvesting_ray.fixtures.generator import (
+        gif_anim_paths,
+        gif_resize_golden_path,
+    )
+    from data_harvesting_ray.stages.multimodal import resize_gif_frames
+
+    pay, _ = gif_anim_paths("sf0.001")
+    golden = (
+        pq.read_table(gif_resize_golden_path("sf0.001"))
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    got = (
+        resize_gif_frames(
+            rd.read_parquet(pay, columns=["doc_id", "payload"]),
+            stride=2,
+            out_h=4,
+            out_w=5,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, golden)
+
+
+def test_resize_nn_kernel_exact():
+    """The NN grid is the exact integer mapping y*h//oh, x*w//ow."""
+    from data_harvesting_ray.stages.multimodal import GifFrameResizer
+
+    img = np.arange(7 * 9 * 3, dtype=np.int64).reshape(7, 9, 3)
+    small = GifFrameResizer._resize_nn(img, 3, 4)
+    ys = (np.arange(3) * 7) // 3
+    xs = (np.arange(4) * 9) // 4
+    assert (small == img[ys][:, xs]).all()
+    # upscale works too (indices repeat)
+    big = GifFrameResizer._resize_nn(img, 14, 18)
+    assert big.shape == (14, 18, 3)
+    assert (big[0, 0] == img[0, 0]).all() and (big[13, 17] == img[6, 8]).all()
+
+
 def test_gif_payloads_fixture_golden_matches_engine(ray_session):
     """End-to-end: the planted-GIF side table's golden checksums equal
     the actor-pool real-decode output (the m_features_gif gate)."""
