@@ -259,6 +259,36 @@ def test_resize_nn_kernel_exact():
     assert (big[0, 0] == img[0, 0]).all() and (big[13, 17] == img[6, 8]).all()
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.data(),
+        min_code=st.integers(min_value=2, max_value=8),
+        n=st.integers(min_value=1, max_value=4000),
+    )
+    def test_lzw_roundtrip_property(data, min_code, n):
+        """Any index sequence within the alphabet roundtrips exactly
+        through the GIF-variant LZW encoder/decoder pair, across every
+        min-code-size and through width growth and table-full resets."""
+        alpha = 1 << min_code
+        seq = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=alpha - 1),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        arr = np.array(seq, dtype=np.uint8)
+        out = FeatureExtractor._lzw_decode(_lzw_encode_gif(arr, min_code), min_code)
+        assert np.array_equal(np.frombuffer(out, dtype=np.uint8), arr)
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
+
+
 def test_gif_payloads_fixture_golden_matches_engine(ray_session):
     """End-to-end: the planted-GIF side table's golden checksums equal
     the actor-pool real-decode output (the m_features_gif gate)."""
