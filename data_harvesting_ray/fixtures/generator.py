@@ -840,7 +840,43 @@ def encode_png(img: np.ndarray, filters: np.ndarray | None = None) -> bytes:
     )
 
 
-def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+def _golden_feat_checksum(px) -> int:
+    """8-feature checksum from raw (h, w, 3) int64 pixels — the golden
+    side tables' witness arithmetic, spelled ONCE here and shared by
+    the PNG/GIF fixtures. Independent of the engine's decoder (that
+    independence is the point of the golden pattern); the maxval byte
+    is fixed at 255 for these formats."""
+    h, w = px.shape[0], px.shape[1]
+    gray = px.mean(axis=2, dtype=np.float64)
+    feats = [
+        int(px[:, :, 0].sum() // (h * w)) & 0xFF,
+        int(px[:, :, 1].sum() // (h * w)) & 0xFF,
+        int(px[:, :, 2].sum() // (h * w)) & 0xFF,
+        int(gray[: h // 2].sum() // gray[: h // 2].size) & 0xFF,
+        int(gray[h - h // 2 :].sum() // gray[h - h // 2 :].size) & 0xFF,
+        w % 256,
+        h % 256,
+        255,
+    ]
+    return sum(feats)
+
+
+def _gif_anim_doc_params(doc_id: int, seed: int = 61):
+    """Per-document animated-GIF parameters shared by gif_anim_paths
+    and gif_resize_golden_path — ONE derivation so the two side tables
+    can never desynchronize: (w, h, npal, palette, indices, n_frames),
+    drawn in a fixed rng order."""
+    rng = np.random.default_rng(seed + int(doc_id))
+    w = 6 + int(doc_id) % 7
+    h = 6 + (int(doc_id) // 7) % 7
+    npal = (4, 16, 64, 256)[int(doc_id) % 4]
+    palette = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    indices = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+    nf = 1 + int(doc_id) % 5
+    return w, h, npal, palette, indices, nf
+
+
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
     """Textbook GIF-variant LZW ENCODER for fixtures/tests: variable
     code width from ``min_code_size + 1`` bits, LSB-first packing,
     leading CLEAR, trailing EOI, CLEAR emitted + table reset when the
@@ -961,20 +997,8 @@ def gif_payloads_path(sf_dir_or_name: str, seed: int = 59) -> str:
         payloads.append(
             encode_gif(indices, palette, extra_frames=1 if doc_id % 3 == 0 else 0)
         )
-        # golden 8-feature bytes from frame-0 pixels, spelled inline
-        px = palette[indices].astype(np.int64)
-        gray = px.mean(axis=2, dtype=np.float64)
-        feats = [
-            int(px[:, :, 0].sum() // (h * w)) & 0xFF,
-            int(px[:, :, 1].sum() // (h * w)) & 0xFF,
-            int(px[:, :, 2].sum() // (h * w)) & 0xFF,
-            int(gray[: h // 2].sum() // gray[: h // 2].size) & 0xFF,
-            int(gray[h - h // 2 :].sum() // gray[h - h // 2 :].size) & 0xFF,
-            w % 256,
-            h % 256,
-            255,
-        ]
-        checks[i] = sum(feats)
+        # golden checksum from frame-0 pixels (shared witness helper)
+        checks[i] = _golden_feat_checksum(palette[indices].astype(np.int64))
     table = pa.table(
         {
             "doc_id": pa.array(ids),
@@ -1018,35 +1042,17 @@ def gif_anim_paths(sf_dir_or_name: str, seed: int = 61) -> tuple[str, str]:
     payloads: list[bytes] = []
     nframes_col = np.zeros(len(ids), dtype=np.int64)
     g_doc, g_idx, g_chk = [], [], []
-    pal_sizes = (4, 16, 64, 256)
     for i, doc_id in enumerate(ids):
-        rng = np.random.default_rng(seed + int(doc_id))
-        w = 6 + int(doc_id) % 7
-        h = 6 + (int(doc_id) // 7) % 7
-        npal = pal_sizes[int(doc_id) % 4]
-        palette = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
-        indices = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
-        nf = 1 + int(doc_id) % 5
+        _w, _h, npal, palette, indices, nf = _gif_anim_doc_params(doc_id, seed)
         payloads.append(encode_gif(indices, palette, extra_frames=nf - 1))
         nframes_col[i] = nf
         for f in range(0, nf, 2):  # stride-2 sampled frames
             px = palette[
                 ((indices.astype(np.int64) + f) % npal).astype(np.uint8)
             ].astype(np.int64)
-            gray = px.mean(axis=2, dtype=np.float64)
-            feats = [
-                int(px[:, :, 0].sum() // (h * w)) & 0xFF,
-                int(px[:, :, 1].sum() // (h * w)) & 0xFF,
-                int(px[:, :, 2].sum() // (h * w)) & 0xFF,
-                int(gray[: h // 2].sum() // gray[: h // 2].size) & 0xFF,
-                int(gray[h - h // 2 :].sum() // gray[h - h // 2 :].size) & 0xFF,
-                w % 256,
-                h % 256,
-                255,
-            ]
             g_doc.append(int(doc_id))
             g_idx.append(f)
-            g_chk.append(sum(feats))
+            g_chk.append(_golden_feat_checksum(px))
     os.makedirs(out_dir, exist_ok=True)
     for path, table in (
         (
@@ -1105,40 +1111,17 @@ def gif_resize_golden_path(
     t = pq.read_table(os.path.join(src_dir, "documents.parquet"), columns=["doc_id"])
     ids = t["doc_id"].to_numpy().astype(np.int64)
     g_doc, g_idx, g_chk = [], [], []
-    pal_sizes = (4, 16, 64, 256)
     for doc_id in ids:
-        rng = np.random.default_rng(seed + int(doc_id))
-        w = 6 + int(doc_id) % 7
-        h = 6 + (int(doc_id) // 7) % 7
-        npal = pal_sizes[int(doc_id) % 4]
-        palette = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
-        indices = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
-        nf = 1 + int(doc_id) % 5
+        w, h, npal, palette, indices, nf = _gif_anim_doc_params(doc_id, seed)
         ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
         xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
         for f in range(0, nf, 2):
             full = palette[
                 ((indices.astype(np.int64) + f) % npal).astype(np.uint8)
             ].astype(np.int64)
-            px = full[ys][:, xs]
-            gray = px.mean(axis=2, dtype=np.float64)
-            feats = [
-                int(px[:, :, 0].sum() // (out_h * out_w)) & 0xFF,
-                int(px[:, :, 1].sum() // (out_h * out_w)) & 0xFF,
-                int(px[:, :, 2].sum() // (out_h * out_w)) & 0xFF,
-                int(gray[: out_h // 2].sum() // gray[: out_h // 2].size) & 0xFF,
-                int(
-                    gray[out_h - out_h // 2 :].sum()
-                    // gray[out_h - out_h // 2 :].size
-                )
-                & 0xFF,
-                out_w % 256,
-                out_h % 256,
-                255,
-            ]
             g_doc.append(int(doc_id))
             g_idx.append(f)
-            g_chk.append(sum(feats))
+            g_chk.append(_golden_feat_checksum(full[ys][:, xs]))
     table = pa.table(
         {
             "doc_id": pa.array(g_doc, pa.int64()),

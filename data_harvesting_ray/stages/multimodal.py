@@ -4,13 +4,18 @@ The reference's media path is: fetch blob → decode frames → model
 features (``services/harvest_service.py:104-158``, S2/S3/M3). The
 engine treats image/audio/video as opaque ``binary`` columns with
 typed metadata and runs decode / feature-extract as actor-pool
-``map_batches`` stages. Compressed-media codecs are NOT in this
-container, so those paths stay STUBBED (deterministic fake features
-behind ``decode_stub``); the one raster format that needs no codec —
-binary PPM (P6) — has a REAL numpy decode path in ``_decode_real``
-(tested end-to-end through the actor pool). The Ray-side plumbing
-(schema, small batch size for wide rows, actor signature, output
-layout) is real and tested either way.
+``map_batches`` stages. FOUR formats have REAL no-codec decode paths
+in ``_decode_real`` (each golden-oracle gated end-to-end through the
+actor pool): binary PPM (P6, numpy), 8-bit PNG (stdlib zlib + numpy
+unfilter), GIF87a/89a (pure-Python LZW, palette, de-interlace,
+animated multi-frame via ``gif_frames``; stride sampling + real
+nearest-neighbor resize in ``GifFrameSampler``/``GifFrameResizer``),
+and PCM WAV (stdlib ``wave``). Codec-needing formats (JPEG/MP3/video)
+honestly raise; the default ``FeatureExtractor`` path remains the
+deterministic md5 stub (``_decode_stub``) so the generic plumbing is
+exercised without payload assumptions. The Ray-side plumbing (schema,
+small batch size for wide rows, actor signature, output layout) is
+real and tested either way.
 """
 
 from __future__ import annotations
@@ -335,7 +340,7 @@ class FeatureExtractor:
         The reference decodes real compressed media in its
         core loop (services/harvest_service.py:149-158); this is the
         third no-codec-needed format after PNG and WAV."""
-        for frame in FeatureExtractor._iter_gif_frames(payload):
+        for _fidx, frame in FeatureExtractor._iter_gif_frames(payload):
             return frame
         raise NotImplementedError("GIF contains no image block")
 
@@ -347,7 +352,7 @@ class FeatureExtractor:
         work for stride gates that only need every k-th frame's
         predecessors."""
         out: list[np.ndarray] = []
-        for frame in FeatureExtractor._iter_gif_frames(payload):
+        for _fidx, frame in FeatureExtractor._iter_gif_frames(payload):
             out.append(frame)
             if limit is not None and len(out) >= limit:
                 break
@@ -356,12 +361,16 @@ class FeatureExtractor:
         return out
 
     @staticmethod
-    def _iter_gif_frames(payload: bytes):
-        """Yield each image block of a GIF87a/89a stream as an
-        (h, w, 3) int64 RGB frame (LZW-decoded, palette-mapped,
-        de-interlaced). Frames with a nonzero offset or a size
-        differing from frame 0 would need disposal-method compositing
-        and raise instead."""
+    def _iter_gif_frames(payload: bytes, stride: int = 1):
+        """Yield ``(frame_idx, frame)`` for each image block of a
+        GIF87a/89a stream — (h, w, 3) int64 RGB, LZW-decoded,
+        palette-mapped, de-interlaced. With ``stride > 1`` only every
+        stride-th frame is LZW-decoded and yielded; skipped frames'
+        sub-blocks are scanned past without the (dominant) decode
+        cost, but their geometry is still validated — a partial frame
+        ANYWHERE invalidates the full-replacement model. Frames with
+        a nonzero offset or a size differing from frame 0 would need
+        disposal-method compositing and raise instead."""
         import struct
 
         n = len(payload)
@@ -378,6 +387,7 @@ class FeatureExtractor:
             gct = gct.reshape(sz, 3)
             pos += 3 * sz
         size0: tuple[int, int] | None = None
+        fidx = 0
         while pos < n:
             block = payload[pos]
             pos += 1
@@ -401,14 +411,17 @@ class FeatureExtractor:
             pal = gct
             if ipacked & 0x80:  # local color table wins
                 sz = 2 << (ipacked & 0x07)
-                pal = np.frombuffer(
-                    payload[pos : pos + 3 * sz], dtype=np.uint8
-                ).reshape(sz, 3)
+                lct = np.frombuffer(payload[pos : pos + 3 * sz], dtype=np.uint8)
+                if lct.size != 3 * sz:
+                    raise NotImplementedError("truncated GIF local color table")
+                pal = lct.reshape(sz, 3)
                 pos += 3 * sz
             if pal is None:
                 raise NotImplementedError("GIF image without a color table")
             if iw <= 0 or ih <= 0:
                 raise NotImplementedError("degenerate GIF frame size")
+            if pos >= n:
+                raise NotImplementedError("truncated GIF (no LZW data)")
             if size0 is None:
                 size0 = (iw, ih)
             if left or top or (iw, ih) != size0:
@@ -418,12 +431,17 @@ class FeatureExtractor:
                 )
             min_code_size = payload[pos]
             pos += 1
+            sampled = fidx % stride == 0
             chunks = []
             while pos < n and payload[pos] != 0:
                 ln = payload[pos]
-                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                if sampled:
+                    chunks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
             pos += 1  # block terminator
+            if not sampled:  # skipped frame: geometry checked, no decode
+                fidx += 1
+                continue
             idx = np.frombuffer(
                 FeatureExtractor._lzw_decode(b"".join(chunks), int(min_code_size)),
                 dtype=np.uint8,
@@ -449,7 +467,8 @@ class FeatureExtractor:
                 out = np.empty_like(rows)
                 out[order] = rows
                 rows = out
-            yield rows
+            yield fidx, rows
+            fidx += 1
 
     def _decode_stub(self, payload: bytes) -> np.ndarray:
         # Deterministic fake feature bytes: md5 digest prefix (md5 so
@@ -539,25 +558,37 @@ class GifFrameSampler:
     frames rather than byte-chunk stand-ins. Emits one row per
     sampled frame: (doc_id, frame_idx, frame_checksum)."""
 
+    out_col = "frame_checksum"
+
     def __init__(self, stride: int = 2):
         self.stride = stride
 
+    def _transform(self, img: np.ndarray) -> np.ndarray:
+        return img
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        st = self.stride
         doc_ids, idxs, checks = [], [], []
         for doc_id, payload in zip(df["doc_id"], df["payload"]):
-            frames = FeatureExtractor.gif_frames(bytes(payload))
-            for i in range(0, len(frames), st):
-                img = frames[i]
-                feats = FeatureExtractor._features_from_rgb(img, 255)
+            got_any = False
+            # stride handled INSIDE the iterator: skipped frames are
+            # scanned past without paying the (dominant) LZW decode
+            for fidx, img in FeatureExtractor._iter_gif_frames(
+                bytes(payload), stride=self.stride
+            ):
+                got_any = True
+                feats = FeatureExtractor._features_from_rgb(
+                    self._transform(img), 255
+                )
                 doc_ids.append(doc_id)
-                idxs.append(i)
+                idxs.append(fidx)
                 checks.append(int(feats.astype(np.int64).sum()))
+            if not got_any:
+                raise NotImplementedError("GIF contains no image block")
         return pd.DataFrame(
             {
                 "doc_id": np.array(doc_ids, dtype=np.int64),
                 "frame_idx": np.array(idxs, dtype=np.int64),
-                "frame_checksum": np.array(checks, dtype=np.int64),
+                self.out_col: np.array(checks, dtype=np.int64),
             }
         )
 
@@ -571,6 +602,8 @@ class GifFrameResizer(GifFrameSampler):
     (projects/base_project.py crop/resize path) with an actual kernel
     rather than the byte-crop stand-in of ``FrameResizer``."""
 
+    out_col = "resized_checksum"
+
     def __init__(self, stride: int = 2, out_h: int = 4, out_w: int = 5):
         super().__init__(stride=stride)
         self.out_h, self.out_w = out_h, out_w
@@ -582,24 +615,8 @@ class GifFrameResizer(GifFrameSampler):
         xs = (np.arange(ow, dtype=np.int64) * w) // ow
         return img[ys][:, xs]
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        st, oh, ow = self.stride, self.out_h, self.out_w
-        doc_ids, idxs, checks = [], [], []
-        for doc_id, payload in zip(df["doc_id"], df["payload"]):
-            frames = FeatureExtractor.gif_frames(bytes(payload))
-            for i in range(0, len(frames), st):
-                small = self._resize_nn(frames[i], oh, ow)
-                feats = FeatureExtractor._features_from_rgb(small, 255)
-                doc_ids.append(doc_id)
-                idxs.append(i)
-                checks.append(int(feats.astype(np.int64).sum()))
-        return pd.DataFrame(
-            {
-                "doc_id": np.array(doc_ids, dtype=np.int64),
-                "frame_idx": np.array(idxs, dtype=np.int64),
-                "resized_checksum": np.array(checks, dtype=np.int64),
-            }
-        )
+    def _transform(self, img: np.ndarray) -> np.ndarray:
+        return self._resize_nn(img, self.out_h, self.out_w)
 
 
 def resize_gif_frames(

@@ -113,6 +113,18 @@ def test_gif_interlaced_roundtrip():
     assert (out == pal[idx].astype(np.int64)).all()
 
 
+def test_gif_truncation_raises_honestly():
+    """Truncated local color tables and payloads ending right after a
+    color table must raise the NotImplementedError contract, not
+    ValueError/IndexError (code-review findings r5)."""
+    desc_lct = b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0x80 | 0x01)
+    head = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0)
+    with pytest.raises(NotImplementedError):  # LCT cut mid-table
+        FeatureExtractor._decode_gif(head + desc_lct + b"\x01\x02")
+    with pytest.raises(NotImplementedError):  # ends after complete LCT
+        FeatureExtractor._decode_gif(head + desc_lct + b"\x00" * 6)
+
+
 def test_gif_malformed_raise():
     with pytest.raises(NotImplementedError):  # truncated header
         FeatureExtractor._decode_gif(b"GIF89a\x04\x00")
