@@ -297,6 +297,23 @@ try:
         out = FeatureExtractor._lzw_decode(_lzw_encode_gif(arr, min_code), min_code)
         assert np.array_equal(np.frombuffer(out, dtype=np.uint8), arr)
 
+    _TRUNC_PAL = _pal(31, 16)
+    _TRUNC_IDX = _idx(32, 9, 11, 16)
+    _TRUNC_PAYLOAD = encode_gif(_TRUNC_IDX, _TRUNC_PAL, extra_frames=2)
+
+    @settings(max_examples=120, deadline=None)
+    @given(k=st.integers(min_value=0, max_value=len(_TRUNC_PAYLOAD) - 1))
+    def test_gif_truncation_exception_contract(k):
+        """EVERY proper prefix of a valid animated GIF either decodes
+        (truncation fell after the data a frame needs) or raises the
+        NotImplementedError contract — never ValueError / IndexError /
+        struct.error from parsing internals."""
+        try:
+            frames = FeatureExtractor.gif_frames(_TRUNC_PAYLOAD[:k])
+            assert all(f.shape == (9, 11, 3) for f in frames)
+        except NotImplementedError:
+            pass
+
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
 
