@@ -1139,6 +1139,120 @@ def gif_resize_golden_path(
     return out
 
 
+def encode_bmp_rle8(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal standards-conforming 8-bit RLE8 BMP ENCODER (pure
+    Python + numpy) for fixtures and tests: (h, w) uint8 palette
+    indices + (n, 3) uint8 RGB palette in, BITMAPINFOHEADER BMP out
+    (bottom-up rows, BGRX palette, real run-length encoding mixing
+    encoded runs and word-padded absolute blocks so decoders must
+    handle both, end-of-line and end-of-bitmap escapes). Lossless —
+    golden features from ``palette[indices]`` equal what a decoder
+    recovers."""
+    import struct
+
+    h, w = indices.shape
+    n_pal = palette.shape[0]
+    bgrx = np.zeros((n_pal, 4), dtype=np.uint8)
+    bgrx[:, 0] = palette[:, 2]
+    bgrx[:, 1] = palette[:, 1]
+    bgrx[:, 2] = palette[:, 0]
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = indices[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 3:
+                body += bytes([run, int(row[x])])
+                x += run
+            else:
+                # absolute block: literals until the next >=3 run
+                start = x
+                while x < w and x - start < 255:
+                    r2 = 1
+                    while x + r2 < w and row[x + r2] == row[x] and r2 < 255:
+                        r2 += 1
+                    if r2 >= 3:
+                        break
+                    x += r2
+                lit = row[start:x].astype(np.uint8).tobytes()
+                if len(lit) >= 3:
+                    body += bytes([0, len(lit)]) + lit
+                    if len(lit) & 1:
+                        body += b"\x00"  # word padding
+                else:  # too short for absolute mode: emit tiny runs
+                    for v in lit:
+                        body += bytes([1, v])
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of bitmap
+    pal_bytes = bgrx.tobytes()
+    data_off = 14 + 40 + len(pal_bytes)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 2835, 2835, n_pal, 0
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    return file_hdr + info + pal_bytes + bytes(body)
+
+
+def bmp_payloads_path(sf_dir_or_name: str, seed: int = 67) -> str:
+    """(doc_id, payload: RLE8 BMP, feat_checksum: golden) side table —
+    one deterministic palette image per document with runs planted
+    (stripes + random spans) so the RLE genuinely compresses and both
+    encoded-run and absolute-mode paths are exercised on real data.
+    Golden checksums from the raw ``palette[indices]`` pixels via the
+    shared witness helper — the fifth sibling in the decode-gate
+    family."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    out_dir = os.path.join(FIXTURE_ROOT, name)
+    out = os.path.join(out_dir, "bmp_payloads.parquet")
+    if os.path.exists(out):
+        return out
+    src_dir = (
+        sf_dir_or_name
+        if os.path.isdir(sf_dir_or_name)
+        else os.path.join("/root/testdata", name)
+    )
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"), columns=["doc_id"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    payloads: list[bytes] = []
+    checks = np.zeros(len(ids), dtype=np.int64)
+    pal_sizes = (4, 16, 64, 256)
+    for i, doc_id in enumerate(ids):
+        rng = np.random.default_rng(seed + int(doc_id))
+        w = 7 + int(doc_id) % 8
+        h = 7 + (int(doc_id) // 8) % 8
+        npal = pal_sizes[int(doc_id) % 4]
+        palette = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        # runs: horizontal stripes with random per-row noise spans
+        indices = np.repeat(
+            rng.integers(0, npal, size=(h, 1)), w, axis=1
+        ).astype(np.uint8)
+        noisy = rng.random(h) < 0.5
+        for y in np.nonzero(noisy)[0]:
+            a = int(rng.integers(0, w))
+            b = int(rng.integers(a, w)) + 1
+            indices[y, a:b] = rng.integers(0, npal, size=b - a)
+        payloads.append(encode_bmp_rle8(indices, palette))
+        checks[i] = _golden_feat_checksum(palette[indices].astype(np.int64))
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "feat_checksum": pa.array(checks),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=131_072)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        os.unlink(tmp)
+    return out
+
+
 def encode_wav(samples: np.ndarray, framerate: int, n_channels: int = 1) -> bytes:
     """Minimal PCM WAV encoder via stdlib ``wave`` for fixtures/tests:
     int16 samples (interleaved when ``n_channels > 1``) in, RIFF/WAVE

@@ -1982,6 +1982,26 @@ def q_m_gif_resize(sf_dir: str) -> Any:
     return resize_gif_frames(binary, stride=2, out_h=4, out_w=5)
 
 
+def q_m_features_bmp(sf_dir: str) -> Any:
+    """REAL BMP RLE8 decode through the actor pool: the planted side
+    table holds one run-length-encoded 8-bit BMP per document (stripes
+    + noise spans so encoded runs AND absolute-mode blocks both occur)
+    plus a GOLDEN checksum computed from the raw palette[indices]
+    pixels at fixture-generation time — verifies the RLE8 decode +
+    BGRX palette mapping + bottom-up row order end-to-end (the fifth
+    no-codec format after PPM/PNG/GIF/WAV)."""
+    import data_harvesting_ray
+
+    from ..fixtures.generator import bmp_payloads_path
+    from ..stages.multimodal import extract_features_real
+
+    data_harvesting_ray.configure_session()
+    binary = _rp(
+        bmp_payloads_path(sf_dir), columns=["doc_id", "payload"]
+    )
+    return extract_features_real(binary).select_columns(["doc_id", "feat_checksum"])
+
+
 def q_m_features_wav(sf_dir: str) -> Any:
     """REAL PCM-WAV audio decode through the actor pool: planted side
     table holds one 16-bit clip per document (mono/stereo, varied
@@ -2462,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_features_gif": q_m_features_gif,
         "m_gif_frame_sample": q_m_gif_frame_sample,
         "m_gif_resize": q_m_gif_resize,
+        "m_features_bmp": q_m_features_bmp,
         "m_features_wav": q_m_features_wav,
         "m_frame_sample": q_m_frame_sample,
         "m_resize": q_m_resize,
@@ -2528,6 +2549,9 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
     from ..fixtures.generator import gif_resize_golden_path
 
     gif_rs_gold = gif_resize_golden_path(sf_name)  # resized-frame goldens
+    from ..fixtures.generator import bmp_payloads_path
+
+    bmp_side = bmp_payloads_path(sf_name)  # BMP payloads + golden checksums
     ml_docs = multiline_docs_path(sf_name)  # planted multi-line documents
     wav_side = wav_payloads_path(sf_name)  # WAV payloads + golden checksums
     RAW = f"read_parquet('{p}')"
@@ -3453,6 +3477,11 @@ def oracle_sql(sf_name: str = _ORACLE_SF) -> dict[str, str]:
         "m_gif_resize": f"""
             SELECT doc_id, frame_idx, resized_checksum
             FROM read_parquet('{gif_rs_gold}')
+        """,
+        # same golden-recompute pattern for the BMP RLE8 decode
+        "m_features_bmp": f"""
+            SELECT doc_id, feat_checksum
+            FROM read_parquet('{bmp_side}')
         """,
         # same golden-recompute pattern for the PCM WAV audio decode:
         # the checksum was computed from the raw pre-encoding samples

@@ -113,6 +113,8 @@ class FeatureExtractor:
             return self._decode_wav(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return self._features_from_rgb(self._decode_gif(payload), 255)
+        if payload[:2] == b"BM":
+            return self._features_from_rgb(self._decode_bmp(payload), 255)
         if payload[:2] == b"P6":
             # minimal whitespace-token header (no comment support —
             # the engine's own packer never emits comments). Parsed
@@ -469,6 +471,122 @@ class FeatureExtractor:
                 rows = out
             yield fidx, rows
             fidx += 1
+
+    @staticmethod
+    def _decode_bmp(payload: bytes) -> np.ndarray:
+        """Public-knowledge BMP decode (Windows BITMAPINFOHEADER) in
+        pure Python + numpy for the two no-codec cases a pipeline
+        meets: 8-bit palettized uncompressed (BI_RGB) and 8-bit RLE8
+        (BI_RLE8 — runs, absolute mode with word padding, end-of-line
+        / end-of-bitmap / delta escapes). Rows are bottom-up unless
+        height is negative; palette entries are BGRX. Returns
+        (h, w, 3) int64 RGB. Anything else (16/24/32-bit, RLE4, BITFIELDS,
+        OS/2 headers) raises the NotImplementedError contract — the
+        fifth real format after PPM/PNG/GIF/WAV."""
+        import struct
+
+        n = len(payload)
+        if n < 54:
+            raise NotImplementedError("truncated BMP")
+        data_off = struct.unpack("<I", payload[10:14])[0]
+        hdr_size = struct.unpack("<I", payload[14:18])[0]
+        if hdr_size < 40:
+            raise NotImplementedError(f"BMP header size {hdr_size} not supported")
+        w, h_raw = struct.unpack("<ii", payload[18:26])
+        planes, bpp = struct.unpack("<HH", payload[26:30])
+        compression, _imgsize = struct.unpack("<II", payload[30:38])
+        colors_used = struct.unpack("<I", payload[46:50])[0]
+        ok = (bpp == 8 and compression in (0, 1)) or (
+            bpp in (24, 32) and compression in (0, 3)
+        )
+        if planes != 1 or not ok:
+            raise NotImplementedError(
+                f"BMP planes={planes} bpp={bpp} compression={compression} "
+                "not supported (8-bit BI_RGB/BI_RLE8, 24/32-bit BI_RGB/"
+                "canonical BITFIELDS only)"
+            )
+        top_down = h_raw < 0
+        h = -h_raw if top_down else h_raw
+        if w <= 0 or h <= 0:
+            raise NotImplementedError("degenerate BMP size")
+        if bpp in (24, 32):  # raw BGR(A/X) rows, 4-byte aligned
+            if compression == 3:
+                # BITFIELDS: accept only the canonical BGRA dword masks
+                masks = struct.unpack("<III", payload[54:66]) if n >= 66 else ()
+                if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                    raise NotImplementedError(
+                        f"BMP BITFIELDS masks {masks} not canonical BGRA"
+                    )
+            nch = bpp // 8
+            stride = (w * nch + 3) & ~3
+            body = payload[data_off:]
+            if data_off > n or len(body) < stride * h:
+                raise NotImplementedError("BMP raster shorter than frame")
+            rows = np.frombuffer(body[: stride * h], dtype=np.uint8).reshape(
+                h, stride
+            )
+            px = rows[:, : w * nch].reshape(h, w, nch)
+            rgb = px[:, :, [2, 1, 0]].astype(np.int64)  # BGR(AX) -> RGB
+            return rgb if top_down else rgb[::-1].copy()
+        n_pal = colors_used or 256
+        pal_off = 14 + hdr_size
+        pal_raw = np.frombuffer(
+            payload[pal_off : pal_off + 4 * n_pal], dtype=np.uint8
+        )
+        if pal_raw.size != 4 * n_pal:
+            raise NotImplementedError("truncated BMP palette")
+        pal = pal_raw.reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        if data_off < pal_off + 4 * n_pal or data_off > n:
+            raise NotImplementedError("BMP pixel-data offset out of range")
+        body = payload[data_off:]
+        idx = np.zeros((h, w), dtype=np.uint8)
+        if compression == 0:  # BI_RGB: rows padded to 4 bytes
+            stride = (w + 3) & ~3
+            if len(body) < stride * h:
+                raise NotImplementedError("BMP raster shorter than frame")
+            rows = np.frombuffer(body[: stride * h], dtype=np.uint8).reshape(
+                h, stride
+            )
+            idx = rows[:, :w].copy()
+        else:  # BI_RLE8
+            x = y = pos = 0
+            m = len(body)
+            done = False
+            while pos + 1 < m and not done:
+                cnt, val = body[pos], body[pos + 1]
+                pos += 2
+                if cnt > 0:  # encoded run
+                    end = min(x + cnt, w)
+                    if y < h and end > x:
+                        idx[y, x:end] = val
+                    x += cnt
+                elif val == 0:  # end of line
+                    x, y = 0, y + 1
+                elif val == 1:  # end of bitmap
+                    done = True
+                elif val == 2:  # delta: skip (dx, dy), pixels stay 0
+                    if pos + 1 >= m:
+                        raise NotImplementedError("truncated BMP delta")
+                    x += body[pos]
+                    y += body[pos + 1]
+                    pos += 2
+                else:  # absolute mode: val literal bytes, word-padded
+                    lit = body[pos : pos + val]
+                    if len(lit) != val:
+                        raise NotImplementedError("truncated BMP absolute run")
+                    end = min(x + val, w)
+                    if y < h and end > x:
+                        idx[y, x:end] = np.frombuffer(lit, dtype=np.uint8)[
+                            : end - x
+                        ]
+                    x += val
+                    pos += val + (val & 1)  # pad to word boundary
+            if not done:
+                raise NotImplementedError("BMP RLE8 missing end-of-bitmap")
+        if int(idx.max(initial=0)) >= n_pal:
+            raise NotImplementedError("BMP index outside palette")
+        rgb = pal[idx].astype(np.int64)
+        return rgb if top_down else rgb[::-1].copy()
 
     def _decode_stub(self, payload: bytes) -> np.ndarray:
         # Deterministic fake feature bytes: md5 digest prefix (md5 so
